@@ -1,0 +1,111 @@
+"""BM25 scoring (SURVEY.md B9) — the similarity the reference gets for free
+from Elasticsearch's default Lucene BM25; here it is ours.
+
+Canonical spec (mirrored by the pure-Python oracle, the Spark expression
+path, the WAND kernel, and the DuckDB oracle SQL):
+
+  idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))        (Lucene form)
+  tf_norm    = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+  score(q,d) = sum over UNIQUE query terms t of idf(t) * tf_norm(t, d)
+  k1 = 1.2, b = 0.75
+  top-k order: score DESC, doc_id ASC (deterministic tie-break)
+
+Float determinism: all accumulation is float64; the oracle accumulates in
+term-lexicographic order; with <= a handful of query terms the summation-
+order error is ~1e-16, far below the 1e-9 tolerance used by rank tests and
+the 6-dp rounding used by the DuckDB value-hash oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def tf_norm(tf: float, dl: float, avgdl: float, k1: float = K1, b: float = B) -> float:
+    return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def idf_expr(n_docs: Column, df: Column) -> Column:
+    return F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+
+
+def score_expr(tf: Column, dl: Column, avgdl: Column, idf_col: Column) -> Column:
+    k1, b = F.lit(K1), F.lit(B)
+    return idf_col * tf / (tf + k1 * (F.lit(1.0) - b + b * dl / avgdl))
+
+
+def bm25_oracle(
+    docs_tokens: dict[int, list[str]], query_terms: list[str], k: int
+) -> list[tuple[int, float]]:
+    """Pure-Python reference implementation: exact BM25 top-k.
+
+    ``docs_tokens``: doc_id -> token list (already canonically tokenized).
+    Returns [(doc_id, score)] sorted (score desc, doc_id asc), length <= k.
+    This is the rank-identity oracle — the analogue of the reference's exact
+    golden count assertion (test/integration/integration_test.go:68).
+    """
+    n_docs = len(docs_tokens)
+    if n_docs == 0:
+        return []
+    tf_maps = {d: Counter(toks) for d, toks in docs_tokens.items()}
+    dls = {d: len(toks) for d, toks in docs_tokens.items()}
+    avgdl = sum(dls.values()) / n_docs
+    uniq_terms = sorted(set(query_terms))
+    dfs = {t: sum(1 for c in tf_maps.values() if t in c) for t in uniq_terms}
+    scores: dict[int, float] = {}
+    for t in uniq_terms:  # term-lexicographic accumulation order
+        if dfs[t] == 0:
+            continue
+        w = idf(n_docs, dfs[t])
+        for d, c in tf_maps.items():
+            tf = c.get(t, 0)
+            if tf:
+                scores[d] = scores.get(d, 0.0) + w * tf_norm(tf, dls[d], avgdl)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def bm25_duckdb_sql(
+    tokens_sql: str, source_table: str, doc_id_col: str, terms: list[str], k: int, round_dp: int = 6
+) -> str:
+    """DuckDB SQL computing the identical BM25 top-k (oracle side of the
+    driver's correctness gate). ``tokens_sql`` is a fragment producing the
+    canonical token array from the source table's text column."""
+    terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT {doc_id_col} AS doc_id, {tokens_sql} AS tokens FROM {source_table}
+),
+dl AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  WHERE t.term IN ({terms_list})
+  GROUP BY doc_id, t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, {round_dp}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,109 @@
+"""Posting-list compression: delta-gap + variable-byte block encoding with
+block-max metadata (SURVEY.md B8).
+
+The reference leaves compression to Elasticsearch/Lucene (FOR/PForDelta are
+internal to the sink); its own wire-level compression is optional gzip of
+the bulk request body (elasticsearch/client/client.go:22). Our engine owns
+the index, so it owns the codec.
+
+Layout per (term, shard):
+  doc_ids sorted ascending -> split into blocks of BLOCK_SIZE ->
+  per block: delta-gap (first id absolute, rest gaps) -> varbyte bytes.
+  tfs stored varbyte per block (no delta; tfs are small).
+  Block-max metadata: max tf within block + max doc_id (skip pointers) ->
+  enables Block-Max WAND pruning at query time (B10).
+
+All encode/decode is numpy-vectorized — this runs inside pandas UDFs over
+Arrow batches, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte (LEB128-ish, 7 bits/byte, MSB = continuation)."""
+    if len(values) == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint64)
+    # exact byte length per value: 1 + number of nonzero 7-bit shifts
+    lengths = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(lengths.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # write groups least-significant-first, continuation bit on all but last
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    work = v.copy()
+    max_len = int(lengths.max())
+    for i in range(max_len):
+        mask = lengths > i
+        pos = offsets[mask] + i
+        byte = (work[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (i < (lengths[mask] - 1)).astype(np.uint8) << 7
+        out[pos] = byte | cont
+        work[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # value boundaries: each value ends at a byte with MSB clear
+    ends = np.nonzero(is_last)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    n = len(ends)
+    values = np.zeros(n, dtype=np.uint64)
+    max_len = int((ends - starts).max()) + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    for i in range(max_len):
+        pos = starts + i
+        mask = pos <= ends
+        values[mask] |= payload[pos[mask]] << np.uint64(7 * i)
+    return values
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
+    """Split one term's postings into compressed blocks.
+
+    Returns a list of dicts: one row per block, ready to become rows of the
+    ``postings`` table:
+      {block_id, ids_vb: bytes, tfs_vb: bytes, count, max_doc_id, max_tf}
+    ``doc_ids`` must be sorted ascending and unique.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    blocks = []
+    for b, start in enumerate(range(0, len(doc_ids), BLOCK_SIZE)):
+        ids = doc_ids[start : start + BLOCK_SIZE]
+        t = tfs[start : start + BLOCK_SIZE]
+        gaps = np.empty_like(ids)
+        gaps[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+        blocks.append(
+            {
+                "block_id": b,
+                "ids_vb": varbyte_encode(gaps),
+                "tfs_vb": varbyte_encode(t),
+                "count": int(len(ids)),
+                "max_doc_id": int(ids[-1]),
+                "max_tf": int(t.max()),
+            }
+        )
+    return blocks
+
+
+def decode_block(ids_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of one block of encode_postings -> (doc_ids, tfs)."""
+    gaps = varbyte_decode(ids_vb)
+    ids = np.cumsum(gaps, dtype=np.uint64)
+    tfs = varbyte_decode(tfs_vb)
+    return ids, tfs

@@ -1,0 +1,4 @@
+"""Inverted-index build + BM25 query engine (the internalized 'sink')."""
+
+from go_dcp_elasticsearch_spark.index.builder import IndexBuilder  # noqa: F401
+from go_dcp_elasticsearch_spark.index.query import BM25Query  # noqa: F401

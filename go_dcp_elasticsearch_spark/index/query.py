@@ -1,0 +1,266 @@
+"""BM25 top-k retrieval over the sharded compressed index (SURVEY.md B9/B10).
+
+Two physical strategies, rank-identical results:
+
+1. ``topk_exact`` — declarative DataFrame path: decode candidate posting
+   blocks (Arrow UDF), broadcast-join tiny dictionary/stats, score with JVM
+   expressions, global ``orderBy(score desc, doc_id).limit(k)`` (Spark
+   executes TakeOrdered — per-partition heaps + driver merge, no full sort).
+   This path is the one mirrored 1:1 by the DuckDB oracle SQL.
+
+2. ``topk_pruned`` — shard-parallel block-max two-phase pruning (the
+   MaxScore/Block-Max-WAND family): per shard, compute per-doc score UPPER
+   bounds from block-max metadata WITHOUT decoding tf payloads (doc-id
+   membership via decoded id streams; ub = sum over terms of
+   idf * block_max_tf_norm of the containing block); exact-score the top-k
+   docs by UB to obtain a valid threshold lambda <= true kth score; fully
+   score only docs with UB >= lambda. Sound (candidate set provably
+   contains the true top-k) and exact. Each shard returns a local top-k;
+   the global answer is the merge of n_shards * k rows — the Elasticsearch
+   shard-fan-in model the reference relies on implicitly.
+
+Scale notes: query terms + dictionary rows + stats are O(query) and
+broadcast; the only large read is the postings scan, pruned by a
+``term IN (...)`` predicate pushed into Parquet row-group stats (postings
+are written sorted by term within each shard partition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from go_dcp_elasticsearch_spark.functions.bm25 import B, K1, idf as idf_py
+from go_dcp_elasticsearch_spark.functions.codec import varbyte_decode
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
+    ]
+)
+
+
+class BM25Query:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        srow = spark.read.parquet(self.paths.stats).collect()[0]
+        self.n_docs = int(srow["n_docs"])
+        self.avgdl = float(srow["avgdl"])
+
+    # ---------- shared helpers ----------
+
+    def analyze(self, query: str) -> list[str]:
+        """Query text -> unique canonical terms (same analyzer as indexing)."""
+        return sorted(set(tokenize_py(query)))
+
+    def _term_stats(self, terms: list[str]) -> dict[str, float]:
+        """idf per query term from the dictionary (tiny, driver-side)."""
+        d = (
+            self.spark.read.parquet(self.paths.dictionary)
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: idf_py(self.n_docs, int(r["df"])) for r in d}
+
+    def _candidate_blocks(self, terms: list[str]) -> DataFrame:
+        """Postings scan with the term predicate pushed into Parquet."""
+        return self.spark.read.parquet(self.paths.postings).filter(
+            F.col("term").isin(terms)
+        )
+
+    # ---------- strategy 1: exact declarative ----------
+
+    def decoded_postings(self, terms: list[str]) -> DataFrame:
+        """Candidate blocks -> (term, doc_id, tf, dl) rows via Arrow decode."""
+        blocks = self._candidate_blocks(terms)
+
+        def decode(iterator):
+            for pdf in iterator:
+                outs = []
+                for term, ids_vb, tfs_vb, dls_vb in zip(
+                    pdf["term"], pdf["ids_vb"], pdf["tfs_vb"], pdf["dls_vb"]
+                ):
+                    gaps = varbyte_decode(bytes(ids_vb))
+                    ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                    tfs = varbyte_decode(bytes(tfs_vb)).astype(np.int64)
+                    dls = varbyte_decode(bytes(dls_vb)).astype(np.int64)
+                    outs.append(
+                        pd.DataFrame(
+                            {"term": term, "doc_id": ids, "tf": tfs, "dl": dls}
+                        )
+                    )
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"term": [], "doc_id": [], "tf": [], "dl": []}
+                )
+
+        return blocks.select("term", "ids_vb", "tfs_vb", "dls_vb").mapInPandas(
+            decode, schema=DECODED_SCHEMA
+        )
+
+    def topk_exact(self, query: str, k: int = 10) -> DataFrame:
+        """Exact BM25 top-k; JVM-side scoring, broadcast dictionary join."""
+        terms = self.analyze(query)
+        if not terms:
+            return self.spark.createDataFrame([], schema="doc_id long, score double")
+        idfs = self._term_stats(terms)
+        if not idfs:
+            return self.spark.createDataFrame([], schema="doc_id long, score double")
+        idf_map = F.create_map(
+            *[x for t, w in sorted(idfs.items()) for x in (F.lit(t), F.lit(float(w)))]
+        )
+        postings = self.decoded_postings(list(idfs))
+        k1, b = F.lit(K1), F.lit(B)
+        contrib = idf_map[F.col("term")] * F.col("tf") / (
+            F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.lit(self.avgdl))
+        )
+        scored = (
+            postings.withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    # ---------- strategy 2: shard-parallel block-max pruning ----------
+
+    def topk_pruned(self, query: str, k: int = 10) -> DataFrame:
+        """Block-max pruned top-k: per-shard kernel + global merge."""
+        terms = self.analyze(query)
+        if not terms:
+            return self.spark.createDataFrame([], schema="doc_id long, score double")
+        idfs = self._term_stats(terms)
+        if not idfs:
+            return self.spark.createDataFrame([], schema="doc_id long, score double")
+        kernel = _make_shard_kernel(idfs, self.avgdl, k)
+        blocks = self._candidate_blocks(list(idfs)).select(
+            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "block_max_tf_norm"
+        )
+        local = blocks.groupBy("shard").applyInPandas(
+            kernel, schema="doc_id long, score double"
+        )
+        return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    # ---------- batch retrieval (many queries at once) ----------
+
+    def topk_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+        """Run many queries in one job: union of per-query pruned plans.
+
+        Queries are tiny relative to the corpus; each contributes an
+        independent shard-parallel subplan and Spark schedules them
+        together (the analogue of the reference's concurrent bulk requests,
+        bulk.go:410-425).
+        """
+        outs = []
+        for qid, qtext in queries:
+            df = self.topk_pruned(qtext, k).withColumn("query_id", F.lit(qid))
+            outs.append(df.select("query_id", "doc_id", "score"))
+        if not outs:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+
+def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
+    """Build the per-shard numpy kernel (runs inside applyInPandas).
+
+    Phase A: decode doc-id streams only; per-doc UB = sum_t idf_t *
+    block_max_tf_norm(block of t containing doc). Phase B: lambda = kth
+    largest exact score among the top-k docs by UB; candidates = UB >=
+    lambda; exact-score candidates from tf/dl payloads (decoded lazily only
+    for blocks that contain a candidate).
+    """
+    terms_sorted = sorted(idfs)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # organize blocks per term
+        per_term: dict[str, list] = {}
+        for row in pdf.itertuples(index=False):
+            per_term.setdefault(row.term, []).append(row)
+        # Phase A: ids + per-posting UB
+        all_ids = []
+        all_ubs = []
+        decoded = {}  # (term, block_id) -> (ids, tfs?, dls?) lazily for tf
+        for t in terms_sorted:
+            if t not in per_term:
+                continue
+            w = idfs[t]
+            for row in per_term[t]:
+                gaps = varbyte_decode(bytes(row.ids_vb))
+                ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                decoded[(t, row.block_id)] = (ids, row)
+                all_ids.append(ids)
+                all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm))
+        if not all_ids:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        ids_cat = np.concatenate(all_ids)
+        ubs_cat = np.concatenate(all_ubs)
+        uniq, inv = np.unique(ids_cat, return_inverse=True)
+        ub = np.zeros(len(uniq))
+        np.add.at(ub, inv, ubs_cat)
+
+        def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
+            """Exact BM25 for a sorted doc_id subset (term-lex accumulation)."""
+            scores = np.zeros(len(doc_subset))
+            for t in terms_sorted:
+                if t not in per_term:
+                    continue
+                w = idfs[t]
+                for row in per_term[t]:
+                    ids, r = decoded[(t, row.block_id)]
+                    # skip block if no candidate overlaps its range
+                    lo = np.searchsorted(doc_subset, ids[0])
+                    hi = np.searchsorted(doc_subset, ids[-1], side="right")
+                    if lo == hi:
+                        continue
+                    tfs = varbyte_decode(bytes(r.tfs_vb)).astype(np.float64)
+                    dls = varbyte_decode(bytes(r.dls_vb)).astype(np.float64)
+                    pos = np.searchsorted(doc_subset, ids)
+                    mask = (pos < len(doc_subset)) & (
+                        doc_subset[np.minimum(pos, len(doc_subset) - 1)] == ids
+                    )
+                    tfn = tfs[mask] / (
+                        tfs[mask] + K1 * (1.0 - B + B * dls[mask] / avgdl)
+                    )
+                    scores[pos[mask]] += w * tfn
+            return scores
+
+        # Phase B: threshold from top-k by UB, then candidates
+        if len(uniq) <= k:
+            cand = uniq
+        else:
+            top_by_ub = uniq[np.argsort(-ub)[:k]]
+            top_by_ub.sort()
+            lam_scores = exact_scores(top_by_ub)
+            lam = np.sort(lam_scores)[-k] if len(lam_scores) >= k else 0.0
+            cand = uniq[ub >= lam - 1e-12]
+        cand = np.sort(cand)
+        sc = exact_scores(cand)
+        order = np.lexsort((cand, -sc))[:k]
+        return pd.DataFrame({"doc_id": cand[order], "score": sc[order]})
+
+    return kernel

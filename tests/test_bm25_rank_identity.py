@@ -1,0 +1,77 @@
+"""Rank identity: Spark BM25 top-k (both physical strategies) must equal the
+pure-Python oracle exactly — docIDs rank-identical, scores to 1e-9.
+
+This is our analogue of the reference's exact golden assertion (the e2e test
+polls until the ES doc count equals exactly 31,591,
+test/integration/integration_test.go:68)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_dcp_elasticsearch_spark.corpus import HOT_TERMS, RARE_TERMS, synth_corpus
+from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+from go_dcp_elasticsearch_spark.index.builder import (
+    IndexBuilder,
+    assign_doc_ids,
+    dedup_last_write_wins,
+)
+from go_dcp_elasticsearch_spark.index.query import BM25Query
+
+N = 500
+
+# reference query set (FIXTURES.md §3): hot terms, rare planted terms,
+# absent terms, camelCase sub-token splits, mixed
+QUERY_SET = [
+    "getValue",
+    "quasarFlux",
+    "buffer index",
+    "parseInput kraken_sentinel",
+    "zephyrDelta obsidian_marker quasarFlux",
+    "helper_func_7 localVar11",
+    "completelyAbsentTermXyz",
+    "getValue completelyAbsentTermXyz buffer",
+    " ".join(HOT_TERMS),
+    " ".join(RARE_TERMS),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    corpus = synth_corpus(spark, N)
+    IndexBuilder(spark, d, n_shards=4).build(corpus)
+    rows = assign_doc_ids(dedup_last_write_wins(corpus)).select("doc_id", "content").collect()
+    docs_tokens = {int(r["doc_id"]): tokenize_py(r["content"]) for r in rows}
+    return d, docs_tokens
+
+
+@pytest.mark.parametrize("k", [10, 3])
+def test_rank_identity_both_strategies(spark, built, k):
+    index_dir, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    for qtext in QUERY_SET:
+        want = bm25_oracle(docs_tokens, tokenize_py(qtext), k)
+        for strategy in ("topk_exact", "topk_pruned"):
+            got = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in getattr(q, strategy)(qtext, k).collect()
+            ]
+            assert [g[0] for g in got] == [w[0] for w in want], (qtext, strategy)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (qtext, strategy, gd)
+
+
+def test_batch_retrieval_matches_single(spark, built):
+    index_dir, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    queries = list(enumerate(QUERY_SET[:5]))
+    batch = q.topk_batch(queries, k=5).collect()
+    by_qid: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], -r["score"], r["doc_id"])):
+        by_qid.setdefault(int(r["query_id"]), []).append((int(r["doc_id"]), float(r["score"])))
+    for qid, qtext in queries:
+        want = bm25_oracle(docs_tokens, tokenize_py(qtext), 5)
+        got = by_qid.get(qid, [])
+        assert [g[0] for g in got] == [w[0] for w in want], qtext

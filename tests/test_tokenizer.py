@@ -1,0 +1,54 @@
+"""Tokenizer: golden cases + 4-way mirror identity (python / pandas UDF /
+Spark expression / DuckDB SQL) — the analyzer every other component trusts."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.functions.tokenizer import (
+    tokenize_duckdb_sql,
+    tokenize_expr,
+    tokenize_py,
+    tokenize_udf,
+)
+
+GOLDEN = [
+    ("getValueFromCache", ["get", "value", "from", "cache"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    ("HTTPServer2x", ["httpserver2x"]),  # no lower->upper boundary inside HTTP
+    ("parseHTTPResponse", ["parse", "httpresponse"]),
+    ("foo.bar(baz_qux)", ["foo", "bar", "baz", "qux"]),
+    ("x := y + 42  // comment", ["x", "y", "42", "comment"]),
+    ("", []),
+    (None, []),
+    ("___", []),
+    ("camelCase123Next", ["camel", "case123", "next"]),
+]
+
+
+def test_golden_python():
+    for text, want in GOLDEN:
+        assert tokenize_py(text) == want, text
+
+
+def test_mirrors_agree(spark):
+    texts = [t for t, _ in GOLDEN if t] + [
+        "def helperFunc_one(x): return x.getValue() + OBSIDIAN_marker",
+        "SELECT * FROM t WHERE a=1 -- trailingComment",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    spark_rows = (
+        df.withColumn("udf_toks", tokenize_udf(F.col("text")))
+        .withColumn("expr_toks", tokenize_expr("text"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in spark_rows:
+        want = tokenize_py(r["text"])
+        assert list(r["udf_toks"]) == want, r["text"]
+        assert list(r["expr_toks"]) == want, r["text"]
+        got = con.sql(
+            f"select {tokenize_duckdb_sql('?')} as toks", params=[r["text"]]
+        ).fetchone()[0]
+        assert list(got) == want, r["text"]
