@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline value = end-to-end wall seconds for the flagship workload
+(index build over the corpus + the BM25 query set). The "queries" dict
+carries per-piece timings including build throughput (files/sec) and top-k
+p95 latency — the two target metrics in BASELINE.json. Scaling-efficiency
+evidence (local[8] vs local[32]) is produced by tools/scaling_bench.py
+into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERY_SET = [
+    "spark filter join",
+    "table scan merge",
+    "hash join order",
+    "window batch value",
+    "customer line group",
+    "fast key sort",
+    "slow small data",
+    "query row part",
+    "merge part window small",
+    "spark",
+    "the fast",
+    "scan",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus, synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # --- index build over the sf corpus ---
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        corpus = load_documents_corpus(spark, sf_dir)
+        t0 = time.time()
+        builder = IndexBuilder(spark, idx_dir, n_shards=int(cpus))
+        summary = builder.build(corpus)
+        build_sec = time.time() - t0
+        n_docs = summary["n_docs"]
+        timings["build_sec"] = round(build_sec, 3)
+        timings["build_files_per_sec"] = round(n_docs / build_sec, 1)
+
+        # --- larger deterministic synthetic build (stresses shuffle path) ---
+        idx2 = tempfile.mkdtemp(prefix="bench_idx_synth_")
+        try:
+            t0 = time.time()
+            IndexBuilder(spark, idx2, n_shards=int(cpus)).build(
+                synth_corpus(spark, 20000, n_partitions=int(cpus) * 2)
+            )
+            synth_sec = time.time() - t0
+            timings["build_synth20k_sec"] = round(synth_sec, 3)
+            timings["build_synth20k_files_per_sec"] = round(20000 / synth_sec, 1)
+        finally:
+            shutil.rmtree(idx2, ignore_errors=True)
+
+        # --- BM25 query latencies (pruned path, per-query end-to-end) ---
+        q = BM25Query(spark, idx_dir)
+        lat = []
+        for qtext in QUERY_SET:
+            t0 = time.time()
+            q.topk_pruned(qtext, 10).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        timings["topk_mean_sec"] = round(sum(lat) / len(lat), 4)
+        timings["topk_p95_sec"] = round(lat[max(0, int(len(lat) * 0.95) - 1)], 4)
+        timings["topk_qps"] = round(len(lat) / sum(lat), 2)
+
+        # --- exact path for comparison ---
+        t0 = time.time()
+        q.topk_exact(QUERY_SET[0], 10).collect()
+        timings["topk_exact_sec"] = round(time.time() - t0, 4)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # --- operator suite timings on driver tables ---
+    import __spark_entry__ as entrymod
+
+    for name in ["bm25_topk", "minhash_lsh_pairs", "ngram_jaccard", "embedding_topk",
+                 "exact_dedup", "quality_score", "language_id"]:
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 4)
+
+    total = time.time() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 top-k + operator suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

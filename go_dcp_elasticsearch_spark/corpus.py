@@ -113,11 +113,15 @@ def with_duplicates(corpus: DataFrame, every: int = 13) -> DataFrame:
 
 
 def load_documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver documents.parquet -> corpus shape (FIXTURES.md §7 shim)."""
+    """Driver documents.parquet -> corpus shape (FIXTURES.md §7 shim).
+
+    Path is zero-padded so lexicographic (repo, path) order == numeric
+    doc_id order; engine doc_ids then coincide with the table's doc_ids and
+    top-k tie-breaks match SQL oracles exactly."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
-        F.col("source").alias("repo"),
-        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("corpus").alias("repo"),
+        F.format_string("doc/%012d", F.col("doc_id")).alias("path"),
         F.sha2(F.col("text"), 256).substr(1, 12).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),

@@ -76,6 +76,18 @@ def bm25_oracle(
     return ranked[:k]
 
 
+def round6_sql(expr: str) -> str:
+    """Engine-portable 6-dp rounding: floor(x*1e6+0.5)/1e6 — the same IEEE
+    ops in Spark and DuckDB, so results are bit-identical (plain round()
+    differs between engines exactly at .5 boundaries)."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0"
+
+
+def round6_expr(col: Column) -> Column:
+    """Spark mirror of round6_sql."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def bm25_duckdb_sql(
     tokens_sql: str, source_table: str, doc_id_col: str, terms: list[str], k: int, round_dp: int = 6
 ) -> str:
@@ -104,7 +116,7 @@ scored AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, {round_dp}) AS score
+SELECT doc_id, {round6_sql("score")} AS score
 FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}

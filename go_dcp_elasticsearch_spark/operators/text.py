@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All four are JVM-expression-first (whole-stage codegen; no Python in the
+scan) except the fingerprint, whose bit arithmetic lives in a vectorized
+pandas UDF. Every SQL-expressible one has a DuckDB mirror in
+__spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from go_dcp_elasticsearch_spark.functions.bm25 import round6_expr
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+# language ID (documents.lang domain: en/es/zh/de/fr-ish synthetic text).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical-token count + whitespace-word count per doc."""
+    toks = tokenize_expr(text_col)
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(ws).alias("n_words"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length — combined into a [0,1] score.
+
+    The formula is arbitrary but fixed; the point is the *shape*: pure
+    column expressions over one scan, no shuffle, SQL-mirrorable.
+    """
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    toks = tokenize_expr(text_col)
+    n_toks = F.size(toks)
+    stop = F.lit(["the", "and", "of", "to", "a", "in", "is", "it"])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    mean_wl = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        round6_expr(punct_ratio).alias("punct_ratio"),
+        round6_expr(stop_ratio).alias("stopword_ratio"),
+        round6_expr(mean_wl).alias("mean_word_len"),
+        round6_expr(score).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language ID: argmax over languages of marker hits.
+
+    Deterministic tie-break: higher count wins, then language code asc.
+    Expressed as a sorted array-of-structs pick — single scan, no UDF.
+    """
+    toks = tokenize_expr(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.lit(LANG_MARKERS[lang])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append(F.struct((-cnt).alias("neg"), F.lit(lang).alias("lang")))
+    best = F.array_sort(F.array(*scores))[0]
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        (-best["neg"]).alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, window: int = 8) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (vectorized pandas UDF)."""
+    from go_dcp_elasticsearch_spark.functions.hashing import rolling_fingerprint_py
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: rolling_fingerprint_py(tokenize_py(t), window))
+
+    udf = F.pandas_udf(kernel, LongType())
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("fingerprint"))
