@@ -71,6 +71,68 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return values
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Exact encoded byte length per value (1 + #nonzero 7-bit shifts)."""
+    v = np.asarray(values, dtype=np.uint64)
+    lengths = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return lengths
+
+
+def encode_blocks_bulk(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int = BLOCK_SIZE
+) -> list[tuple[bytes, bytes, bytes, int, int, int, int]]:
+    """Encode one term's full posting list in THREE varbyte passes total
+    (ids/tfs/dls), then slice per-block byte ranges from the concatenated
+    buffers — O(1) numpy calls per list instead of O(blocks).
+
+    Gaps reset at block boundaries (each block's first id is absolute) so
+    blocks stay independently decodable. Returns per-block tuples:
+    (ids_vb, tfs_vb, dls_vb, count, max_doc_id, max_tf, tf_sum).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    starts = np.arange(0, n, block_size)
+    gaps[starts] = ids[starts]  # absolute first id per block
+
+    out = []
+    bufs = []
+    offs = []
+    for arr in (gaps, tfs, dls):
+        lens = varbyte_lengths(arr)
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        bufs.append(varbyte_encode(arr))
+        offs.append(cum)
+    for b, s in enumerate(starts):
+        e = min(s + block_size, n)
+        ids_vb = bufs[0][offs[0][s] : offs[0][e]]
+        tfs_vb = bufs[1][offs[1][s] : offs[1][e]]
+        dls_vb = bufs[2][offs[2][s] : offs[2][e]]
+        tf_blk = tfs[s:e]
+        out.append(
+            (
+                ids_vb,
+                tfs_vb,
+                dls_vb,
+                int(e - s),
+                int(ids[e - 1]),
+                int(tf_blk.max()),
+                int(tf_blk.sum()),
+            )
+        )
+    return out
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
     """Split one term's postings into compressed blocks.
 

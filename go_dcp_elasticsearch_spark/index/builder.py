@@ -72,6 +72,7 @@ POSTINGS_SCHEMA = StructType(
         StructField("count", IntegerType(), False),
         StructField("max_doc_id", LongType(), False),
         StructField("max_tf", LongType(), False),
+        StructField("tf_sum", LongType(), False),
         StructField("block_max_tf_norm", DoubleType(), False),
     ]
 )
@@ -110,7 +111,9 @@ class IndexPaths:
         return f"{self.root}/_rejects"
 
 
-def assign_doc_ids(corpus: DataFrame, n_range_parts: int = 32) -> DataFrame:
+def assign_doc_ids(
+    corpus: DataFrame, n_range_parts: int = 32, persist: bool = False
+) -> DataFrame:
     """Deterministic dense doc_id = rank of (repo, path) in global sort order.
 
     Scalable variant of ``row_number() OVER (ORDER BY repo, path)``: a global
@@ -118,12 +121,18 @@ def assign_doc_ids(corpus: DataFrame, n_range_parts: int = 32) -> DataFrame:
     range-partition on the key, sort within partitions, count rows per
     partition (tiny agg), broadcast cumulative offsets, add local index.
     Same semantics, no single-reducer stage.
+
+    ``persist=True`` caches the shuffled+sorted intermediate so the count
+    pass and the id pass (and every downstream consumer) share one
+    materialization instead of recomputing the upstream lineage.
     """
     keyed = corpus.repartitionByRange(n_range_parts, "repo", "path").sortWithinPartitions(
         "repo", "path"
     )
     keyed = keyed.withColumn("_pid", F.spark_partition_id())
-    # tiny: n_range_parts rows to the driver
+    if persist:
+        keyed = keyed.persist()
+    # tiny: n_range_parts rows to the driver (materializes the persist)
     counts = {
         r["_pid"]: r["c"]
         for r in keyed.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -147,7 +156,9 @@ def assign_doc_ids(corpus: DataFrame, n_range_parts: int = 32) -> DataFrame:
             seen += len(pdf)
             yield pdf
 
-    return keyed.mapInPandas(add_ids, schema=out_schema)
+    out = keyed.mapInPandas(add_ids, schema=out_schema)
+    out._keyed_source = keyed  # handle for unpersist by the caller
+    return out
 
 
 def dedup_last_write_wins(corpus: DataFrame) -> DataFrame:
@@ -197,25 +208,90 @@ class IndexBuilder:
 
         def kernel(iterator):
             from collections import Counter
+            from itertools import chain
+
+            import numpy as np
 
             for pdf in iterator:
-                terms, dids, tfs, dls, shards = [], [], [], [], []
-                for did, content in zip(pdf["doc_id"], pdf["content"]):
-                    toks = tokenize_py(content)
-                    c = Counter(toks)
-                    dl = len(toks)
-                    sh = int(did) % n_shards
-                    for t, tf in c.items():
-                        terms.append(t)
-                        dids.append(int(did))
-                        tfs.append(int(tf))
-                        dls.append(dl)
-                        shards.append(sh)
+                counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
+                sizes = np.fromiter((len(c) for c in counters), dtype=np.int64, count=len(counters))
+                n = int(sizes.sum())
+                terms = list(chain.from_iterable(c.keys() for c in counters))
+                tfs = np.fromiter(
+                    chain.from_iterable(c.values() for c in counters), dtype=np.int64, count=n
+                )
+                doc_lens = np.fromiter(
+                    (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
+                )
+                dids = np.repeat(pdf["doc_id"].to_numpy(), sizes)
+                dls = np.repeat(doc_lens, sizes)
                 yield pd.DataFrame(
-                    {"term": terms, "doc_id": dids, "tf": tfs, "dl": dls, "shard": shards}
+                    {
+                        "term": terms,
+                        "doc_id": dids,
+                        "tf": tfs,
+                        "dl": dls,
+                        "shard": (dids % n_shards).astype(np.int32),
+                    }
                 )
 
         return corpus_ids.select("doc_id", "content").mapInPandas(kernel, schema=TF_SCHEMA)
+
+    def _encode_partition(self, avgdl: float):
+        """mapInPandas kernel: encode ALL (term, shard) groups of a hash
+        partition in one pass.
+
+        groupBy().applyInPandas costs ~1 ms of pandas object churn per
+        group; a code corpus has millions of singleton terms (unique
+        identifiers), so per-group overhead dominates. Instead the tf rows
+        are hash-repartitioned on (term, shard), each partition is sorted
+        once (np.lexsort), group boundaries found vectorized, and each
+        group encoded with O(1) numpy calls (encode_blocks_bulk).
+        """
+        k1, b = K1, B
+        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+
+        def encode(iterator):
+            import numpy as np
+
+            from go_dcp_elasticsearch_spark.functions.codec import (
+                BLOCK_SIZE,
+                encode_blocks_bulk,
+            )
+
+            pdfs = list(iterator)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            if len(pdf) == 0:
+                return
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            ids_a = pdf["doc_id"].to_numpy()
+            order = np.lexsort((ids_a, shards, terms))
+            terms, shards, ids_a = terms[order], shards[order], ids_a[order]
+            tfs_a = pdf["tf"].to_numpy()[order]
+            dls_a = pdf["dl"].to_numpy()[order]
+            tf_f = tfs_a.astype(np.float64)
+            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls_a / avgdl))
+            change = np.empty(len(terms), dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(terms))
+            rows = []
+            for s, e in zip(starts, ends):
+                blocks = encode_blocks_bulk(ids_a[s:e], tfs_a[s:e], dls_a[s:e])
+                bmax = np.maximum.reduceat(tf_norm[s:e], np.arange(0, e - s, BLOCK_SIZE))
+                t, sh = terms[s], int(shards[s])
+                for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks):
+                    rows.append(
+                        (t, sh, bi, ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum,
+                         float(bmax[bi]))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+        return encode
 
     def _encode_groups(self, avgdl: float):
         """applyInPandas kernel: one (term, shard) group -> compressed block rows."""
@@ -224,36 +300,27 @@ class IndexBuilder:
         def encode(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
+            from go_dcp_elasticsearch_spark.functions.codec import (
+                BLOCK_SIZE,
+                encode_blocks_bulk,
+            )
+
             pdf = pdf.sort_values("doc_id")
             ids = pdf["doc_id"].to_numpy()
             tfs = pdf["tf"].to_numpy()
             dls = pdf["dl"].to_numpy()
             term = pdf["term"].iloc[0]
             shard = int(pdf["shard"].iloc[0])
-            blocks = encode_postings(ids, tfs)
-            rows = []
-            from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE, varbyte_encode
-
-            for blk in blocks:
-                s = blk["block_id"] * BLOCK_SIZE
-                e = s + blk["count"]
-                dl_slice = dls[s:e].astype(np.uint64)
-                tf_slice = tfs[s:e].astype(np.float64)
-                tf_norm = tf_slice / (tf_slice + k1 * (1.0 - b + b * dls[s:e] / avgdl))
-                rows.append(
-                    (
-                        term,
-                        shard,
-                        blk["block_id"],
-                        blk["ids_vb"],
-                        blk["tfs_vb"],
-                        varbyte_encode(dl_slice),
-                        blk["count"],
-                        blk["max_doc_id"],
-                        blk["max_tf"],
-                        float(tf_norm.max()),
-                    )
-                )
+            blocks = encode_blocks_bulk(ids, tfs, dls)
+            tf_f = tfs.astype(np.float64)
+            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
+            starts = np.arange(0, len(ids), BLOCK_SIZE)
+            block_max_norm = np.maximum.reduceat(tf_norm, starts)
+            rows = [
+                (term, shard, bi, ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum,
+                 float(block_max_norm[bi]))
+                for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks)
+            ]
             return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
         return encode
@@ -291,49 +358,59 @@ class IndexBuilder:
         t0 = time.time()
         done = self.lineage.completed_stages() if resume else set()
 
+        # ONE shuffle+sort of the corpus, persisted; every stage below reads
+        # the cached sorted partitions instead of recomputing lineage.
         deduped = dedup_last_write_wins(corpus)
-        corpus_ids = assign_doc_ids(deduped)
-        corpus_ids.persist()
-        n_docs = corpus_ids.count()
+        corpus_ids = assign_doc_ids(deduped, persist=True)
 
-        tf = self._tf_rows(corpus_ids)
-        tf.persist()
+        # docs forward store: doc_len via the JVM tokenizer expression
+        # (mirror-identical to the python tokenizer; no second Python pass),
+        # sha256 invariant, shard assignment. n_docs falls out of the write.
+        if "docs" not in done:
+            from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
 
-        # stats first (avgdl feeds block-max metadata)
+            docs = corpus_ids.select(
+                "doc_id",
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                F.size(tokenize_expr("content")).cast("long").alias("doc_len"),
+                (F.col("doc_id") % F.lit(self.n_shards)).cast("int").alias("shard"),
+            )
+            # repartition on shard first: without it every input partition
+            # writes a file per shard value (n_parts x n_shards tiny files)
+            docs.repartition(self.n_shards, F.col("shard")).write.mode(
+                "overwrite"
+            ).partitionBy("shard").parquet(self.paths.docs)
+            self.lineage.commit("docs", 0, -1)
+
+        # stats from the (small, pruned) docs table — avgdl feeds block-max
         if "stats" not in done:
-            dl_per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-            stats = dl_per_doc.agg(
-                F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-            ).withColumn("index_name", F.lit(self.index_name))
+            stats = (
+                self.spark.read.parquet(self.paths.docs)
+                .agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+                .withColumn("index_name", F.lit(self.index_name))
+            )
             stats.coalesce(1).write.mode("overwrite").parquet(self.paths.stats)
-            self.lineage.commit("stats", 0, n_docs)
+            self.lineage.commit("stats", 0, -1)
         srow = self.spark.read.parquet(self.paths.stats).collect()[0]
         avgdl = float(srow["avgdl"])
+        n_docs = int(srow["n_docs"])
 
-        if "docs" not in done:
-            dl_df = tf.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
-            docs = (
-                corpus_ids.select(
-                    "doc_id",
-                    "repo",
-                    "path",
-                    "commit",
-                    "lang",
-                    F.sha2(F.col("content"), 256).alias("content_sha256"),
-                    (F.col("doc_id") % F.lit(self.n_shards)).cast("int").alias("shard"),
-                )
-                .join(dl_df, "doc_id", "left")
-                .na.fill({"doc_len": 0})
-            )
-            docs.write.mode("overwrite").partitionBy("shard").parquet(self.paths.docs)
-            self.lineage.commit("docs", 0, n_docs)
-
+        # postings: tokenize+TF (SPIMI map side) -> (term, shard) encode
         if "postings" not in done:
-            postings = tf.groupBy("term", "shard").applyInPandas(
-                self._encode_groups(avgdl), schema=POSTINGS_SCHEMA
+            tf = self._tf_rows(corpus_ids)
+            n_enc_parts = max(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions", "64")),
+                self.n_shards,
             )
+            postings = tf.repartition(
+                n_enc_parts, F.col("term"), F.col("shard")
+            ).mapInPandas(self._encode_partition(avgdl), schema=POSTINGS_SCHEMA)
             (
-                postings.repartition("shard")
+                postings.repartition(self.n_shards, F.col("shard"))
                 .sortWithinPartitions("term", "block_id")
                 .write.mode("overwrite")
                 .partitionBy("shard")
@@ -341,8 +418,16 @@ class IndexBuilder:
             )
             self.lineage.commit("postings", 0, n_docs)
 
+        # dictionary: derived from the already-aggregated postings blocks —
+        # a tiny column-pruned scan (term, count, tf_sum), no re-shuffle of
+        # tf rows. (salted_dictionary remains the explicit two-phase path
+        # for callers aggregating raw tf at extreme skew.)
         if "dictionary" not in done:
-            dictionary = self.salted_dictionary(tf)
+            dictionary = (
+                self.spark.read.parquet(self.paths.postings)
+                .groupBy("term")
+                .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
+            )
             dictionary.write.mode("overwrite").parquet(self.paths.dictionary)
             self.lineage.commit("dictionary", 0, n_docs)
 
@@ -355,6 +440,5 @@ class IndexBuilder:
             count=n_docs,
             latency_ms=elapsed * 1000.0,
         )
-        tf.unpersist()
-        corpus_ids.unpersist()
+        corpus_ids._keyed_source.unpersist()
         return {"n_docs": n_docs, "avgdl": avgdl, "elapsed_sec": elapsed}

@@ -1,4 +1,4 @@
-"""Lineage/checkpoint table (SURVEY.md A18).
+"""Lineage/checkpoint log (SURVEY.md A18).
 
 The reference forces DCP checkpointing to manual (connector.go:186) and
 commits vBucket offsets only AFTER the sink acknowledged the flushed batch
@@ -6,14 +6,20 @@ commits vBucket offsets only AFTER the sink acknowledged the flushed batch
 idempotent by keyed upserts (docs/06_bulk_processor_.md:98).
 
 Batch-engine equivalent: each build stage writes its output as a
-deterministic partition overwrite, then appends one lineage row. Resume =
-skip stages whose lineage rows exist; a partially-written stage without a
-lineage row is simply overwritten on re-run (idempotent).
+deterministic partition overwrite, then appends one lineage record. Resume =
+skip stages whose lineage records exist; a partially-written stage without a
+record is simply overwritten on re-run (idempotent).
+
+Storage: a driver-side JSONL commit log (one fsync'd line per commit) — the
+direct analogue of the reference's checkpoint documents, and O(ms) instead
+of a Spark job per commit. ``read()`` exposes it as a DataFrame.
 """
 
 from __future__ import annotations
 
 import datetime
+import json
+import os
 import uuid
 
 from pyspark.sql import SparkSession
@@ -23,7 +29,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 LINEAGE_SCHEMA = StructType(
@@ -32,7 +37,7 @@ LINEAGE_SCHEMA = StructType(
         StructField("partition_id", LongType(), False),
         StructField("rows_out", LongType(), False),
         StructField("run_id", StringType(), False),
-        StructField("committed_at", TimestampType(), False),
+        StructField("committed_at", StringType(), False),
     ]
 )
 
@@ -40,31 +45,42 @@ LINEAGE_SCHEMA = StructType(
 class LineageLog:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
+        self.path = path.rstrip("/")
+        self.file = f"{self.path}/lineage.jsonl"
         self.run_id = uuid.uuid4().hex[:12]
 
     def commit(self, stage: str, partition_id: int, rows_out: int) -> None:
-        row = [
-            (
-                stage,
-                int(partition_id),
-                int(rows_out),
-                self.run_id,
-                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
-            )
-        ]
-        df = self.spark.createDataFrame(row, schema=LINEAGE_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        os.makedirs(self.path, exist_ok=True)
+        rec = {
+            "stage": stage,
+            "partition_id": int(partition_id),
+            "rows_out": int(rows_out),
+            "run_id": self.run_id,
+            "committed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        }
+        with open(self.file, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _records(self) -> list[dict]:
+        if not os.path.exists(self.file):
+            return []
+        with open(self.file) as f:
+            return [json.loads(line) for line in f if line.strip()]
 
     def completed_stages(self) -> set[str]:
-        try:
-            df = self.spark.read.parquet(self.path)
-        except Exception:
-            return set()
-        return {r["stage"] for r in df.select("stage").distinct().collect()}
+        return {r["stage"] for r in self._records()}
+
+    def completed_partitions(self, stage: str) -> set[int]:
+        return {r["partition_id"] for r in self._records() if r["stage"] == stage}
 
     def read(self):
-        return self.spark.read.parquet(self.path)
+        recs = self._records()
+        return self.spark.createDataFrame(
+            [tuple(r[f.name] for f in LINEAGE_SCHEMA.fields) for r in recs],
+            schema=LINEAGE_SCHEMA,
+        )
 
 
 METRICS_SCHEMA = StructType(  # re-exported for plans.metrics
@@ -75,6 +91,6 @@ METRICS_SCHEMA = StructType(  # re-exported for plans.metrics
         StructField("result", StringType(), False),
         StructField("count", LongType(), False),
         StructField("latency_ms", DoubleType(), False),
-        StructField("recorded_at", TimestampType(), False),
+        StructField("recorded_at", StringType(), False),
     ]
 )

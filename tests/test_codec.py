@@ -59,3 +59,22 @@ def test_postings_roundtrip_and_blockmax():
 
 def test_empty_postings():
     assert encode_postings(np.array([], dtype=np.uint64), np.array([], dtype=np.uint64)) == []
+
+
+def test_encode_blocks_bulk_matches_per_block():
+    from go_dcp_elasticsearch_spark.functions.codec import encode_blocks_bulk
+
+    rng = np.random.RandomState(7)
+    ids = np.unique(rng.randint(0, 10**8, size=777)).astype(np.uint64)
+    tfs = rng.randint(1, 99, size=len(ids)).astype(np.uint64)
+    dls = rng.randint(10, 500, size=len(ids)).astype(np.uint64)
+    bulk = encode_blocks_bulk(ids, tfs, dls)
+    ref = encode_postings(ids, tfs)
+    assert len(bulk) == len(ref)
+    for (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum), r in zip(bulk, ref):
+        assert ids_vb == r["ids_vb"] and tfs_vb == r["tfs_vb"]
+        assert cnt == r["count"] and max_id == r["max_doc_id"] and max_tf == r["max_tf"]
+        s = r["block_id"] * BLOCK_SIZE
+        assert tf_sum == int(tfs[s : s + cnt].sum())
+        assert varbyte_decode(dls_vb).tolist() == dls[s : s + cnt].tolist()
+    assert encode_blocks_bulk(np.array([]), np.array([]), np.array([])) == []
