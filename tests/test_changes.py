@@ -1,0 +1,80 @@
+"""Change-feed application (B1-B4): upsert/delete/partial/script semantics,
+LWW within feed, replay idempotency (the reference's at-least-once model)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from go_dcp_elasticsearch_spark.sources.changes import apply_changes
+
+
+def _state(spark):
+    return spark.createDataFrame(
+        [("k1", "old1", "mA"), ("k2", "old2", "mB"), ("k3", "old3", "mC")],
+        "key string, content string, meta string",
+    )
+
+
+def _apply(spark, state, changes_rows):
+    changes = spark.createDataFrame(
+        changes_rows, "key string, action string, content string, seq_no long"
+    )
+    out = apply_changes(state, changes, ["key"], "content", "seq_no")
+    return {r["key"]: (r["content"], r["meta"]) for r in out.collect()}
+
+
+def test_index_replaces_and_inserts(spark):
+    got = _apply(spark, _state(spark), [("k1", "index", "new1", 1), ("k9", "index", "new9", 1)])
+    assert got["k1"] == ("new1", "mA")  # replaced, meta kept
+    assert got["k9"] == ("new9", None)  # inserted
+    assert got["k2"] == ("old2", "mB")  # untouched
+
+
+def test_delete_tombstones(spark):
+    got = _apply(spark, _state(spark), [("k2", "delete", None, 1)])
+    assert "k2" not in got
+    assert set(got) == {"k1", "k3"}
+
+
+def test_doc_update_upserts(spark):
+    # doc_as_upsert (document.go:59-82): merge if exists, insert if absent
+    got = _apply(
+        spark, _state(spark),
+        [("k3", "doc_update", "patched3", 1), ("k8", "doc_update", "fresh8", 1)],
+    )
+    assert got["k3"] == ("patched3", "mC")
+    assert got["k8"] == ("fresh8", None)
+
+
+def test_script_update(spark):
+    # scripted_upsert (document.go:84-101): arbitrary per-doc transform
+    def script(old: pd.Series, new: pd.Series) -> pd.Series:
+        return old.fillna("") + "+" + new.fillna("")
+
+    changes = spark.createDataFrame(
+        [("k1", "script_update", "suffix", 1)],
+        "key string, action string, content string, seq_no long",
+    )
+    out = apply_changes(_state(spark), changes, ["key"], "content", "seq_no", script=script)
+    got = {r["key"]: r["content"] for r in out.collect()}
+    assert got["k1"] == "old1+suffix"
+
+
+def test_lww_within_feed(spark):
+    # bulk.go:179-195: newest per key wins within one batch
+    got = _apply(
+        spark, _state(spark),
+        [("k1", "index", "v1", 1), ("k1", "delete", None, 2), ("k1", "index", "v3", 3)],
+    )
+    assert got["k1"][0] == "v3"
+
+
+def test_replay_idempotent(spark):
+    # at-least-once: re-applying the same feed yields identical state
+    feed = [("k1", "index", "new1", 5), ("k2", "delete", None, 6)]
+    once = _apply(spark, _state(spark), feed)
+    state2 = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in once.items()], "key string, content string, meta string"
+    )
+    twice = _apply(spark, state2, feed)
+    assert once == twice

@@ -1,0 +1,122 @@
+"""Dedup family: each operator checked against a pure-Python oracle."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from go_dcp_elasticsearch_spark.functions.hashing import (
+    hamming64,
+    simhash64_py,
+)
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+from go_dcp_elasticsearch_spark.operators.dedup import (
+    exact_dedup,
+    minhash_band_buckets,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (3, "completely different content about sparkSQL engines and queryPlans"),
+    (4, "short"),
+    (5, ""),
+    (6, "the quick brown fox jumps over the lazy dog yesterday evening"),  # near dup
+]
+
+
+def _shingles(text, n=3):
+    toks = tokenize_py(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_oracle(spark):
+    got = {
+        r["content_hash"]: (r["keep_id"], r["n_dups"])
+        for r in exact_dedup(_df(spark), "text", "doc_id").collect()
+    }
+    want = {}
+    for did, text in DOCS:
+        h = hashlib.md5(text.encode()).hexdigest()
+        if h in want:
+            want[h] = (min(want[h][0], did), want[h][1] + 1)
+        else:
+            want[h] = (did, 1)
+    assert got == want
+    assert got[hashlib.md5(DOCS[0][1].encode()).hexdigest()] == (0, 2)
+
+
+def test_minhash_oracle(spark):
+    """Spark minhash signatures == python md5 oracle; exact dups must
+    collide in every band; disjoint docs must not pair."""
+    n_hashes, band = 6, 3
+    buckets = minhash_band_buckets(_df(spark), "text", "doc_id", n_hashes, band).collect()
+    got = {(r["id"], r["band"]): r["bucket"] for r in buckets}
+
+    def sig(text, i):
+        sh = _shingles(text)
+        return min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+
+    for did, text in DOCS:
+        if len(_shingles(text)) == 0:
+            assert not any(k[0] == did for k in got)
+            continue
+        for b in range(n_hashes // band):
+            sigs = [sig(text, b * band + j) for j in range(band)]
+            want = hashlib.md5("|".join(sigs).encode()).hexdigest()
+            assert got[(did, b)] == want, (did, b)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            minhash_band_buckets(_df(spark), "text", "doc_id", n_hashes, band)
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup -> all bands collide
+    assert not any(3 in p for p in pairs)  # disjoint doc never pairs
+
+
+def test_ngram_jaccard_oracle(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_df(spark), "text", "doc_id", 3, 0.3).collect()
+    }
+    want = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            sa, sb = _shingles(ta), _shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.3:
+                want[(ida, idb)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, k
+    assert got[(0, 1)] == 1.0
+
+
+def test_simhash_oracle_and_hamming(spark):
+    got = {r["id"]: r["simhash"] for r in simhash64(_df(spark), "text", "doc_id").collect()}
+    for did, text in DOCS:
+        assert got[did] == simhash64_py(tokenize_py(text)), did
+    # near dups closer than unrelated docs
+    d_near = hamming64(got[0], got[2])
+    d_far = hamming64(got[0], got[3])
+    assert got[0] == got[1]
+    assert d_near < d_far
+
+
+def test_simhash_tf_weighting():
+    # repeated token dominates the signature
+    a = simhash64_py(["alpha"] * 50 + ["beta"])
+    b = simhash64_py(["alpha"])
+    assert hamming64(a, b) <= 8

@@ -1,0 +1,117 @@
+"""Pipeline-state protocol: lineage resume, rejection log, metrics —
+parity with the reference's checkpoint/dead-letter/counter semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.corpus import synth_corpus
+from go_dcp_elasticsearch_spark.index import IndexBuilder
+from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+from go_dcp_elasticsearch_spark.plans.metrics import MetricsLog
+from go_dcp_elasticsearch_spark.plans.rejects import RejectionLog
+from go_dcp_elasticsearch_spark.sources.changes import incremental_index_delta
+
+
+def test_lineage_commit_and_read(spark, tmp_index_dir):
+    log = LineageLog(spark, f"{tmp_index_dir}/_lineage")
+    log.commit("stage_a", 0, 100)
+    log.commit("stage_a", 1, 50)
+    log.commit("stage_b", 0, 10)
+    assert log.completed_stages() == {"stage_a", "stage_b"}
+    assert log.completed_partitions("stage_a") == {0, 1}
+    df = log.read()
+    assert df.count() == 3
+    assert set(df.columns) == {"stage", "partition_id", "rows_out", "run_id", "committed_at"}
+
+
+def test_resume_skips_only_committed_stages(spark, tmp_index_dir):
+    """Crash-mid-build simulation: drop the postings+dictionary lineage
+    records; resume must rebuild exactly those stages and produce the same
+    index (idempotent partition overwrite, reference replay model)."""
+    corpus = synth_corpus(spark, 150)
+    b = IndexBuilder(spark, tmp_index_dir, n_shards=2)
+    b.build(corpus)
+    dict_before = sorted(map(tuple, spark.read.parquet(b.paths.dictionary).collect()))
+
+    lineage_file = f"{tmp_index_dir}/_lineage/lineage.jsonl"
+    with open(lineage_file) as f:
+        recs = [json.loads(line) for line in f]
+    kept = [r for r in recs if r["stage"] in ("docs", "stats")]
+    with open(lineage_file, "w") as f:
+        for r in kept:
+            f.write(json.dumps(r) + "\n")
+
+    b2 = IndexBuilder(spark, tmp_index_dir, n_shards=2)
+    b2.build(corpus, resume=True)
+    assert b2.lineage.completed_stages() >= {"docs", "stats", "postings", "dictionary"}
+    dict_after = sorted(map(tuple, spark.read.parquet(b2.paths.dictionary).collect()))
+    assert dict_before == dict_after
+
+
+def test_rejection_log(spark, tmp_index_dir):
+    # rejection_log_sink_response_handler.go:105-111 schema parity
+    rej = RejectionLog(spark, f"{tmp_index_dir}/_rejects", include_source=True)
+    failed = spark.createDataFrame(
+        [("k1", "idx_a", "index", "boom", "{...}"), ("k2", "idx_a", "delete", "gone", None)],
+        "doc_key string, index_name string, action string, error string, source string",
+    )
+    rej.append(failed)
+    got = {r["doc_key"]: (r["action"], r["error"], r["source"]) for r in rej.read().collect()}
+    assert got["k1"] == ("index", "boom", "{...}")
+    assert got["k2"] == ("delete", "gone", None)
+
+    # include_source=False drops the body (reference's IncludeSource toggle)
+    rej2 = RejectionLog(spark, f"{tmp_index_dir}/_rejects2", include_source=False)
+    rej2.append(failed)
+    assert all(r["source"] is None for r in rej2.read().collect())
+
+
+def test_metrics_counters(spark, tmp_index_dir):
+    m = MetricsLog(spark, f"{tmp_index_dir}/_metrics")
+    m.record("sink", "idx_a", "index", "success", 90, 12.5)
+    m.record("sink", "idx_a", "index", "error", 10, 12.5)
+    df = m.read()
+    got = {
+        (r["action"], r["result"]): r["count"]
+        for r in df.filter(F.col("stage") == "sink").collect()
+    }
+    # {index,delete} x {success,error} counter shape (bulk.go:572-594)
+    assert got == {("index", "success"): 90, ("index", "error"): 10}
+
+    actions = spark.createDataFrame(
+        [("idx_a", "index", "success")] * 3 + [("idx_b", "delete", "error")],
+        "index_name string, action string, result string",
+    )
+    m.record_counts(actions, stage="bulk")
+    got2 = {
+        (r["index_name"], r["action"], r["result"]): r["count"]
+        for r in m.read().filter(F.col("stage") == "bulk").collect()
+    }
+    assert got2 == {("idx_a", "index", "success"): 3, ("idx_b", "delete", "error"): 1}
+
+
+def test_incremental_delta_identifies_shards(spark, tmp_index_dir):
+    corpus = synth_corpus(spark, 100)
+    b = IndexBuilder(spark, tmp_index_dir, n_shards=4)
+    b.build(corpus)
+    docs = spark.read.parquet(b.paths.docs)
+    victim = docs.limit(1).collect()[0]
+    changes = spark.createDataFrame(
+        [(victim["repo"], victim["path"], "index", "new content", 99)],
+        "repo string, path string, action string, content string, seq_no long",
+    )
+    out = incremental_index_delta(spark, tmp_index_dir, changes, ["repo", "path"])
+    assert out["n_changed"] == 1
+    assert out["affected_shards"] == [victim["shard"]]
+
+
+def test_build_metrics_written(spark, tmp_index_dir):
+    b = IndexBuilder(spark, tmp_index_dir, n_shards=2)
+    b.build(synth_corpus(spark, 80))
+    recs = b.metrics.read().collect()
+    assert any(r["stage"] == "build" and r["result"] == "success" for r in recs)
+    assert os.path.exists(f"{tmp_index_dir}/_metrics/metrics.jsonl")

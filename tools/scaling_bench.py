@@ -1,0 +1,122 @@
+"""Two-parallelism scaling evidence (north_rule).
+
+No real cluster exists in this sandbox, so the N-vs-4N-executor scaling
+criterion is evidenced by running the IDENTICAL build job at local[N] and
+local[4N] on the same parquet corpus (fresh JVM per run, cold page cache
+not controllable — each parallelism level runs `reps` times and the best
+run is reported to damp warmup noise).
+
+efficiency = (throughput_4N / throughput_N) / 4
+
+Writes/updates BENCH/BASELINE.md. Usage:
+  PYTHONPATH=/root/repo python tools/scaling_bench.py [n_docs] [N] [reps]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import sys, time, json, shutil
+repo = sys.argv[4]
+sys.path.insert(0, repo)
+from go_dcp_elasticsearch_spark.session import get_spark
+from go_dcp_elasticsearch_spark.index import IndexBuilder, BM25Query
+
+cores = int(sys.argv[1]); corpus_path = sys.argv[2]; idx_dir = sys.argv[3]
+spark = get_spark("scale", master=f"local[{cores}]", shuffle_partitions=max(cores * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+corpus = spark.read.parquet(corpus_path)
+# warm the JVM/python-worker pool so we measure the job, not process spawn
+corpus.limit(100).count()
+t0 = time.time()
+s = IndexBuilder(spark, idx_dir, n_shards=cores).build(corpus)
+build_sec = time.time() - t0
+q = BM25Query(spark, idx_dir)
+qt = []
+for qq in ["getValue buffer", "quasarFlux", "parseInput index helper"]:
+    t0 = time.time(); q.topk_pruned(qq, 10).collect(); qt.append(time.time() - t0)
+print("RESULT " + json.dumps({"cores": cores, "n_docs": s["n_docs"],
+    "build_sec": round(build_sec, 3),
+    "files_per_sec": round(s["n_docs"] / build_sec, 1),
+    "query_mean_sec": round(sum(qt) / len(qt), 4)}))
+spark.stop()
+"""
+
+
+def run_once(cores: int, corpus_path: str) -> dict:
+    idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+    try:
+        env = dict(os.environ, PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, "-c", RUNNER, str(cores), corpus_path, idx, REPO],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(f"no RESULT in output:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_big = n_small * 4
+
+    corpus_path = f"/tmp/scale_corpus_{n_docs}.parquet"
+    if not os.path.exists(corpus_path):
+        from go_dcp_elasticsearch_spark.corpus import synth_corpus
+        from go_dcp_elasticsearch_spark.session import get_spark
+
+        spark = get_spark("gen", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_corpus(spark, n_docs, 128).write.mode("overwrite").parquet(corpus_path)
+        spark.stop()
+
+    results = {}
+    for cores in (n_small, n_big):
+        best = None
+        for _ in range(reps):
+            r = run_once(cores, corpus_path)
+            if best is None or r["files_per_sec"] > best["files_per_sec"]:
+                best = r
+        results[cores] = best
+        print(f"local[{cores}]: {best}")
+
+    eff = (results[n_big]["files_per_sec"] / results[n_small]["files_per_sec"]) / 4
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"""
+## Scaling run {stamp}
+
+Identical index-build job (synthetic code corpus, {n_docs:,} files, parquet
+input) at two parallelism levels, fresh JVM each, best of {reps}:
+
+| parallelism | build sec | throughput (files/s) | query mean (s) |
+|---|---|---|---|
+| local[{n_small}] (N) | {results[n_small]["build_sec"]} | {results[n_small]["files_per_sec"]} | {results[n_small]["query_mean_sec"]} |
+| local[{n_big}] (4N) | {results[n_big]["build_sec"]} | {results[n_big]["files_per_sec"]} | {results[n_big]["query_mean_sec"]} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
+(target >= 0.8; single-JVM local mode shares the scan/IO path and the
+driver, so this is the sandbox floor for the multi-executor criterion)
+"""
+        )
+    print(f"\nefficiency = {eff:.3f}  ->  BENCH/BASELINE.md updated")
+
+
+if __name__ == "__main__":
+    main()
