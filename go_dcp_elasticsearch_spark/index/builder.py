@@ -61,6 +61,35 @@ TF_SCHEMA = StructType(
     ]
 )
 
+# pre-encoded posting chunks emitted by the SPIMI map side: one row per
+# (term, shard) per source partition, already varbyte blocks
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("first_doc_id", LongType(), False),
+        StructField("ids_vb", BinaryType(), False),
+        StructField("tfs_vb", BinaryType(), False),
+        StructField("dls_vb", BinaryType(), False),
+        StructField("count", IntegerType(), False),
+        StructField("max_doc_id", LongType(), False),
+        StructField("max_tf", LongType(), False),
+        StructField("tf_sum", LongType(), False),
+        StructField("block_max_tf_norm", DoubleType(), False),
+    ]
+)
+
+
+def shard_of(doc_id: int, n_docs: int, n_shards: int) -> int:
+    """Range sharding: shard = contiguous doc_id range (not modulo).
+
+    Contiguity is what makes the SPIMI merge a concatenation: doc ids are
+    assigned per source partition as contiguous ranges, so each (term,
+    shard, partition) chunk covers a disjoint id range and the reduce side
+    never decodes — it just orders chunks by first_doc_id.
+    """
+    return min(doc_id * n_shards // max(n_docs, 1), n_shards - 1)
+
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
@@ -112,7 +141,10 @@ class IndexPaths:
 
 
 def assign_doc_ids(
-    corpus: DataFrame, n_range_parts: int = 32, persist: bool = False
+    corpus: DataFrame,
+    n_range_parts: int = 32,
+    persist: bool = False,
+    dedup_order_col: str | None = None,
 ) -> DataFrame:
     """Deterministic dense doc_id = rank of (repo, path) in global sort order.
 
@@ -122,21 +154,34 @@ def assign_doc_ids(
     partition (tiny agg), broadcast cumulative offsets, add local index.
     Same semantics, no single-reducer stage.
 
+    ``dedup_order_col``: when set, last-write-wins dedup (A7) is FUSED into
+    this pass — range partitioning co-locates equal keys just like the
+    dedup window's hash partitioning would, so sorting (repo, path,
+    order_col DESC) and keeping the first row per key inside the same
+    shuffle replaces a whole separate shuffle+sort of the corpus.
+
     ``persist=True`` caches the shuffled+sorted intermediate so the count
     pass and the id pass (and every downstream consumer) share one
     materialization instead of recomputing the upstream lineage.
     """
-    keyed = corpus.repartitionByRange(n_range_parts, "repo", "path").sortWithinPartitions(
-        "repo", "path"
-    )
+    if dedup_order_col:
+        keyed = corpus.repartitionByRange(
+            n_range_parts, "repo", "path"
+        ).sortWithinPartitions("repo", "path", F.col(dedup_order_col).desc())
+    else:
+        keyed = corpus.repartitionByRange(n_range_parts, "repo", "path").sortWithinPartitions(
+            "repo", "path"
+        )
     keyed = keyed.withColumn("_pid", F.spark_partition_id())
     if persist:
         keyed = keyed.persist()
-    # tiny: n_range_parts rows to the driver (materializes the persist)
-    counts = {
-        r["_pid"]: r["c"]
-        for r in keyed.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-    }
+    # tiny agg: one post-dedup count per range partition (materializes the
+    # persist); count_distinct on the key == rows surviving LWW
+    if dedup_order_col:
+        agg = F.count_distinct(F.col("repo"), F.col("path")).alias("c")
+    else:
+        agg = F.count("*").alias("c")
+    counts = {r["_pid"]: r["c"] for r in keyed.groupBy("_pid").agg(agg).collect()}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -144,20 +189,33 @@ def assign_doc_ids(
         acc += counts[pid]
 
     out_schema = StructType(corpus.schema.fields + [StructField("doc_id", LongType(), False)])
+    do_dedup = bool(dedup_order_col)
 
     def add_ids(iterator):
         base = None
         seen = 0
+        prev_key = None
         for pdf in iterator:
             if base is None:
                 base = offsets[int(pdf["_pid"].iloc[0])] if len(pdf) else 0
             pdf = pdf.drop(columns=["_pid"])
+            if do_dedup and len(pdf):
+                # keep first row per (repo, path): rows arrive key-sorted
+                # with order_col DESC, so first == newest (bulk.go:179-195)
+                keys = pdf["repo"].str.cat(pdf["path"], sep="\x00")
+                keep = keys.ne(keys.shift())
+                if prev_key is not None and len(keys):
+                    keep.iloc[0] = keys.iloc[0] != prev_key
+                prev_key = keys.iloc[-1] if len(keys) else prev_key
+                pdf = pdf[keep.to_numpy()]
+            pdf = pdf.copy()
             pdf["doc_id"] = range(base + seen, base + seen + len(pdf))
             seen += len(pdf)
             yield pdf
 
     out = keyed.mapInPandas(add_ids, schema=out_schema)
     out._keyed_source = keyed  # handle for unpersist by the caller
+    out._n_docs = acc  # total row count, already known from the offsets agg
     return out
 
 
@@ -236,6 +294,178 @@ class IndexBuilder:
                 )
 
         return corpus_ids.select("doc_id", "content").mapInPandas(kernel, schema=TF_SCHEMA)
+
+    def _posting_chunks(self, avgdl: float, n_docs: int):
+        """SPIMI map side proper: per source partition, build LOCAL posting
+        lists and emit them pre-encoded (varbyte blocks), one row per
+        (term, shard, block).
+
+        This is the decisive shuffle-volume lever: raw (term, doc_id, tf,
+        dl) rows cost ~40 B per posting; a local chunk costs ~2-4 B per
+        posting. Hot terms collapse from one shuffle row per document to
+        one row per (partition, shard, block). Doc ids are contiguous per
+        partition (assign_doc_ids) and shards are contiguous ranges, so
+        chunks of one (term, shard) never interleave — the reduce side
+        concatenates, it does not re-encode.
+        """
+        n_shards = self.n_shards
+        k1, b = K1, B
+        cols = [f.name for f in CHUNK_SCHEMA.fields]
+
+        def kernel(iterator):
+            from collections import Counter
+            from itertools import chain
+
+            import numpy as np
+
+            from go_dcp_elasticsearch_spark.functions.codec import (
+                BLOCK_SIZE,
+                encode_blocks_bulk,
+            )
+
+            # gather the partition's tf triples with vectorized emission
+            term_parts: list[list[str]] = []
+            did_parts, tf_parts, dl_parts = [], [], []
+            for pdf in iterator:
+                counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
+                sizes = np.fromiter(
+                    (len(c) for c in counters), dtype=np.int64, count=len(counters)
+                )
+                n = int(sizes.sum())
+                term_parts.append(list(chain.from_iterable(c.keys() for c in counters)))
+                tf_parts.append(
+                    np.fromiter(
+                        chain.from_iterable(c.values() for c in counters),
+                        dtype=np.int64,
+                        count=n,
+                    )
+                )
+                doc_lens = np.fromiter(
+                    (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
+                )
+                did_parts.append(np.repeat(pdf["doc_id"].to_numpy(), sizes))
+                dl_parts.append(np.repeat(doc_lens, sizes))
+            if not did_parts:
+                return
+            terms = pd.Series(list(chain.from_iterable(term_parts)))
+            dids = np.concatenate(did_parts)
+            tfs = np.concatenate(tf_parts)
+            dls = np.concatenate(dl_parts)
+            codes, uniq_terms = pd.factorize(terms, sort=False)
+            # doc ids ascend within the partition already; stable-sort by
+            # term code keeps them ascending within each term group
+            order = np.argsort(codes, kind="stable")
+            codes, dids, tfs, dls = codes[order], dids[order], tfs[order], dls[order]
+            shards = np.minimum(dids * n_shards // max(n_docs, 1), n_shards - 1).astype(
+                np.int32
+            )
+            tf_f = tfs.astype(np.float64)
+            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
+            change = np.empty(len(codes), dtype=bool)
+            change[0] = True
+            change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(codes))
+            rows = []
+            for s, e in zip(starts, ends):
+                blocks = encode_blocks_bulk(dids[s:e], tfs[s:e], dls[s:e])
+                bmax = np.maximum.reduceat(tf_norm[s:e], np.arange(0, e - s, BLOCK_SIZE))
+                t = uniq_terms[codes[s]]
+                sh = int(shards[s])
+                for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(
+                    blocks
+                ):
+                    rows.append(
+                        (t, sh, int(dids[s + bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
+                         cnt, max_id, max_tf, tf_sum, float(bmax[bi]))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+        return kernel
+
+    def _merge_chunks(self, avgdl: float):
+        """SPIMI reduce side: order each (term, shard) group's chunks by
+        first_doc_id and assign sequential block_ids. Chunks are disjoint
+        ranges, so no decoding — except small fragmented lists (total
+        postings < BLOCK_SIZE across >1 chunk), which are re-encoded into
+        one dense block to keep block fill healthy for rare terms."""
+        k1, b = K1, B
+        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+
+        def kernel(iterator):
+            import numpy as np
+
+            from go_dcp_elasticsearch_spark.functions.codec import (
+                encode_blocks_bulk,
+                varbyte_decode,
+            )
+
+            pdfs = list(iterator)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            if len(pdf) == 0:
+                return
+            codes, _ = pd.factorize(pdf["term"], sort=False)
+            shards = pdf["shard"].to_numpy()
+            firsts = pdf["first_doc_id"].to_numpy()
+            order = np.lexsort((firsts, shards, codes))
+            pdf = pdf.iloc[order]
+            codes = codes[order]
+            shards = shards[order]
+            counts = pdf["count"].to_numpy()
+            change = np.empty(len(codes), dtype=bool)
+            change[0] = True
+            change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(codes))
+            rows = []
+            terms_arr = pdf["term"].to_numpy()
+            col_ids = pdf["ids_vb"].to_numpy()
+            col_tfs = pdf["tfs_vb"].to_numpy()
+            col_dls = pdf["dls_vb"].to_numpy()
+            col_maxid = pdf["max_doc_id"].to_numpy()
+            col_maxtf = pdf["max_tf"].to_numpy()
+            col_tfsum = pdf["tf_sum"].to_numpy()
+            col_bmax = pdf["block_max_tf_norm"].to_numpy()
+            for s, e in zip(starts, ends):
+                t, sh = terms_arr[s], int(shards[s])
+                total = int(counts[s:e].sum())
+                if e - s > 1 and total <= 2 * 128:
+                    # fragmented rare term: densify into full blocks
+                    ids = np.concatenate(
+                        [np.cumsum(varbyte_decode(bytes(col_ids[i])), dtype=np.uint64)
+                         for i in range(s, e)]
+                    )
+                    tfs = np.concatenate(
+                        [varbyte_decode(bytes(col_tfs[i])) for i in range(s, e)]
+                    )
+                    dls = np.concatenate(
+                        [varbyte_decode(bytes(col_dls[i])) for i in range(s, e)]
+                    )
+                    tf_f = tfs.astype(np.float64)
+                    tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+                    from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE
+
+                    blocks = encode_blocks_bulk(ids, tfs, dls)
+                    bmax = np.maximum.reduceat(tf_norm, np.arange(0, len(ids), BLOCK_SIZE))
+                    for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(
+                        blocks
+                    ):
+                        rows.append(
+                            (t, sh, bi, ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
+                             tf_sum, float(bmax[bi]))
+                        )
+                else:
+                    for bi, i in enumerate(range(s, e)):
+                        rows.append(
+                            (t, sh, bi, col_ids[i], col_tfs[i], col_dls[i], int(counts[i]),
+                             int(col_maxid[i]), int(col_maxtf[i]), int(col_tfsum[i]),
+                             float(col_bmax[i]))
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+        return kernel
 
     def _encode_partition(self, avgdl: float):
         """mapInPandas kernel: encode ALL (term, shard) groups of a hash
@@ -358,14 +588,22 @@ class IndexBuilder:
         t0 = time.time()
         done = self.lineage.completed_stages() if resume else set()
 
-        # ONE shuffle+sort of the corpus, persisted; every stage below reads
-        # the cached sorted partitions instead of recomputing lineage.
-        deduped = dedup_last_write_wins(corpus)
-        corpus_ids = assign_doc_ids(deduped, persist=True)
+        # ONE shuffle+sort of the corpus (LWW dedup fused into it),
+        # persisted; every stage below reads the cached sorted partitions.
+        if "seq_no" not in corpus.columns:
+            corpus = corpus.withColumn("seq_no", F.lit(0))
+        corpus_ids = assign_doc_ids(corpus, persist=True, dedup_order_col="seq_no")
+        n_docs = corpus_ids._n_docs
+        # integer DIV (not double /): exact at 10^12-scale ids where doubles
+        # lose integer precision past 2^53
+        shard_expr = F.expr(
+            f"least(CAST((doc_id * {self.n_shards}) DIV {max(n_docs, 1)} AS INT), "
+            f"{self.n_shards - 1})"
+        )
 
         # docs forward store: doc_len via the JVM tokenizer expression
         # (mirror-identical to the python tokenizer; no second Python pass),
-        # sha256 invariant, shard assignment. n_docs falls out of the write.
+        # sha256 invariant, range-shard assignment.
         if "docs" not in done:
             from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
 
@@ -377,7 +615,7 @@ class IndexBuilder:
                 "lang",
                 F.sha2(F.col("content"), 256).alias("content_sha256"),
                 F.size(tokenize_expr("content")).cast("long").alias("doc_len"),
-                (F.col("doc_id") % F.lit(self.n_shards)).cast("int").alias("shard"),
+                shard_expr.alias("shard"),
             )
             # repartition on shard first: without it every input partition
             # writes a file per shard value (n_parts x n_shards tiny files)
@@ -399,16 +637,19 @@ class IndexBuilder:
         avgdl = float(srow["avgdl"])
         n_docs = int(srow["n_docs"])
 
-        # postings: tokenize+TF (SPIMI map side) -> (term, shard) encode
+        # postings: SPIMI — local tokenize+encode per partition, shuffle the
+        # compressed chunks (tiny), concat-merge per (term, shard)
         if "postings" not in done:
-            tf = self._tf_rows(corpus_ids)
             n_enc_parts = max(
                 int(self.spark.conf.get("spark.sql.shuffle.partitions", "64")),
                 self.n_shards,
             )
-            postings = tf.repartition(
+            chunks = corpus_ids.select("doc_id", "content").mapInPandas(
+                self._posting_chunks(avgdl, n_docs), schema=CHUNK_SCHEMA
+            )
+            postings = chunks.repartition(
                 n_enc_parts, F.col("term"), F.col("shard")
-            ).mapInPandas(self._encode_partition(avgdl), schema=POSTINGS_SCHEMA)
+            ).mapInPandas(self._merge_chunks(avgdl), schema=POSTINGS_SCHEMA)
             (
                 postings.repartition(self.n_shards, F.col("shard"))
                 .sortWithinPartitions("term", "block_id")

@@ -1,0 +1,189 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample operators.
+
+The Spark-side plumbing (schemas, partition strategy, Arrow UDF
+signatures, batch shapes) is real and tested; the media codecs themselves
+are NOT in this container, so the decode kernels are stubbed behind
+``deterministic_fake=True`` (seeded, reproducible pseudo-decodes keyed on
+the payload hash) or raise NotImplementedError when a real codec is
+requested. Swapping in PIL/ffmpeg later changes ONLY the marked kernel
+bodies — every DataFrame contract stays identical.
+
+Scale notes: media blobs are the widest column by far — every operator
+here prunes to (id, payload) before the Python stage, emits fixed-width
+features (never re-emits the blob), and processes per Arrow batch so
+executor memory is bounded by ``maxRecordsPerBatch x blob size``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("format", StringType(), False),  # png | wav | mp4 | ...
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_png", BinaryType(), False),
+    ]
+)
+
+
+def _fake_bytes(payload: bytes, n: int, salt: str) -> np.ndarray:
+    """Deterministic pseudo-decode: seeded on sha1(payload || salt)."""
+    seed = int.from_bytes(hashlib.sha1(payload + salt.encode()).digest()[:4], "big")
+    return np.random.RandomState(seed).randint(0, 256, size=n, dtype=np.uint8)
+
+
+def decode_image_features(
+    media: DataFrame, dim: int = 64, deterministic_fake: bool = True
+) -> DataFrame:
+    """binary payload -> (width, height, embedding[dim]).
+
+    Batch shape: one Arrow batch in, one fixed-width feature frame out —
+    the blob column never leaves the Python worker.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "real image decoding requires PIL/opencv (not in this container); "
+            "replace the kernel body below and pass deterministic_fake=False"
+        )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            embs, ws, hs = [], [], []
+            for payload in pdf["payload"]:
+                raw = _fake_bytes(bytes(payload), dim + 2, "imgfeat")
+                # >>> STUB: real impl = PIL.Image.open(io.BytesIO(payload))
+                ws.append(int(raw[0]) * 8 + 64)
+                hs.append(int(raw[1]) * 8 + 64)
+                embs.append((raw[2:].astype(np.float32) / 255.0).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "width": ws, "height": hs, "embedding": embs}
+            )
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, deterministic_fake: bool = True
+) -> DataFrame:
+    """binary -> resized binary (same schema back, new payload).
+
+    Partition note: resize is pure map — no shuffle; output written
+    partitioned however the caller partitions (typically by kind/format).
+    """
+    if not deterministic_fake:
+        raise NotImplementedError("real resize requires PIL/opencv")
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            outs = [
+                # >>> STUB: real impl = decode, resample, re-encode
+                bytes(_fake_bytes(bytes(p), 32, f"resize{target_w}x{target_h}"))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8, deterministic_fake: bool = True
+) -> DataFrame:
+    """video binary -> exploded (media_id, frame_idx, frame_png) rows.
+
+    1->N explode happens INSIDE the Arrow kernel (no JVM-side explode of
+    blobs); frame count is bounded by max_frames so output batch size is
+    bounded.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+
+    def kernel(iterator):
+        for pdf in iterator:
+            ids, idxs, frames = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = min(max_frames, max(1, int((dur or 0) // every_ms)))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    # >>> STUB: real impl = ffmpeg -ss <i*every_ms> frame grab
+                    frames.append(bytes(_fake_bytes(bytes(payload), 16, f"frame{i}")))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_png": frames})
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic media fixture table (binary payloads from seeds)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        fmt = {"image": "png", "audio": "wav", "video": "mp4"}[kind]
+        payload = bytes(_fake_bytes(str(i).encode(), 128, "payload"))
+        rows.append(
+            (i, kind, fmt, payload, 640 if kind == "image" else None,
+             480 if kind == "image" else None,
+             5000 + i * 100 if kind != "image" else None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,105 @@
+"""Sink-response-handler lifecycle + skip filter (SURVEY.md A11/A16, UDF
+surface parity).
+
+The reference exposes a 5-method SinkResponseHandler interface
+(elasticsearch/sink_response_handler.go:24-30): OnInit / OnSuccess /
+OnError / OnBeforeBulk / OnAfterBulk, where OnBeforeBulk may mark batch
+items skipped (BatchItem.MarkSkipped, elasticsearch/model.go:13-15,
+honored at bulk.go:610-632) and OnError feeds the rejection log.
+
+Batch-engine equivalents:
+- on_init        -> job-start hook (driver side)
+- on_before_bulk -> a DataFrame -> DataFrame transform that may set an
+                    ``is_skipped`` column; skipped rows are filtered out
+                    before the sink write (A11)
+- on_success/on_error -> per-row routing AFTER the write attempt: the
+                    handler receives the success and failure splits;
+                    failures append to the RejectionLog and count into
+                    MetricsLog (A16/A17)
+- on_after_bulk  -> post-write hook with the written count
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.plans.metrics import MetricsLog
+from go_dcp_elasticsearch_spark.plans.rejects import RejectionLog
+
+
+@dataclass
+class SinkHandler:
+    """Default handler: pass-through before-hook, rejects + counters after."""
+
+    rejects: RejectionLog | None = None
+    metrics: MetricsLog | None = None
+    calls: list[str] = field(default_factory=list)
+
+    def on_init(self) -> None:
+        self.calls.append("init")
+
+    def on_before_bulk(self, actions: DataFrame) -> DataFrame:
+        """May add/modify ``is_skipped``; default: keep all."""
+        self.calls.append("before")
+        return actions
+
+    def on_success(self, succeeded: DataFrame, stage: str) -> None:
+        self.calls.append("success")
+        if self.metrics is not None:
+            self.metrics.record_counts(
+                succeeded.withColumn("result", F.lit("success")), stage=stage
+            )
+
+    def on_error(self, failed: DataFrame, stage: str) -> None:
+        self.calls.append("error")
+        if self.rejects is not None:
+            self.rejects.append(failed)
+        if self.metrics is not None:
+            self.metrics.record_counts(
+                failed.withColumn("result", F.lit("error")), stage=stage
+            )
+
+    def on_after_bulk(self, n_written: int) -> None:
+        self.calls.append("after")
+
+
+def run_sink(
+    actions: DataFrame,
+    sink_dir: str,
+    handler: SinkHandler | None = None,
+    stage: str = "sink",
+    error_col: str = "error",
+) -> dict:
+    """Write an actions DataFrame through the full handler lifecycle.
+
+    Rows with a non-null ``error`` column are the failure split (the batch
+    engine's analogue of per-item bulk response errors, bulk.go:431-497 —
+    errors here surface as data-quality rejections computed upstream,
+    e.g. unmappable collections or invalid docs). Rows flagged
+    ``is_skipped`` by on_before_bulk are dropped pre-flight (A11).
+    """
+    handler = handler or SinkHandler()
+    handler.on_init()
+    t0 = time.time()
+    staged = handler.on_before_bulk(actions)
+    if "is_skipped" in staged.columns:
+        staged = staged.filter(~F.coalesce(F.col("is_skipped"), F.lit(False)))
+    has_err = error_col in staged.columns
+    err_pred = F.col(error_col).isNotNull() if has_err else F.lit(False)
+    ok = staged.filter(~err_pred).drop(*([error_col] if has_err else []))
+    ok.write.mode("append").parquet(sink_dir)
+    n_written = ok.count()
+    handler.on_success(ok, stage)
+    if has_err:
+        failed = staged.filter(err_pred)
+        if not failed.isEmpty():
+            handler.on_error(failed, stage)
+    handler.on_after_bulk(n_written)
+    latency = (time.time() - t0) * 1000.0
+    if handler.metrics is not None:
+        handler.metrics.record(stage, "_all", "bulk", "latency", n_written, latency)
+    return {"written": n_written, "latency_ms": latency}

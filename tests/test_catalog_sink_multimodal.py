@@ -1,0 +1,118 @@
+"""Multi-index catalog (B11), sink-handler lifecycle + skip filter (A11),
+multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.corpus import synth_corpus
+from go_dcp_elasticsearch_spark.index.catalog import IndexCatalog
+from go_dcp_elasticsearch_spark.operators.multimodal import (
+    decode_image_features,
+    resize_images,
+    sample_video_frames,
+    synth_media,
+)
+from go_dcp_elasticsearch_spark.operators.sink_handler import SinkHandler, run_sink
+from go_dcp_elasticsearch_spark.plans.metrics import MetricsLog
+from go_dcp_elasticsearch_spark.plans.rejects import RejectionLog
+
+
+class TestCatalog:
+    def test_build_and_query_two_indexes(self, spark, tmp_index_dir):
+        cat = IndexCatalog(spark, tmp_index_dir, {"default": {}, "west": {}})
+        cat.builder("idx_a", n_shards=2).build(synth_corpus(spark, 60))
+        cat.builder("idx_b", "west", n_shards=2).build(synth_corpus(spark, 40))
+        assert cat.query("idx_a").n_docs == 60
+        assert cat.query("idx_b", "west").n_docs == 40
+        assert cat.list_indexes() == [("", "idx_a"), ("west", "idx_b")]
+
+    def test_unknown_cluster_rejected(self, spark, tmp_index_dir):
+        cat = IndexCatalog(spark, tmp_index_dir)
+        with pytest.raises(KeyError):
+            cat.builder("x", "nope")
+
+    def test_route_actions(self, spark, tmp_index_dir):
+        cat = IndexCatalog(spark, tmp_index_dir, {"default": {}, "west": {}})
+        actions = spark.createDataFrame(
+            [("k1", "", "idx_a"), ("k2", "west", "idx_b"), ("k3", "", "idx_a")],
+            "doc_key string, cluster_key string, index_name string",
+        )
+        routed = cat.route_actions(actions)
+        assert routed[("", "idx_a")].count() == 2
+        assert routed[("west", "idx_b")].count() == 1
+
+
+class TestSinkHandler:
+    def test_lifecycle_and_skip_filter(self, spark, tmp_index_dir):
+        rej = RejectionLog(spark, f"{tmp_index_dir}/_rej", include_source=False)
+        met = MetricsLog(spark, f"{tmp_index_dir}/_met")
+
+        class SkipOdd(SinkHandler):
+            def on_before_bulk(self, actions):
+                super().on_before_bulk(actions)
+                # A11: OnBeforeBulk marks items skipped (model.go:13-15)
+                return actions.withColumn("is_skipped", F.col("doc_key") == "odd")
+
+        h = SkipOdd(rejects=rej, metrics=met)
+        actions = spark.createDataFrame(
+            [
+                ("ok", "idx", "index", None),
+                ("odd", "idx", "index", None),
+                ("bad", "idx", "index", "mapping failure"),
+            ],
+            "doc_key string, index_name string, action string, error string",
+        )
+        out = run_sink(actions, f"{tmp_index_dir}/sink", handler=h)
+        assert out["written"] == 1  # 'odd' skipped, 'bad' errored
+        assert h.calls[:2] == ["init", "before"]
+        assert "success" in h.calls and "error" in h.calls and "after" in h.calls
+        written = spark.read.parquet(f"{tmp_index_dir}/sink").collect()
+        assert [r["doc_key"] for r in written] == ["ok"]
+        assert [r["doc_key"] for r in rej.read().collect()] == ["bad"]
+        counters = {
+            (r["result"],): r["count"]
+            for r in met.read().filter(F.col("action") == "index").collect()
+        }
+        assert counters == {("success",): 1, ("error",): 1}
+
+
+class TestMultimodal:
+    def test_image_features_shape_and_determinism(self, spark):
+        media = synth_media(spark, 30)
+        feats = decode_image_features(media, dim=16)
+        rows = {r["media_id"]: r for r in feats.collect()}
+        assert len(rows) == 10  # one third are images
+        for r in rows.values():
+            assert len(r["embedding"]) == 16
+            assert all(0.0 <= v <= 1.0 for v in r["embedding"])
+        rows2 = {r["media_id"]: r for r in decode_image_features(media, dim=16).collect()}
+        assert all(rows[k]["embedding"] == rows2[k]["embedding"] for k in rows)
+
+    def test_resize_contract(self, spark):
+        media = synth_media(spark, 12)
+        out = resize_images(media, 224, 224).collect()
+        assert len(out) == 4
+        assert all(r["width"] == 224 and r["height"] == 224 for r in out)
+        assert all(isinstance(bytes(r["payload"]), bytes) for r in out)
+
+    def test_video_frame_sampling_bounded(self, spark):
+        media = synth_media(spark, 30)
+        frames = sample_video_frames(media, every_ms=1000, max_frames=4).collect()
+        per = {}
+        for r in frames:
+            per.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert per  # some videos
+        for mid, idxs in per.items():
+            assert 1 <= len(idxs) <= 4
+            assert sorted(idxs) == list(range(len(idxs)))
+
+    def test_real_codec_path_is_marked(self, spark):
+        media = synth_media(spark, 3)
+        with pytest.raises(NotImplementedError):
+            decode_image_features(media, deterministic_fake=False)
+        with pytest.raises(NotImplementedError):
+            resize_images(media, deterministic_fake=False)
+        with pytest.raises(NotImplementedError):
+            sample_video_frames(media, deterministic_fake=False)

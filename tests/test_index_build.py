@@ -90,7 +90,9 @@ def test_build_structure_and_invariants(spark, tmp_index_dir):
         tfs = varbyte_decode(bytes(r["tfs_vb"]))
         dls = varbyte_decode(bytes(r["dls_vb"]))
         assert len(ids) == len(tfs) == len(dls) == r["count"]
-        assert all(int(i) % 4 == r["shard"] for i in ids)
+        from go_dcp_elasticsearch_spark.index.builder import shard_of
+
+        assert all(shard_of(int(i), N, 4) == r["shard"] for i in ids)
         for i, tf, dl in zip(ids, tfs, dls):
             got_tf[(r["term"], int(i))] = int(tf)
             assert int(dl) == len(toks[int(i)])
