@@ -194,6 +194,41 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _q_term_df_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule skew handling: the SAME dictionary as term_df_topn but
+    through the explicit salted two-phase aggregation (hot terms split
+    into (term, salt) partial aggregates, then merged)."""
+    from go_dcp_elasticsearch_spark.index.builder import IndexBuilder
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id"), tokenize_expr("text").alias("tokens")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    b = IndexBuilder.__new__(IndexBuilder)  # only need the salting method
+    b.n_salts = 8
+    out = b.salted_dictionary(tf)
+    return out.orderBy(F.col("df").desc(), F.col("term").asc()).limit(50)
+
+
+def _q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint, oracle-checkable variant: min md5 over
+    rolling 8-token windows (string min == lexicographic in both engines)."""
+    toks = tokenize_expr("text")
+    n = 8
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    windows = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    fp = (
+        F.when(F.size(toks) >= n, F.array_min(windows))
+        .when(F.size(toks) > 0, F.md5(F.concat_ws(" ", toks)))
+        .otherwise(F.lit(None))
+    )
+    return _docs(spark, sf_dir).select("doc_id", fp.alias("fingerprint_md5"))
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_dcp_elasticsearch_spark.operators.dedup import exact_dedup
 
@@ -339,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "term_df_topn": _q_term_df_topn,
+        "term_df_salted": _q_term_df_salted,
+        "fingerprint_md5": _q_fingerprint_md5,
         "doc_stats": _q_doc_stats,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
@@ -413,6 +450,23 @@ WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents),
 d AS (SELECT t.term, count(*) AS df FROM toks,
       unnest(list_distinct(tokens)) AS t(term) GROUP BY t.term)
 SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 50
+""",
+        "term_df_salted": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents),
+tf AS (SELECT doc_id, t.term, count(*) AS tf FROM toks,
+       unnest(tokens) AS t(term) GROUP BY doc_id, t.term),
+d AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term)
+SELECT term, df, cf FROM d ORDER BY df DESC, term ASC LIMIT 50
+""",
+        "fingerprint_md5": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents)
+SELECT doc_id,
+  CASE WHEN len(tokens) >= 8 THEN
+    list_min(list_transform(range(1, len(tokens) - 6),
+      i -> md5(array_to_string(list_slice(tokens, i, i + 7), ' '))))
+  WHEN len(tokens) > 0 THEN md5(array_to_string(tokens, ' '))
+  ELSE NULL END AS fingerprint_md5
+FROM toks
 """,
         "doc_stats": f"""
 WITH dl AS (SELECT len({_TOKS_SQL}) AS dl FROM documents)

@@ -95,6 +95,13 @@ def main() -> None:
         t0 = time.time()
         q.topk_exact(QUERY_SET[0], 10).collect()
         timings["topk_exact_sec"] = round(time.time() - t0, 4)
+
+        # --- batch retrieval: all queries in ONE job (shared scan+decode) ---
+        t0 = time.time()
+        q.topk_batch(list(enumerate(QUERY_SET)), 10).collect()
+        batch_sec = time.time() - t0
+        timings["topk_batch12_sec"] = round(batch_sec, 4)
+        timings["topk_batch_qps"] = round(len(QUERY_SET) / batch_sec, 2)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -166,23 +166,127 @@ class BM25Query:
     # ---------- batch retrieval (many queries at once) ----------
 
     def topk_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
-        """Run many queries in one job: union of per-query pruned plans.
-
-        Queries are tiny relative to the corpus; each contributes an
-        independent shard-parallel subplan and Spark schedules them
-        together (the analogue of the reference's concurrent bulk requests,
-        bulk.go:410-425).
+        """Run many queries in ONE job: a single postings scan filtered to
+        the union of all query terms, one shard shuffle, blocks decoded
+        once and shared by every query inside the shard kernel, then a
+        per-query window top-k. The batch analogue of the reference's
+        concurrent bulk requests (bulk.go:410-425) without N scans.
         """
-        outs = []
-        for qid, qtext in queries:
-            df = self.topk_pruned(qtext, k).withColumn("query_id", F.lit(qid))
-            outs.append(df.select("query_id", "doc_id", "score"))
-        if not outs:
+        from pyspark.sql import Window
+
+        qterms = {qid: self.analyze(qtext) for qid, qtext in queries}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        if not all_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionByName(o)
-        return out
+        idfs = self._term_stats(all_terms)
+        live = {qid: [t for t in ts if t in idfs] for qid, ts in qterms.items()}
+        live = {qid: ts for qid, ts in live.items() if ts}
+        if not live:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k)
+        blocks = self._candidate_blocks(sorted({t for ts in live.values() for t in ts})).select(
+            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "block_max_tf_norm"
+        )
+        local = blocks.groupBy("shard").applyInPandas(
+            kernel, schema="query_id long, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+
+def _make_batch_shard_kernel(
+    qterms: dict[int, list[str]], idfs: dict[str, float], avgdl: float, k: int
+):
+    """Multi-query per-shard kernel: decode each (term, block) id stream
+    ONCE, then run the two-phase UB/exact pruning per query over the
+    shared decode cache."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list] = {}
+        decoded_ids: dict[tuple[str, int], np.ndarray] = {}
+        payload: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+
+        def ids_of(t, row):
+            key = (t, row.block_id)
+            if key not in decoded_ids:
+                gaps = varbyte_decode(bytes(row.ids_vb))
+                decoded_ids[key] = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+            return decoded_ids[key]
+
+        def tfs_dls_of(t, row):
+            key = (t, row.block_id)
+            if key not in payload:
+                payload[key] = (
+                    varbyte_decode(bytes(row.tfs_vb)).astype(np.float64),
+                    varbyte_decode(bytes(row.dls_vb)).astype(np.float64),
+                )
+            return payload[key]
+
+        for row in pdf.itertuples(index=False):
+            per_term.setdefault(row.term, []).append(row)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qterms.items():
+            terms_here = [t for t in sorted(set(terms)) if t in per_term]
+            if not terms_here:
+                continue
+            all_ids, all_ubs = [], []
+            for t in terms_here:
+                w = idfs[t]
+                for row in per_term[t]:
+                    ids = ids_of(t, row)
+                    all_ids.append(ids)
+                    all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm))
+            ids_cat = np.concatenate(all_ids)
+            ubs_cat = np.concatenate(all_ubs)
+            uniq, inv = np.unique(ids_cat, return_inverse=True)
+            ub = np.zeros(len(uniq))
+            np.add.at(ub, inv, ubs_cat)
+
+            def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
+                scores = np.zeros(len(doc_subset))
+                for t in terms_here:
+                    w = idfs[t]
+                    for row in per_term[t]:
+                        ids = ids_of(t, row)
+                        lo = np.searchsorted(doc_subset, ids[0])
+                        hi = np.searchsorted(doc_subset, ids[-1], side="right")
+                        if lo == hi:
+                            continue
+                        tfs, dls = tfs_dls_of(t, row)
+                        pos = np.searchsorted(doc_subset, ids)
+                        mask = (pos < len(doc_subset)) & (
+                            doc_subset[np.minimum(pos, len(doc_subset) - 1)] == ids
+                        )
+                        tfn = tfs[mask] / (
+                            tfs[mask] + K1 * (1.0 - B + B * dls[mask] / avgdl)
+                        )
+                        scores[pos[mask]] += w * tfn
+                return scores
+
+            if len(uniq) <= k:
+                cand = uniq
+            else:
+                top_by_ub = uniq[np.argsort(-ub)[:k]]
+                top_by_ub.sort()
+                lam_scores = exact_scores(top_by_ub)
+                lam = np.sort(lam_scores)[-k] if len(lam_scores) >= k else 0.0
+                cand = uniq[ub >= lam - 1e-12]
+            cand = np.sort(cand)
+            sc = exact_scores(cand)
+            order = np.lexsort((cand, -sc))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(cand[order].tolist())
+            out_s.extend(sc[order].tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return kernel
 
 
 def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):

@@ -55,7 +55,7 @@ spark.stop()
 def run_once(cores: int, corpus_path: str) -> dict:
     idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
     try:
-        env = dict(os.environ, PYTHONPATH=REPO)
+        env = dict(os.environ, PYTHONPATH=REPO, SPARK_DRIVER_MEMORY="64g")
         out = subprocess.run(
             [sys.executable, "-c", RUNNER, str(cores), corpus_path, idx, REPO],
             capture_output=True, text=True, timeout=900, env=env,
