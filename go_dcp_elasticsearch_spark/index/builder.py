@@ -219,6 +219,49 @@ def assign_doc_ids(
     return out
 
 
+def assign_doc_ids_input_order(corpus: DataFrame) -> DataFrame:
+    """Shuffle-free deterministic doc_id = position in the table's own
+    row order.
+
+    The scale path for append-only corpora with unique keys (the common
+    case: an Iceberg snapshot of a file table): a 10^12-row global re-sort
+    just to mint ids is wasted work — the table's existing file/row order
+    is already deterministic, so ids come from per-partition offsets and
+    the corpus is NEVER shuffled or cached; downstream stages re-scan the
+    (column-pruned, splittable) source instead. Requires: no duplicate
+    keys (use the sorted path with dedup_order_col otherwise).
+    """
+    keyed = corpus.withColumn("_pid", F.spark_partition_id())
+    # pruned count job: scans one synthetic column, not the content
+    counts = {
+        r["_pid"]: r["c"]
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(corpus.schema.fields + [StructField("doc_id", LongType(), False)])
+
+    def add_ids(iterator):
+        base = None
+        seen = 0
+        for pdf in iterator:
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])] if len(pdf) else 0
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    out = keyed.mapInPandas(add_ids, schema=out_schema)
+    out._keyed_source = None
+    out._n_docs = acc
+    return out
+
+
 def dedup_last_write_wins(corpus: DataFrame) -> DataFrame:
     """A7: one action per key, newest wins (bulk.go:179-195,596-608).
 
@@ -243,13 +286,25 @@ class IndexBuilder:
         n_salts: int = 8,
         salt_df_threshold: int = 10_000,
         index_name: str = "default",
+        id_mode: str = "sorted",
     ):
+        """``id_mode``:
+        - "sorted" (default): doc_id = rank of (repo, path) in global sort
+          order, LWW dedup fused into the one corpus shuffle. Semantic
+          parity with the reference's keyed upsert stream.
+        - "input": doc_id = table row position; NO corpus shuffle and no
+          cache — downstream stages re-scan the columnar source. The
+          append-only / unique-key scale path.
+        """
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.n_shards = n_shards
         self.n_salts = n_salts
         self.salt_df_threshold = salt_df_threshold
         self.index_name = index_name
+        if id_mode not in ("sorted", "input"):
+            raise ValueError(f"id_mode must be 'sorted' or 'input', got {id_mode!r}")
+        self.id_mode = id_mode
         self.lineage = LineageLog(spark, self.paths.lineage)
         self.metrics = MetricsLog(spark, self.paths.metrics)
 
@@ -588,11 +643,16 @@ class IndexBuilder:
         t0 = time.time()
         done = self.lineage.completed_stages() if resume else set()
 
-        # ONE shuffle+sort of the corpus (LWW dedup fused into it),
-        # persisted; every stage below reads the cached sorted partitions.
-        if "seq_no" not in corpus.columns:
-            corpus = corpus.withColumn("seq_no", F.lit(0))
-        corpus_ids = assign_doc_ids(corpus, persist=True, dedup_order_col="seq_no")
+        if self.id_mode == "input":
+            # shuffle-free scale path: two column-pruned scans of the
+            # source replace shuffle + cache of the whole corpus
+            corpus_ids = assign_doc_ids_input_order(corpus)
+        else:
+            # ONE shuffle+sort of the corpus (LWW dedup fused into it),
+            # persisted; every stage below reads the cached sorted rows.
+            if "seq_no" not in corpus.columns:
+                corpus = corpus.withColumn("seq_no", F.lit(0))
+            corpus_ids = assign_doc_ids(corpus, persist=True, dedup_order_col="seq_no")
         n_docs = corpus_ids._n_docs
         # integer DIV (not double /): exact at 10^12-scale ids where doubles
         # lose integer precision past 2^53
@@ -681,5 +741,6 @@ class IndexBuilder:
             count=n_docs,
             latency_ms=elapsed * 1000.0,
         )
-        corpus_ids._keyed_source.unpersist()
+        if corpus_ids._keyed_source is not None:
+            corpus_ids._keyed_source.unpersist()
         return {"n_docs": n_docs, "avgdl": avgdl, "elapsed_sec": elapsed}

@@ -14,6 +14,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dirs() -> str | None:
+    """Prefer tmpfs for shuffle/spill in local mode: the sandbox has ONE
+    physical disk, so disk-backed shuffle is a core-count-independent
+    bottleneck that a real cluster (per-executor local disks) doesn't
+    have. Overridable via SPARK_LOCAL_DIRS."""
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None  # Spark reads the env var itself
+    # opt-in only: measured on this sandbox, tmpfs shuffle did NOT beat the
+    # disk path (page-cache already absorbs it; tmpfs steals cache memory)
+    if os.environ.get("SPARK_GRAFT_TMPFS") != "1":
+        return None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
 def get_spark(
     app_name: str = "fulltext-engine",
     master: str | None = None,
@@ -47,6 +66,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    local_dirs = _default_local_dirs()
+    if local_dirs:
+        builder = builder.config("spark.local.dir", local_dirs)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -33,6 +33,18 @@ from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
 ACTIONS = ("index", "delete", "doc_update", "script_update")
 
 
+def json_field_merge(old: "F.Column", new: "F.Column") -> "F.Column":
+    """B3 proper: field-level merge of two flat JSON object strings —
+    new fields overwrite, missing fields survive. This is what
+    Elasticsearch does with a partial doc + doc_as_upsert
+    (document.go:59-66). Declarative: from_json to map, map_concat
+    (right side wins on key collision), to_json. No UDF."""
+    mt = "map<string,string>"
+    om = F.coalesce(F.from_json(old, mt), F.from_json(F.lit("{}"), mt))
+    nm = F.coalesce(F.from_json(new, mt), F.from_json(F.lit("{}"), mt))
+    return F.to_json(F.map_concat(F.map_filter(om, lambda k, _: ~F.map_contains_key(nm, k)), nm))
+
+
 def apply_changes(
     state: DataFrame,
     changes: DataFrame,
@@ -40,6 +52,7 @@ def apply_changes(
     value_col: str = "content",
     order_col: str = "seq_no",
     script: Callable[[pd.Series, pd.Series], pd.Series] | None = None,
+    json_doc_update: bool = False,
 ) -> DataFrame:
     """Apply a change feed to the keyed state table.
 
@@ -70,11 +83,17 @@ def apply_changes(
     else:
         scripted = F.coalesce(new_val, old_val)
 
+    if json_doc_update:
+        doc_updated = F.when(old_val.isNull(), new_val).otherwise(
+            json_field_merge(old_val, new_val)
+        )
+    else:
+        doc_updated = F.coalesce(new_val, old_val)
     resolved = (
         F.when(F.col("action").isNull(), old_val)  # untouched state row
         .when(F.col("action") == "delete", F.lit(None))
         .when(F.col("action") == "index", new_val)
-        .when(F.col("action") == "doc_update", F.coalesce(new_val, old_val))
+        .when(F.col("action") == "doc_update", doc_updated)
         .when(F.col("action") == "script_update", scripted)
     )
     out = joined.withColumn("_resolved", resolved).filter(F.col("_resolved").isNotNull())

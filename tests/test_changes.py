@@ -78,3 +78,21 @@ def test_replay_idempotent(spark):
     )
     twice = _apply(spark, state2, feed)
     assert once == twice
+
+
+def test_json_field_merge_doc_update(spark):
+    # B3 proper: partial JSON docs merge field-wise (ES doc_as_upsert)
+    state = spark.createDataFrame(
+        [("k1", '{"a":"1","b":"2"}', "m")], "key string, content string, meta string"
+    )
+    changes = spark.createDataFrame(
+        [("k1", "doc_update", '{"b":"9","c":"3"}', 1),
+         ("k2", "doc_update", '{"x":"y"}', 1)],
+        "key string, action string, content string, seq_no long",
+    )
+    out = apply_changes(state, changes, ["key"], "content", "seq_no", json_doc_update=True)
+    import json as _json
+
+    got = {r["key"]: _json.loads(r["content"]) for r in out.collect()}
+    assert got["k1"] == {"a": "1", "b": "9", "c": "3"}  # b overwritten, a kept
+    assert got["k2"] == {"x": "y"}  # upsert path

@@ -119,3 +119,29 @@ def test_build_resume_skips_done_stages(spark, tmp_index_dir):
     b2.build(corpus, resume=True)
     after = spark.read.parquet(b2.paths.dictionary).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_input_id_mode_rank_identical(spark, tmp_index_dir):
+    """id_mode='input' (shuffle-free scale path): index is internally
+    consistent and BM25 top-k matches the python oracle under ITS OWN
+    doc-id mapping."""
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+    from go_dcp_elasticsearch_spark.index.query import BM25Query
+
+    corpus = synth_corpus(spark, 300)
+    b = IndexBuilder(spark, tmp_index_dir, n_shards=4, id_mode="input")
+    summary = b.build(corpus)
+    assert summary["n_docs"] == 300
+    # reconstruct docs_tokens under the engine's id mapping via (repo,path)
+    docs = spark.read.parquet(b.paths.docs).select("doc_id", "repo", "path")
+    src = corpus.select("repo", "path", "content")
+    joined = docs.join(src, ["repo", "path"]).collect()
+    docs_tokens = {int(r["doc_id"]): tokenize_py(r["content"]) for r in joined}
+    assert len(docs_tokens) == 300
+    q = BM25Query(spark, tmp_index_dir)
+    for qtext in ["getValue buffer", "quasarFlux", "helper_func_7 localVar11"]:
+        want = bm25_oracle(docs_tokens, tokenize_py(qtext), 10)
+        got = [(int(r["doc_id"]), float(r["score"])) for r in q.topk_pruned(qtext, 10).collect()]
+        assert [g[0] for g in got] == [w[0] for w in want], qtext
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9

@@ -38,7 +38,7 @@ corpus = spark.read.parquet(corpus_path)
 # warm the JVM/python-worker pool so we measure the job, not process spawn
 corpus.limit(100).count()
 t0 = time.time()
-s = IndexBuilder(spark, idx_dir, n_shards=cores).build(corpus)
+s = IndexBuilder(spark, idx_dir, n_shards=cores, id_mode="input").build(corpus)
 build_sec = time.time() - t0
 q = BM25Query(spark, idx_dir)
 qt = []
