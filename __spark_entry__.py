@@ -431,7 +431,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     mh_sigs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        f"list_min(list_transform(sh, s -> substr(md5(s), {i * 5 + 1}, 5))) AS mh{i}"
         for i in range(MINHASH_N)
     )
     n_bands = MINHASH_N // MINHASH_BAND

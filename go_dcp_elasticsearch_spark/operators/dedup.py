@@ -43,17 +43,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col: str, n: int = 3):
-    """Column expr: canonical tokens -> n-word shingles (joined by space).
+def shingles_of_tokens(toks, n: int = 3):
+    """Column expr: token array column -> n-word shingles (joined by space).
+
+    Takes an already-materialized token COLUMN, not the tokenizer
+    expression: an expression inlined into the transform lambda would be
+    re-evaluated per shingle index (O(len^2) tokenization per doc).
 
     Guarded: Spark's sequence(1, 0) produces a DESCENDING range, so short
     docs must short-circuit to an empty array."""
-    toks = tokenize_expr(text_col)
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     return F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Column expr: canonical tokens -> n-word shingles (joined by space)."""
+    return shingles_of_tokens(tokenize_expr(text_col), n)
 
 
 def minhash_band_buckets(
@@ -66,39 +74,63 @@ def minhash_band_buckets(
 ) -> DataFrame:
     """MinHash + LSH banding, fully relational and engine-portable.
 
-    signature_i(doc) = min over shingles s of md5(i || ':' || s) — md5 hex
-    compares lexicographically the same everywhere. Bands of ``band_size``
-    signatures are md5-ed into bucket keys; docs sharing any (band, bucket)
-    are near-dup candidates. Returns (band, bucket, doc ids...) exploded as
+    signature_i(doc) = min over shingles s of hash_i(s), where hash_i is a
+    disjoint 5-hex-char slice of ONE md5(s) per shingle (md5 bits are
+    independent, so slices act as independent 20-bit hash functions — and
+    one digest per shingle instead of n_hashes of them is the dominant
+    cost saver). Hex compares lexicographically the same everywhere.
+    Bands of ``band_size`` signatures are md5-ed into bucket keys; docs
+    sharing any (band, bucket) are near-dup candidates. Returns rows
     (id, band, bucket).
 
-    Scale path: the only shuffle is groupBy(band, bucket); signatures are
+    Scale path: the only shuffle is on (band, bucket); signatures are
     computed map-side from the shingle array without exploding shingles
     through a shuffle (array_min of transform — JVM-side, codegen'd).
     """
-    shingles = word_shingles(text_col, shingle_n)
-    sig_cols = [
-        F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = df.select(F.col(id_col).alias("id"), *sig_cols).filter(F.col("mh0").isNotNull())
+    assert n_hashes * 5 <= 32, "md5 hex has 32 chars; n_hashes*5 must fit"
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sigs.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+
+    # One vectorized Arrow kernel computes tokenize -> shingles -> md5 ->
+    # min-slices -> band buckets per doc. A pure-expression version is
+    # possible but Catalyst inlines the token array into every lambda use
+    # (no CSE across lambda bindings), re-tokenizing per shingle — O(len^2)
+    # per doc; the kernel hashes each shingle exactly once. hashlib md5 ==
+    # Spark md5 == DuckDB md5, so the SQL oracle is unchanged.
+    def kernel(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+
+        out = []
+        for text in texts:
+            toks = tokenize_py(text)
+            if len(toks) < shingle_n:
+                out.append(None)
+                continue
+            digests = [
+                hashlib.md5(" ".join(toks[i : i + shingle_n]).encode()).hexdigest()
+                for i in range(len(toks) - shingle_n + 1)
+            ]
+            mh = [min(d[i * 5 : i * 5 + 5] for d in digests) for i in range(n_hashes)]
+            out.append(
+                [
+                    hashlib.md5(
+                        "|".join(mh[b * band_size : (b + 1) * band_size]).encode()
+                    ).hexdigest()
+                    for b in range(n_bands)
+                ]
             )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+        return pd.Series(out)
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    buckets_udf = F.pandas_udf(kernel, ArrayType(StringType()))
+    with_buckets = df.select(
+        F.col(id_col).alias("id"), buckets_udf(F.col(text_col)).alias("_buckets")
+    ).filter(F.col("_buckets").isNotNull())
+    return with_buckets.select(
+        "id", F.posexplode("_buckets").alias("band", "bucket")
+    )
 
 
 def minhash_candidate_pairs(buckets: DataFrame) -> DataFrame:

@@ -58,7 +58,7 @@ def run_once(cores: int, corpus_path: str) -> dict:
         env = dict(os.environ, PYTHONPATH=REPO, SPARK_DRIVER_MEMORY="64g")
         out = subprocess.run(
             [sys.executable, "-c", RUNNER, str(cores), corpus_path, idx, REPO],
-            capture_output=True, text=True, timeout=900, env=env,
+            capture_output=True, text=True, timeout=2400, env=env,
         )
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
