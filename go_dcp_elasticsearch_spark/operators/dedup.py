@@ -146,7 +146,12 @@ def minhash_candidate_pairs(buckets: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
@@ -156,11 +161,36 @@ def ngram_jaccard_pairs(
     (drop shingles with df above a cap, standard in MinHash dedup); the cap
     keeps the blow-up bounded and is exposed as ``max_shingle_df``.
     """
+    def shingle_kernel(texts: pd.Series) -> pd.Series:
+        from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+
+        def sh(text):
+            toks = tokenize_py(text)
+            return [
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            ]
+
+        return texts.map(sh)
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    shingles_udf = F.pandas_udf(shingle_kernel, ArrayType(StringType()))
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+        df.select(F.col(id_col).alias("id"), F.explode(shingles_udf(F.col(text_col))).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        # scale lever: a shingle shared by m docs contributes m^2 join rows;
+        # dropping ultra-common shingles bounds the blow-up. NOTE: changes
+        # the measured Jaccard (intersection misses capped shingles) — the
+        # standard approximation in production near-dup mining. |A|,|B|
+        # intentionally stay uncapped (sizes computed above the cap).
+        hot = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
