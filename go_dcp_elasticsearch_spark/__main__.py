@@ -1,0 +1,73 @@
+"""spark-submit entry point.
+
+Cluster usage (north_star deployment contract):
+
+  # package the engine
+  cd /root/repo && zip -r /tmp/engine.zip go_dcp_elasticsearch_spark
+
+  # build an index over a corpus table
+  spark-submit --py-files /tmp/engine.zip -m go_dcp_elasticsearch_spark ... # or:
+  spark-submit --py-files /tmp/engine.zip /root/repo/go_dcp_elasticsearch_spark/__main__.py \
+      build --corpus /data/corpus.parquet --index /data/idx --shards 1024 --id-mode input
+
+  # query it
+  spark-submit --py-files /tmp/engine.zip /root/repo/go_dcp_elasticsearch_spark/__main__.py \
+      query --index /data/idx --text "parseHTTPResponse buffer" --k 10
+
+Local smoke: PYTHONPATH=/root/repo python -m go_dcp_elasticsearch_spark build ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="go_dcp_elasticsearch_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index from a corpus table")
+    b.add_argument("--corpus", required=True, help="parquet/iceberg path of (repo,path,commit,lang,content)")
+    b.add_argument("--index", required=True, help="output index directory")
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--id-mode", choices=["sorted", "input"], default="sorted")
+    b.add_argument("--resume", action="store_true", help="skip lineage-committed stages")
+    b.add_argument("--master", default=None)
+
+    q = sub.add_parser("query", help="BM25 top-k query against a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--strategy", choices=["pruned", "exact"], default="pruned")
+    q.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+
+    from go_dcp_elasticsearch_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ftengine-{args.cmd}", master=args.master)
+    try:
+        if args.cmd == "build":
+            from go_dcp_elasticsearch_spark.index import IndexBuilder
+
+            corpus = spark.read.parquet(args.corpus)
+            summary = IndexBuilder(
+                spark, args.index, n_shards=args.shards, id_mode=args.id_mode
+            ).build(corpus, resume=args.resume)
+            print(json.dumps(summary))
+        else:
+            from go_dcp_elasticsearch_spark.index import BM25Query
+
+            qq = BM25Query(spark, args.index)
+            fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
+            for row in fn(args.text, args.k).collect():
+                print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
