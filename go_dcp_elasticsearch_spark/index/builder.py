@@ -684,11 +684,17 @@ class IndexBuilder:
             ).partitionBy("shard").parquet(self.paths.docs)
             self.lineage.commit("docs", 0, -1)
 
-        # stats from the (small, pruned) docs table — avgdl feeds block-max
+        # stats from the (small, pruned) docs table — avgdl feeds block-max.
+        # bound_avgdl = the smallest avgdl any live block's max was computed
+        # under; block-max tf-norm grows with avgdl, so queries running at a
+        # larger current avgdl must inflate stored bounds by
+        # avgdl/bound_avgdl to stay sound (matters after incremental
+        # updates shift avgdl; == avgdl on a fresh build).
         if "stats" not in done:
             stats = (
                 self.spark.read.parquet(self.paths.docs)
                 .agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+                .withColumn("bound_avgdl", F.col("avgdl"))
                 .withColumn("index_name", F.lit(self.index_name))
             )
             stats.coalesce(1).write.mode("overwrite").parquet(self.paths.stats)

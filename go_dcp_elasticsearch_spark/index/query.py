@@ -69,6 +69,13 @@ class BM25Query:
         srow = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
+        # soundness correction for block-max bounds after incremental
+        # updates: bounds computed under a smaller avgdl underestimate
+        # tf_norm at the current avgdl by at most avgdl/bound_avgdl
+        bound_avgdl = float(
+            srow["bound_avgdl"] if "bound_avgdl" in srow.asDict() else srow["avgdl"]
+        )
+        self.ub_scale = max(1.0, self.avgdl / bound_avgdl)
 
     # ---------- shared helpers ----------
 
@@ -154,7 +161,7 @@ class BM25Query:
         idfs = self._term_stats(terms)
         if not idfs:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
-        kernel = _make_shard_kernel(idfs, self.avgdl, k)
+        kernel = _make_shard_kernel(idfs, self.avgdl, k, self.ub_scale)
         blocks = self._candidate_blocks(list(idfs)).select(
             "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "block_max_tf_norm"
         )
@@ -183,7 +190,7 @@ class BM25Query:
         live = {qid: ts for qid, ts in live.items() if ts}
         if not live:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k)
+        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k, self.ub_scale)
         blocks = self._candidate_blocks(sorted({t for ts in live.values() for t in ts})).select(
             "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "block_max_tf_norm"
         )
@@ -201,7 +208,8 @@ class BM25Query:
 
 
 def _make_batch_shard_kernel(
-    qterms: dict[int, list[str]], idfs: dict[str, float], avgdl: float, k: int
+    qterms: dict[int, list[str]], idfs: dict[str, float], avgdl: float, k: int,
+    ub_scale: float = 1.0,
 ):
     """Multi-query per-shard kernel: decode each (term, block) id stream
     ONCE, then run the two-phase UB/exact pruning per query over the
@@ -242,7 +250,7 @@ def _make_batch_shard_kernel(
                 for row in per_term[t]:
                     ids = ids_of(t, row)
                     all_ids.append(ids)
-                    all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm))
+                    all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm * ub_scale))
             ids_cat = np.concatenate(all_ids)
             ubs_cat = np.concatenate(all_ubs)
             uniq, inv = np.unique(ids_cat, return_inverse=True)
@@ -289,7 +297,7 @@ def _make_batch_shard_kernel(
     return kernel
 
 
-def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
+def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int, ub_scale: float = 1.0):
     """Build the per-shard numpy kernel (runs inside applyInPandas).
 
     Phase A: decode doc-id streams only; per-doc UB = sum_t idf_t *
@@ -318,7 +326,7 @@ def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
                 ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
                 decoded[(t, row.block_id)] = (ids, row)
                 all_ids.append(ids)
-                all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm))
+                all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm * ub_scale))
         if not all_ids:
             return pd.DataFrame({"doc_id": [], "score": []})
         ids_cat = np.concatenate(all_ids)
