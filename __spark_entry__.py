@@ -455,7 +455,7 @@ SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 50
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents),
 tf AS (SELECT doc_id, t.term, count(*) AS tf FROM toks,
        unnest(tokens) AS t(term) GROUP BY doc_id, t.term),
-d AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term)
+d AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
 SELECT term, df, cf FROM d ORDER BY df DESC, term ASC LIMIT 50
 """,
         "fingerprint_md5": f"""

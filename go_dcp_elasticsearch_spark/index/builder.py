@@ -310,12 +310,14 @@ class IndexBuilder:
 
     # ---- stage kernels ----
 
-    def _tf_rows(self, corpus_ids: DataFrame) -> DataFrame:
+    def _tf_rows(self, corpus_ids: DataFrame, n_docs: int) -> DataFrame:
         """Tokenize + per-doc TF in one Arrow pass (SPIMI map side).
 
         Emitting (term, doc_id, tf, dl) instead of exploded positions is the
         map-side combine: shuffle volume is distinct-terms-per-doc, not
-        token count.
+        token count. ``shard`` uses the SAME range formula as the rest of
+        the engine (shard_of) so the output composes with the docs table
+        and query path.
         """
         n_shards = self.n_shards
 
@@ -344,7 +346,9 @@ class IndexBuilder:
                         "doc_id": dids,
                         "tf": tfs,
                         "dl": dls,
-                        "shard": (dids % n_shards).astype(np.int32),
+                        "shard": np.minimum(
+                            dids * n_shards // max(n_docs, 1), n_shards - 1
+                        ).astype(np.int32),
                     }
                 )
 
@@ -498,6 +502,14 @@ class IndexBuilder:
                     dls = np.concatenate(
                         [varbyte_decode(bytes(col_dls[i])) for i in range(s, e)]
                     )
+                    # chunks ordered by first_doc_id are NOT globally sorted
+                    # when chunk id-ranges overlap (incremental rebuilds
+                    # hash-join the shard corpus, so one partition is not a
+                    # contiguous id range); encode_blocks_bulk requires
+                    # sorted ids for valid delta gaps / block bounds
+                    if np.any(ids[1:] < ids[:-1]):
+                        o = np.argsort(ids, kind="stable")
+                        ids, tfs, dls = ids[o], tfs[o], dls[o]
                     tf_f = tfs.astype(np.float64)
                     tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
                     from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE

@@ -68,7 +68,7 @@ def minhash_band_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n_hashes: int = 12,
+    n_hashes: int = 6,
     band_size: int = 3,
     shingle_n: int = 3,
 ) -> DataFrame:

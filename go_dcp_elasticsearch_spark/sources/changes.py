@@ -103,6 +103,69 @@ def apply_changes(
     return out.select(*cols)
 
 
+def _delete_shard_partitions(spark, table_path: str, shards: set[int]) -> None:
+    """Remove ``shard=N`` partition directories explicitly.
+
+    Dynamic partitionOverwriteMode only replaces partitions that RECEIVE
+    rows; a shard whose documents were all deleted (or relabeled by
+    compaction) would otherwise keep its stale directory and remain
+    queryable. Uses the Hadoop FileSystem API so the same code works on
+    HDFS/S3A on a real cluster, not just local files."""
+    if not shards:
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for s in shards:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/shard={int(s)}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    # drop stale cached file listings for the table (readers in this
+    # session would otherwise still reference the deleted files)
+    spark.catalog.refreshByPath(table_path)
+
+
+def _assign_insert_ranks(inserts: DataFrame, key_cols: list[str], n_parts: int) -> DataFrame:
+    """Distributed dense 0-based rank of each insert key in (key_cols) sort
+    order — the offset pattern from builder.assign_doc_ids (range partition
+    + per-partition counts + broadcast cumulative offsets), NOT a global
+    ``Window.orderBy`` which funnels the whole delta through one task."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    keyed = (
+        inserts.select(*key_cols)
+        .repartitionByRange(n_parts, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = StructType(
+        [f for f in keyed.schema.fields if f.name != "_pid"]
+        + [StructField("_rank", LongType(), False)]
+    )
+
+    def add_ranks(iterator):
+        base, seen = None, 0
+        for pdf in iterator:
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])] if len(pdf) else 0
+            pdf = pdf.drop(columns=["_pid"]).copy()
+            pdf["_rank"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    out = keyed.mapInPandas(add_ranks, schema=schema)
+    out._n_rows = acc
+    return out
+
+
 def apply_changes_to_index(
     spark,
     index_dir: str,
@@ -121,14 +184,18 @@ def apply_changes_to_index(
     (tombstone + compact), not in-place mutation (SURVEY.md §7). Doc ids
     are preserved for unchanged docs: the docs table is the id authority;
     new keys get ids appended after the current max (dense, deterministic
-    by key order within the delta).
+    by key order within the delta) and are placed in NEW tail shards —
+    one per ~avg-shard-size worth of inserts — so repeated ingests never
+    funnel all new data into one ever-growing shard (use ``compact_index``
+    to merge accumulated small tail shards). Shards whose documents are
+    all deleted have their partition directories removed explicitly
+    (dynamic overwrite alone would leave them queryable).
 
-    Returns {"affected_shards", "n_changed", "n_docs"}. Scale shape: the
-    rebuild reads only shard-pruned docs partitions + the changed keys'
-    content; dictionary/stats refresh is a column-pruned scan of postings.
+    Returns {"affected_shards", "insert_shards", "n_changed", "n_docs"}.
+    Scale shape: the rebuild reads only shard-pruned docs partitions + the
+    changed keys' content; insert-id assignment is offset-based (no global
+    window); dictionary/stats refresh is a column-pruned scan of postings.
     """
-    from pyspark.sql import Window  # noqa: F401
-
     from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
     from go_dcp_elasticsearch_spark.index.builder import (
         CHUNK_SCHEMA,
@@ -146,8 +213,7 @@ def apply_changes_to_index(
     feed.persist()
     n_changed = feed.count()
 
-    # affected shards = shards of existing docs touched by the feed; plus
-    # the LAST shard for inserts (new ids append past the current max)
+    # affected shards = shards of existing docs touched by the feed
     touched = (
         docs.join(F.broadcast(feed.select(*key_cols)), key_cols, "inner")
         .select("shard")
@@ -160,37 +226,64 @@ def apply_changes_to_index(
     inserts = feed.filter(F.col("action") != "delete").join(
         existing_keys, key_cols, "left_anti"
     )
-    n_inserts = inserts.count()
-    if n_inserts:
-        affected.add(n_shards - 1)
-    if not affected:
-        feed.unpersist()
-        return {"affected_shards": [], "n_changed": n_changed, "n_docs": None}
-
-    # new docs rows for affected shards: survivors (minus deletes) keep
-    # their ids; inserts get ids max_id+1.. in key order
-    w = Window.orderBy(*key_cols)
-    ins_ids = inserts.withColumn(
-        "doc_id", F.row_number().over(w) + F.lit(int(max_id))
-    ).select(*key_cols, "doc_id")
-    deletes = feed.filter(F.col("action") == "delete").select(*key_cols)
-    kept = docs.join(F.broadcast(deletes), key_cols, "left_anti").select(
-        *key_cols, "doc_id", "shard"
-    )
-    appended = ins_ids.withColumn("shard", F.lit(n_shards - 1).cast("int"))
-    id_map = kept.unionByName(appended)
-
-    # rebuild each affected shard from the post-change corpus content.
-    # persist+materialize BEFORE overwriting docs: shard_corpus derives from
-    # the docs table we're about to replace (read-under-overwrite hazard)
-    shard_ids = id_map.filter(F.col("shard").isin([int(s) for s in affected]))
-    shard_corpus = shard_ids.join(new_corpus, key_cols, "inner").persist()
-    shard_corpus.count()
     b = IndexBuilder(spark, index_dir, n_shards=int(n_shards))
     srow = spark.read.parquet(b.paths.stats).collect()[0]
     old_bound_avgdl = float(
         srow["bound_avgdl"] if "bound_avgdl" in srow.asDict() else srow["avgdl"]
     )
+    n_docs_before = int(srow["n_docs"])
+
+    # inserts -> NEW tail shards sized like the existing ones: k new shards
+    # for n_inserts docs where target = current avg docs/shard. Keeps the
+    # range-shard invariant (each shard = one contiguous id range) without
+    # rebuilding any untouched shard and without skewing one tail shard.
+    ranked = _assign_insert_ranks(
+        inserts, key_cols, n_parts=max(1, int(n_shards))
+    )
+    n_inserts = ranked._n_rows
+    insert_shards: set[int] = set()
+    if n_inserts:
+        target = max(1, n_docs_before // max(int(n_shards), 1))
+        k_new = max(1, -(-n_inserts // target))  # ceil
+        ins_ids = ranked.select(
+            *key_cols,
+            (F.col("_rank") + F.lit(int(max_id) + 1)).alias("doc_id"),
+            (
+                F.lit(int(n_shards))
+                + (F.col("_rank") * F.lit(k_new)) / F.lit(n_inserts)
+            ).cast("int").alias("shard"),
+        )
+        insert_shards = {int(n_shards) + i for i in range(k_new)}
+    else:
+        ins_ids = None
+    if not affected and not insert_shards:
+        feed.unpersist()
+        return {
+            "affected_shards": [], "insert_shards": [],
+            "n_changed": n_changed, "n_docs": None,
+        }
+
+    deletes = feed.filter(F.col("action") == "delete").select(*key_cols)
+    kept = docs.join(F.broadcast(deletes), key_cols, "left_anti").select(
+        *key_cols, "doc_id", "shard"
+    )
+    id_map = kept.unionByName(ins_ids) if ins_ids is not None else kept
+    rebuild_shards = affected | insert_shards
+
+    # rebuild each affected shard from the post-change corpus content.
+    # persist+materialize BEFORE overwriting docs: shard_corpus derives from
+    # the docs table we're about to replace (read-under-overwrite hazard).
+    # Range-partition by doc_id so each rebuild partition covers a disjoint
+    # id range — keeps the SPIMI merge a pure concat (chunk ranges from a
+    # key-hash join would interleave; see _merge_chunks' densify sort).
+    shard_ids = id_map.filter(F.col("shard").isin([int(s) for s in rebuild_shards]))
+    shard_corpus = (
+        shard_ids.join(new_corpus, key_cols, "inner")
+        .repartitionByRange(max(len(rebuild_shards), 1), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .persist()
+    )
+    shard_corpus.count()
 
     new_docs = shard_corpus.select(
         "doc_id",
@@ -204,9 +297,19 @@ def apply_changes_to_index(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        new_docs.repartition(len(affected), F.col("shard")).write.mode(
+        new_docs.repartition(len(rebuild_shards), F.col("shard")).write.mode(
             "overwrite"
         ).partitionBy("shard").parquet(docs_path)
+
+        # shards in the rebuild set that received ZERO surviving docs keep
+        # stale partition dirs under dynamic overwrite — remove explicitly
+        live_shards = {
+            int(r["shard"])
+            for r in shard_corpus.select("shard").distinct().collect()
+        }
+        emptied = rebuild_shards - live_shards
+        _delete_shard_partitions(spark, docs_path, emptied)
+        _delete_shard_partitions(spark, b.paths.postings, emptied)
 
         # NEW avgdl first: the rebuilt shards' block-max bounds must be
         # computed under the avgdl queries will actually use
@@ -216,15 +319,15 @@ def apply_changes_to_index(
             .collect()[0]
         )
         n_docs_total = int(stats_row["n_docs"])
-        avgdl_new = float(stats_row["avgdl"])
+        avgdl_new = float(stats_row["avgdl"]) if n_docs_total else 0.0
 
         chunks = shard_corpus.select("doc_id", "content", "shard").mapInPandas(
             _chunks_with_fixed_shard(b, avgdl_new), schema=CHUNK_SCHEMA
         )
         postings = chunks.repartition(
-            max(len(affected) * 4, 8), F.col("term"), F.col("shard")
+            max(len(rebuild_shards) * 4, 8), F.col("term"), F.col("shard")
         ).mapInPandas(b._merge_chunks(avgdl_new), schema=POSTINGS_SCHEMA)
-        postings.repartition(len(affected), F.col("shard")).sortWithinPartitions(
+        postings.repartition(len(rebuild_shards), F.col("shard")).sortWithinPartitions(
             "term", "block_id"
         ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
     finally:
@@ -244,9 +347,107 @@ def apply_changes_to_index(
     shard_corpus.unpersist()
     feed.unpersist()
     return {
-        "affected_shards": sorted(affected),
+        "affected_shards": sorted(rebuild_shards),
+        "insert_shards": sorted(insert_shards),
         "n_changed": n_changed,
         "n_docs": n_docs_total,
+    }
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    target_docs_per_shard: int | None = None,
+) -> dict:
+    """Merge runs of consecutive small shards (the tail shards that
+    incremental ingests append) back into ~target-sized shards.
+
+    Shards are contiguous doc-id ranges, so merging CONSECUTIVE shards
+    preserves the range invariant. The merge is metadata-only: docs rows
+    are relabeled; posting blocks move untouched (no decode/re-encode),
+    with block_id renumbered per (term, new shard) to stay unique. The new
+    label of a merged group is its lowest member id — label holes are fine
+    (shard discovery is by partition directory) and mean untouched shards
+    are never rewritten. Splitting an oversized shard is NOT done here: it
+    would require re-encoding blocks that straddle the split id.
+
+    Default target = current mean docs/shard, so tails merge up to the
+    mean and already-healthy shards stay single. Returns a summary dict.
+    """
+    from pyspark.sql import Window
+
+    from go_dcp_elasticsearch_spark.index.builder import IndexBuilder
+
+    docs_path = f"{index_dir}/docs"
+    docs = spark.read.parquet(docs_path)
+    counts = sorted(
+        (int(r["shard"]), int(r["c"]))
+        for r in docs.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    )
+    n_before = len(counts)
+    total = sum(c for _, c in counts)
+    if target_docs_per_shard is None:
+        target_docs_per_shard = max(1, -(-total // max(n_before, 1)))
+
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_n = 0
+    for s, c in counts:
+        if cur and cur_n + c > target_docs_per_shard:
+            groups.append(cur)
+            cur, cur_n = [], 0
+        cur.append(s)
+        cur_n += c
+    if cur:
+        groups.append(cur)
+
+    merged = [g for g in groups if len(g) > 1]
+    if not merged:
+        return {"n_shards_before": n_before, "n_shards_after": n_before,
+                "rewritten": []}
+
+    remap_pairs = [(s, g[0]) for g in merged for s in g]
+    sources = {s for s, _ in remap_pairs}
+    targets = {t for _, t in remap_pairs}
+    remap = F.create_map(
+        *[x for s, t in sorted(remap_pairs) for x in (F.lit(s), F.lit(t))]
+    )
+    src_list = [int(s) for s in sources]
+
+    b = IndexBuilder(spark, index_dir, n_shards=n_before)
+    new_docs = (
+        docs.filter(F.col("shard").isin(src_list))
+        .withColumn("shard", remap[F.col("shard")].cast("int"))
+    )
+    postings = spark.read.parquet(b.paths.postings)
+    w = Window.partitionBy("term", "_new_shard").orderBy("shard", "block_id")
+    new_postings = (
+        postings.filter(F.col("shard").isin(src_list))
+        .withColumn("_new_shard", remap[F.col("shard")].cast("int"))
+        .withColumn("block_id", F.row_number().over(w) - F.lit(1))
+        .drop("shard")
+        .withColumnRenamed("_new_shard", "shard")
+    )
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new_docs.repartition(len(targets), F.col("shard")).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(docs_path)
+        new_postings.repartition(len(targets), F.col("shard")).sortWithinPartitions(
+            "term", "block_id"
+        ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    dead = sources - targets
+    _delete_shard_partitions(spark, docs_path, dead)
+    _delete_shard_partitions(spark, b.paths.postings, dead)
+    b.lineage.commit("compact", -1, len(sources))
+    return {
+        "n_shards_before": n_before,
+        "n_shards_after": n_before - len(sources) + len(targets),
+        "rewritten": sorted(sources),
     }
 
 

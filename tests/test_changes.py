@@ -170,3 +170,162 @@ def test_apply_changes_to_index_end_to_end(spark, tmp_path):
         assert [g[0] for g in got] == [w[0] for w in want], qtext
         for (gd, gs), (wd, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9
+
+
+def test_merge_chunks_densify_sorts_overlapping_ranges():
+    """Regression (round-2 advice): incremental rebuilds feed _merge_chunks
+    chunks with OVERLAPPING doc-id ranges; the densify branch must sort by
+    doc_id before re-encoding or in-block ids come out unsorted (negative
+    delta gaps) and max_doc_id is wrong, silently skipping postings at
+    query time."""
+    import numpy as np
+    import pandas as pd
+
+    from go_dcp_elasticsearch_spark.functions.codec import (
+        encode_blocks_bulk,
+        varbyte_decode,
+    )
+    from go_dcp_elasticsearch_spark.index.builder import CHUNK_SCHEMA, IndexBuilder
+
+    avgdl = 10.0
+
+    def chunk_row(ids, tfs, dls):
+        (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) = encode_blocks_bulk(
+            np.array(ids), np.array(tfs), np.array(dls)
+        )[0]
+        tf_f = np.array(tfs, dtype=np.float64)
+        dl_f = np.array(dls, dtype=np.float64)
+        bmax = float((tf_f / (tf_f + 1.2 * (1 - 0.75 + 0.75 * dl_f / avgdl))).max())
+        return ("t", 0, ids[0], ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum, bmax)
+
+    cols = [f.name for f in CHUNK_SCHEMA.fields]
+    # two chunks with interleaved id ranges: [3, 50] and [10]
+    pdf = pd.DataFrame([chunk_row([3, 50], [2, 1], [9, 11]),
+                        chunk_row([10], [5], [7])], columns=cols)
+    b = IndexBuilder.__new__(IndexBuilder)
+    out = pd.concat(list(b._merge_chunks(avgdl)(iter([pdf]))), ignore_index=True)
+    assert len(out) == 1  # densified into one block
+    ids = np.cumsum(varbyte_decode(bytes(out["ids_vb"].iloc[0])), dtype=np.uint64)
+    assert ids.tolist() == [3, 10, 50]
+    tfs = varbyte_decode(bytes(out["tfs_vb"].iloc[0])).tolist()
+    assert tfs == [2, 5, 1]  # payload permuted WITH the ids
+    assert int(out["max_doc_id"].iloc[0]) == 50
+
+
+def test_incremental_inserts_spread_and_compact(spark, tmp_path):
+    """Round-2 scale fixes: (a) a large insert delta spreads over >1 NEW
+    tail shard (no last-shard pile-up) with offset-based id assignment (no
+    global window); (b) queries stay rank-identical to the python oracle;
+    (c) compact_index merges the small tail shards and preserves ranks."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        apply_changes_to_index,
+        compact_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 400)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+
+    # insert 250 new docs (vs target 100/shard -> ceil(250/100)=3 new shards)
+    inserts = spark.createDataFrame(
+        [(f"orgN/newrepo{i % 5}", f"src/n{i}.py", "c0ffee", "python",
+          f"freshDoc{i} kraken_sentinel payload buffer localVar{i % 7}", 1000 + i)
+         for i in range(250)],
+        "repo string, path string, commit string, lang string, content string, seq_no int",
+    )
+    new_corpus = corpus.unionByName(inserts)
+    changes = inserts.select("repo", "path", F.lit("index").alias("action"),
+                             F.col("seq_no").cast("long"))
+    out = apply_changes_to_index(spark, idx, new_corpus, changes)
+    assert len(out["insert_shards"]) > 1, out
+    assert out["n_docs"] == 650
+
+    docs1 = spark.read.parquet(f"{idx}/docs")
+    ins_shards = {
+        int(r["shard"])
+        for r in docs1.filter(F.col("repo").startswith("orgN/"))
+        .select("shard").distinct().collect()
+    }
+    assert len(ins_shards) > 1
+    # each shard still holds one contiguous id range (range invariant)
+    rng = docs1.groupBy("shard").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+        F.count("*").alias("c")
+    ).collect()
+    spans = sorted((int(r["lo"]), int(r["hi"]), int(r["c"])) for r in rng)
+    for (lo, hi, c) in spans:
+        assert hi - lo + 1 == c  # dense within shard
+    for (a, b) in zip(spans, spans[1:]):
+        assert a[1] < b[0]  # disjoint, ordered
+
+    id_rows = docs1.select("doc_id", "repo", "path").join(
+        new_corpus.select("repo", "path", "content"), ["repo", "path"]
+    ).collect()
+    docs_tokens = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
+
+    def check_ranks():
+        q = BM25Query(spark, idx)
+        for qtext in ["kraken_sentinel buffer", "freshDoc7 payload", "getValue index"]:
+            want = bm25_oracle(docs_tokens, tokenize_py(qtext), 10)
+            got = [(int(r["doc_id"]), float(r["score"]))
+                   for r in q.topk_pruned(qtext, 10).collect()]
+            assert [g[0] for g in got] == [w[0] for w in want], qtext
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9
+
+    check_ranks()
+
+    # compaction merges the 3 small tail shards; ranks unchanged
+    summary = compact_index(spark, idx, target_docs_per_shard=200)
+    assert summary["n_shards_after"] < summary["n_shards_before"]
+    check_ranks()
+
+
+def test_incremental_delete_whole_shard(spark, tmp_path):
+    """Round-2 advice (medium): deleting EVERY doc of a shard must remove
+    its partition directories — dynamic overwrite alone leaves the stale
+    docs/postings queryable and corrupts n_docs/avgdl."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 200)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    docs0 = spark.read.parquet(f"{idx}/docs")
+    victims = docs0.filter(F.col("shard") == 0).select("repo", "path").collect()
+    assert victims
+    deleted_ids = {int(r["doc_id"]) for r in
+                   docs0.filter(F.col("shard") == 0).select("doc_id").collect()}
+    changes = spark.createDataFrame(
+        [(r["repo"], r["path"], "delete", 100) for r in victims],
+        "repo string, path string, action string, seq_no long",
+    )
+    new_corpus = corpus.join(
+        spark.createDataFrame([(r["repo"], r["path"]) for r in victims],
+                              "repo string, path string"),
+        ["repo", "path"], "left_anti",
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes)
+    assert out["n_docs"] == 200 - len(victims)
+
+    docs1 = spark.read.parquet(f"{idx}/docs")
+    assert docs1.filter(F.col("shard") == 0).count() == 0
+    assert docs1.count() == 200 - len(victims)
+    post1 = spark.read.parquet(f"{idx}/postings")
+    assert post1.filter(F.col("shard") == 0).count() == 0
+    # stats reflect the deletion
+    srow = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert int(srow["n_docs"]) == 200 - len(victims)
+    # no deleted doc id ever comes back from a query
+    q = BM25Query(spark, idx)
+    got = {int(r["doc_id"]) for r in q.topk_pruned("getValue buffer index", 50).collect()}
+    assert not (got & deleted_ids)
