@@ -300,6 +300,32 @@ def _q_serialize_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serialize_bulk_ndjson(actions).select("doc_key", "bulk_line")
 
 
+def _q_serialize_bulk_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/A8: envelope WITH routing (bulk.go:246-249) — routing present on
+    ~2/3 of rows, omitted (null) on the rest to exercise both branches."""
+    from go_dcp_elasticsearch_spark.operators.dispatch import serialize_bulk_ndjson
+
+    ev = _events(spark, sf_dir)
+    actions = ev.select(
+        F.col("event_id").cast("string").alias("doc_key"),
+        F.when(
+            F.col("event_type").isin("click", "view", "signup", "purchase"),
+            F.lit("index"),
+        ).otherwise(F.lit("delete")).alias("action"),
+        F.when(
+            F.col("event_type").isin("click", "view", "signup", "purchase"),
+            F.col("props"),
+        ).alias("source"),
+        F.lit("idx_events").alias("index_name"),
+        F.when(F.col("user_id") % 3 != 0, F.col("user_id").cast("string")).alias(
+            "routing"
+        ),
+    )
+    return serialize_bulk_ndjson(actions, routing_col="routing").select(
+        "doc_key", "bulk_line"
+    )
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_dcp_elasticsearch_spark.operators.dedup import (
         minhash_band_buckets,
@@ -386,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_resolution": _q_index_resolution,
         "batch_plan": _q_batch_plan,
         "serialize_bulk": _q_serialize_bulk,
+        "serialize_bulk_routing": _q_serialize_bulk_routing,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
@@ -545,6 +572,22 @@ SELECT CAST(event_id AS VARCHAR) AS doc_key,
          chr(10) || props
     ELSE '{"delete":{"_index":"idx_events","_id":"' ||
          regexp_replace(CAST(event_id AS VARCHAR), '"', '\\"', 'g') || '"}}'
+  END AS bulk_line
+FROM events
+""",
+        "serialize_bulk_routing": """
+SELECT CAST(event_id AS VARCHAR) AS doc_key,
+  CASE WHEN event_type IN ('click','view','signup','purchase')
+    THEN '{"index":{"_index":"idx_events","_id":"' ||
+         regexp_replace(CAST(event_id AS VARCHAR), '"', '\\"', 'g') ||
+         CASE WHEN user_id % 3 <> 0
+              THEN '","routing":"' || CAST(user_id AS VARCHAR) ELSE '' END ||
+         '"}}' || chr(10) || props
+    ELSE '{"delete":{"_index":"idx_events","_id":"' ||
+         regexp_replace(CAST(event_id AS VARCHAR), '"', '\\"', 'g') ||
+         CASE WHEN user_id % 3 <> 0
+              THEN '","routing":"' || CAST(user_id AS VARCHAR) ELSE '' END ||
+         '"}}'
   END AS bulk_line
 FROM events
 """,

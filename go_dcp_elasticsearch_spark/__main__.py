@@ -33,7 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True, help="output index directory")
     b.add_argument("--shards", type=int, default=8)
     b.add_argument("--id-mode", choices=["sorted", "input"], default="sorted")
+    b.add_argument("--routing-col", default=None,
+                   help="B5: place docs by hash(<col>) instead of id ranges")
     b.add_argument("--resume", action="store_true", help="skip lineage-committed stages")
+    b.add_argument("--config", default=None,
+                   help="engine config YAML/JSON (maxRetries -> task retry budget)")
     b.add_argument("--master", default=None)
 
     q = sub.add_parser("query", help="BM25 top-k query against a built index")
@@ -47,14 +51,22 @@ def main(argv: list[str] | None = None) -> int:
 
     from go_dcp_elasticsearch_spark.session import get_spark
 
-    spark = get_spark(app_name=f"ftengine-{args.cmd}", master=args.master)
+    extra_conf = None
+    if getattr(args, "config", None):
+        from go_dcp_elasticsearch_spark.config import engine_conf, load_config
+
+        extra_conf = engine_conf(load_config(args.config))
+    spark = get_spark(
+        app_name=f"ftengine-{args.cmd}", master=args.master, extra_conf=extra_conf
+    )
     try:
         if args.cmd == "build":
             from go_dcp_elasticsearch_spark.index import IndexBuilder
 
             corpus = spark.read.parquet(args.corpus)
             summary = IndexBuilder(
-                spark, args.index, n_shards=args.shards, id_mode=args.id_mode
+                spark, args.index, n_shards=args.shards, id_mode=args.id_mode,
+                routing_col=args.routing_col,
             ).build(corpus, resume=args.resume)
             print(json.dumps(summary))
         else:

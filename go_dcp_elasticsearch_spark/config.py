@@ -32,6 +32,21 @@ class IndexConfig:
     rejection_log_include_source: bool = False
 
 
+def engine_conf(cfg: IndexConfig) -> dict[str, str]:
+    """Map engine config onto Spark conf (A14 bounded retry).
+
+    The reference's ``maxRetries`` bounds bulk-request retries
+    (config/config.go:76-78, default effectively infinite); the batch
+    analogue is the task-attempt budget: a failed sink/stage task is
+    re-attempted ``max_retries`` times before the job aborts
+    (spark.task.maxFailures = retries + 1). None keeps Spark's default.
+    Feed the result into ``get_spark(extra_conf=...)``."""
+    out: dict[str, str] = {}
+    if cfg.max_retries is not None:
+        out["spark.task.maxFailures"] = str(max(1, int(cfg.max_retries) + 1))
+    return out
+
+
 _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 

@@ -262,6 +262,52 @@ def assign_doc_ids_input_order(corpus: DataFrame) -> DataFrame:
     return out
 
 
+def posting_chunks_fixed_shard(avgdl: float):
+    """Chunk kernel that trusts a precomputed ``shard`` COLUMN instead of
+    deriving shards from the doc-id range formula — used by (a) incremental
+    rebuilds, where shard assignments are preserved from the original
+    build, and (b) routing-placed indexes, where shard = hash(routing)."""
+    import numpy as np
+
+    from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE, encode_blocks_bulk
+
+    cols = [f.name for f in CHUNK_SCHEMA.fields]
+    k1, b = K1, B
+
+    def kernel(iterator):
+        from collections import Counter
+
+        rows = []
+        for pdf in iterator:
+            pdf = pdf.sort_values("doc_id")
+            for did, content, sh in zip(pdf["doc_id"], pdf["content"], pdf["shard"]):
+                c = Counter(tokenize_py(content))
+                dl = sum(c.values())
+                for t, tf in c.items():
+                    rows.append((t, int(sh), int(did), tf, dl))
+        if not rows:
+            return
+        pdf = pd.DataFrame(rows, columns=["term", "shard", "doc_id", "tf", "dl"])
+        pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
+        out = []
+        for (t, sh), g in pdf.groupby(["term", "shard"], sort=False):
+            ids = g["doc_id"].to_numpy()
+            tfs = g["tf"].to_numpy()
+            dls = g["dl"].to_numpy()
+            tf_f = tfs.astype(np.float64)
+            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
+            blocks = encode_blocks_bulk(ids, tfs, dls)
+            bmax = np.maximum.reduceat(tf_norm, np.arange(0, len(ids), BLOCK_SIZE))
+            for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks):
+                out.append(
+                    (t, int(sh), int(ids[bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
+                     cnt, max_id, max_tf, tf_sum, float(bmax[bi]))
+                )
+        yield pd.DataFrame(out, columns=cols)
+
+    return kernel
+
+
 def dedup_last_write_wins(corpus: DataFrame) -> DataFrame:
     """A7: one action per key, newest wins (bulk.go:179-195,596-608).
 
@@ -287,6 +333,8 @@ class IndexBuilder:
         salt_df_threshold: int = 10_000,
         index_name: str = "default",
         id_mode: str = "sorted",
+        routing_col: str | None = None,
+        n_range_parts: int | None = None,
     ):
         """``id_mode``:
         - "sorted" (default): doc_id = rank of (repo, path) in global sort
@@ -295,6 +343,17 @@ class IndexBuilder:
         - "input": doc_id = table row position; NO corpus shuffle and no
           cache — downstream stages re-scan the columnar source. The
           append-only / unique-key scale path.
+
+        ``routing_col``: B5 routing-driven placement — shard =
+        pmod(hash(routing), n_shards) instead of the doc-id range formula,
+        so all docs sharing a routing value land in ONE shard (the
+        Elasticsearch routing semantics the reference forwards via the
+        bulk envelope, bulk.go:246-249). Queries are unchanged; per-shard
+        kernels and the global merge only need shards to partition docs.
+
+        ``n_range_parts``: partition count for the sorted-id corpus
+        shuffle. Default: the session's shuffle partitions (a FIXED small
+        constant would mean multi-TB range partitions at 10^12 rows).
         """
         self.spark = spark
         self.paths = IndexPaths(index_dir)
@@ -305,6 +364,8 @@ class IndexBuilder:
         if id_mode not in ("sorted", "input"):
             raise ValueError(f"id_mode must be 'sorted' or 'input', got {id_mode!r}")
         self.id_mode = id_mode
+        self.routing_col = routing_col
+        self.n_range_parts = n_range_parts
         self.lineage = LineageLog(spark, self.paths.lineage)
         self.metrics = MetricsLog(spark, self.paths.metrics)
 
@@ -664,14 +725,25 @@ class IndexBuilder:
             # persisted; every stage below reads the cached sorted rows.
             if "seq_no" not in corpus.columns:
                 corpus = corpus.withColumn("seq_no", F.lit(0))
-            corpus_ids = assign_doc_ids(corpus, persist=True, dedup_order_col="seq_no")
+            n_range = self.n_range_parts or max(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
+            )
+            corpus_ids = assign_doc_ids(
+                corpus, n_range_parts=n_range, persist=True, dedup_order_col="seq_no"
+            )
         n_docs = corpus_ids._n_docs
-        # integer DIV (not double /): exact at 10^12-scale ids where doubles
-        # lose integer precision past 2^53
-        shard_expr = F.expr(
-            f"least(CAST((doc_id * {self.n_shards}) DIV {max(n_docs, 1)} AS INT), "
-            f"{self.n_shards - 1})"
-        )
+        if self.routing_col:
+            # B5: routing-driven placement — co-route docs into one shard
+            shard_expr = F.pmod(
+                F.hash(F.col(self.routing_col)), F.lit(self.n_shards)
+            ).cast("int")
+        else:
+            # integer DIV (not double /): exact at 10^12-scale ids where
+            # doubles lose integer precision past 2^53
+            shard_expr = F.expr(
+                f"least(CAST((doc_id * {self.n_shards}) DIV {max(n_docs, 1)} AS INT), "
+                f"{self.n_shards - 1})"
+            )
 
         # docs forward store: doc_len via the JVM tokenizer expression
         # (mirror-identical to the python tokenizer; no second Python pass),
@@ -722,9 +794,14 @@ class IndexBuilder:
                 int(self.spark.conf.get("spark.sql.shuffle.partitions", "64")),
                 self.n_shards,
             )
-            chunks = corpus_ids.select("doc_id", "content").mapInPandas(
-                self._posting_chunks(avgdl, n_docs), schema=CHUNK_SCHEMA
-            )
+            if self.routing_col:
+                chunks = corpus_ids.select(
+                    "doc_id", "content", shard_expr.alias("shard")
+                ).mapInPandas(posting_chunks_fixed_shard(avgdl), schema=CHUNK_SCHEMA)
+            else:
+                chunks = corpus_ids.select("doc_id", "content").mapInPandas(
+                    self._posting_chunks(avgdl, n_docs), schema=CHUNK_SCHEMA
+                )
             postings = chunks.repartition(
                 n_enc_parts, F.col("term"), F.col("shard")
             ).mapInPandas(self._merge_chunks(avgdl), schema=POSTINGS_SCHEMA)

@@ -93,20 +93,95 @@ def escape_doc_id(col: Column | str) -> Column:
     return F.regexp_replace(c, '"', '\\\\"')
 
 
-def serialize_bulk_ndjson(actions: DataFrame) -> DataFrame:
+def action_key(
+    doc_key: Column | str = "doc_key",
+    index_name: Column | str = "index_name",
+    routing_col: Column | str | None = None,
+    cluster_key_col: Column | str | None = None,
+) -> Column:
+    """B5/A7: the reference's batch-dedup action key (bulk.go:596-608):
+    ``id:index``, plus ``:routing`` when routing is set, prefixed with
+    ``clusterKey::`` when the (normalized) cluster key is non-empty."""
+    col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    base = F.concat_ws(":", col(doc_key), col(index_name))
+    if routing_col is not None:
+        r = col(routing_col)
+        base = F.when(r.isNotNull(), F.concat_ws(":", base, r)).otherwise(base)
+    if cluster_key_col is not None:
+        ck = col(cluster_key_col)
+        # "default" aliases the primary cluster '' (config.go:14-20)
+        ck = F.when(ck == "default", F.lit("")).otherwise(F.coalesce(ck, F.lit("")))
+        base = F.when(ck != "", F.concat(ck, F.lit("::"), base)).otherwise(base)
+    return base
+
+
+def dedup_bulk_actions(
+    actions: DataFrame,
+    order_col: str,
+    routing_col: str | None = None,
+    cluster_key_col: str | None = None,
+) -> DataFrame:
+    """A7 with the FULL reference action key (incl. routing + cluster key):
+    one action per key, newest wins — replace-in-place semantics of
+    bulk.go:179-195 expressed as a keyed window."""
+    from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
+
+    keyed = actions.withColumn(
+        "_action_key",
+        action_key("doc_key", "index_name", routing_col, cluster_key_col),
+    )
+    return last_write_wins(keyed, ["_action_key"], order_col).drop("_action_key")
+
+
+def route_placement(
+    actions: DataFrame, routing_col: str = "routing", n_partitions: int | None = None
+) -> DataFrame:
+    """B5 placement: co-locate all actions sharing a routing value in one
+    partition (Elasticsearch routes a document to a shard by
+    hash(routing); the Spark analogue is a hash repartition on the routing
+    column, so per-shard writers see all docs of a routing key together).
+    Null routing falls back to the doc key when present (ES uses _id)."""
+    key = F.coalesce(F.col(routing_col), *(
+        [F.col("doc_key")] if "doc_key" in actions.columns else [F.lit("")]
+    ))
+    if n_partitions is None:
+        return actions.repartition(key)
+    return actions.repartition(n_partitions, key)
+
+
+def serialize_bulk_ndjson(
+    actions: DataFrame,
+    routing_col: str | None = None,
+    type_name: str | None = None,
+) -> DataFrame:
     """A8: render the ES Bulk wire format per action (bulk.go:230-273).
 
     index  -> {"index":{"_index":"<idx>","_id":"<id>"}}\\n<source>
     delete -> {"delete":{"_index":"<idx>","_id":"<id>"}}
     doc_update -> {"update":...}\\n{"doc":<source>,"doc_as_upsert":true}
+    With ``routing_col``: ``","routing":"<routing>`` is appended after the
+    id for rows with non-null routing (bulk.go:246-249); with
+    ``type_name``: ``","_type":"<type>`` after that (bulk.go:251-253,
+    legacy typed indices) — byte-identical to getEsActionJSON.
     Deterministic literal concatenation (not to_json) so the bytes are
     reproducible in ANSI SQL for the oracle check.
     """
+    routing_part = (
+        F.when(
+            F.col(routing_col).isNotNull(),
+            F.concat(F.lit('","routing":"'), F.col(routing_col)),
+        ).otherwise(F.lit(""))
+        if routing_col is not None
+        else F.lit("")
+    )
+    type_part = F.lit('","_type":"' + type_name if type_name else "")
     meta = lambda verb: F.concat(  # noqa: E731
         F.lit('{"' + verb + '":{"_index":"'),
         F.col("index_name"),
         F.lit('","_id":"'),
         escape_doc_id("doc_key"),
+        routing_part,
+        type_part,
         F.lit('"}}'),
     )
     body = F.when(F.col("action") == ACTION_INDEX, F.concat(meta(ACTION_INDEX), F.lit("\n"), F.col("source")))

@@ -67,12 +67,31 @@ class SinkHandler:
         self.calls.append("after")
 
 
+def reconcile_sink(
+    spark,
+    attempted: DataFrame,
+    sink_dir: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """A15: attempted-vs-committed reconciliation — the batch analogue of
+    the reference parsing the bulk response and joining ``items[idx]`` back
+    to ``batchActions[idx]`` (bulk.go:431-497). Returns the attempted rows
+    whose keys are NOT present in the sink (a left-anti join against the
+    committed table), i.e. the per-item failures of a partial write.
+
+    Scale shape: the committed side is column-pruned to the key columns
+    before the anti-join; no full payload re-read."""
+    committed = spark.read.parquet(sink_dir).select(*key_cols)
+    return attempted.join(committed, list(key_cols), "left_anti")
+
+
 def run_sink(
     actions: DataFrame,
     sink_dir: str,
     handler: SinkHandler | None = None,
     stage: str = "sink",
     error_col: str = "error",
+    verify_keys: list[str] | None = None,
 ) -> dict:
     """Write an actions DataFrame through the full handler lifecycle.
 
@@ -81,6 +100,11 @@ def run_sink(
     errors here surface as data-quality rejections computed upstream,
     e.g. unmappable collections or invalid docs). Rows flagged
     ``is_skipped`` by on_before_bulk are dropped pre-flight (A11).
+
+    ``verify_keys``: when set, an attempted-vs-committed reconciliation
+    (``reconcile_sink``) runs after the write; any attempted key missing
+    from the sink is routed to ``handler.on_error`` exactly like a
+    per-item bulk rejection. Adds one pruned read of the sink.
     """
     handler = handler or SinkHandler()
     handler.on_init()
@@ -93,6 +117,15 @@ def run_sink(
     ok = staged.filter(~err_pred).drop(*([error_col] if has_err else []))
     ok.write.mode("append").parquet(sink_dir)
     n_written = ok.count()
+    n_uncommitted = 0
+    if verify_keys:
+        uncommitted = reconcile_sink(ok.sparkSession, ok, sink_dir, verify_keys)
+        n_uncommitted = uncommitted.count()
+        if n_uncommitted:
+            handler.on_error(
+                uncommitted.withColumn(error_col, F.lit("uncommitted")), stage
+            )
+            n_written -= n_uncommitted
     handler.on_success(ok, stage)
     if has_err:
         failed = staged.filter(err_pred)
@@ -102,4 +135,8 @@ def run_sink(
     latency = (time.time() - t0) * 1000.0
     if handler.metrics is not None:
         handler.metrics.record(stage, "_all", "bulk", "latency", n_written, latency)
-    return {"written": n_written, "latency_ms": latency}
+    return {
+        "written": n_written,
+        "uncommitted": n_uncommitted,
+        "latency_ms": latency,
+    }

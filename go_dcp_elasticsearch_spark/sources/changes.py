@@ -452,51 +452,13 @@ def compact_index(
 
 
 def _chunks_with_fixed_shard(builder, avgdl: float):
-    """Chunk kernel variant that uses the precomputed ``shard`` column
-    (shard assignments are preserved from the original build, so the
-    range-shard formula can't be reapplied after inserts)."""
-    import numpy as np
-    import pandas as pd
+    """Chunk kernel trusting the precomputed ``shard`` column (shard
+    assignments are preserved from the original build, so the range-shard
+    formula can't be reapplied after inserts). Shared with the builder's
+    routing-placement mode."""
+    from go_dcp_elasticsearch_spark.index.builder import posting_chunks_fixed_shard
 
-    from go_dcp_elasticsearch_spark.functions.bm25 import B, K1
-    from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE, encode_blocks_bulk
-    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
-    from go_dcp_elasticsearch_spark.index.builder import CHUNK_SCHEMA
-
-    cols = [f.name for f in CHUNK_SCHEMA.fields]
-
-    def kernel(iterator):
-        from collections import Counter
-
-        rows = []
-        for pdf in iterator:
-            pdf = pdf.sort_values("doc_id")
-            for did, content, sh in zip(pdf["doc_id"], pdf["content"], pdf["shard"]):
-                c = Counter(tokenize_py(content))
-                dl = sum(c.values())
-                for t, tf in c.items():
-                    rows.append((t, int(sh), int(did), tf, dl))
-        if not rows:
-            return
-        pdf = pd.DataFrame(rows, columns=["term", "shard", "doc_id", "tf", "dl"])
-        pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
-        out = []
-        for (t, sh), g in pdf.groupby(["term", "shard"], sort=False):
-            ids = g["doc_id"].to_numpy()
-            tfs = g["tf"].to_numpy()
-            dls = g["dl"].to_numpy()
-            tf_f = tfs.astype(np.float64)
-            tf_norm = tf_f / (tf_f + K1 * (1.0 - B + B * dls / avgdl))
-            blocks = encode_blocks_bulk(ids, tfs, dls)
-            bmax = np.maximum.reduceat(tf_norm, np.arange(0, len(ids), BLOCK_SIZE))
-            for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks):
-                out.append(
-                    (t, int(sh), int(ids[bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
-                     cnt, max_id, max_tf, tf_sum, float(bmax[bi]))
-                )
-        yield pd.DataFrame(out, columns=cols)
-
-    return kernel
+    return posting_chunks_fixed_shard(avgdl)
 
 
 def incremental_index_delta(
