@@ -55,8 +55,33 @@ MINHASH_N, MINHASH_BAND = 6, 3
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
 BATCH_SIZE_LIMIT = 100
+EMB_DIM = 64
+EMB_DUP_THRESHOLD = 0.35
+EMB_DUP_BANDS, EMB_DUP_BAND_BITS = 4, 4
+ANN_PLANES, ANN_MAX_HAMMING = 8, 3
+LSH_SEED = 42
 
 _TOKS_SQL = tokenize_duckdb_sql("text")
+
+# md5 hex -> int64 halves (hi = bits 63..32, lo = bits 31..0); every engine
+# parses the same first-16-hex-chars big-endian value _md5_64 uses
+_HEX_HI = (
+    "list_sum(list_transform(range(1,9), i -> (strpos('0123456789abcdef', "
+    "substr({h},i,1)) - 1)::BIGINT * (1::BIGINT << (4*(8-i)))))::BIGINT"
+)
+_HEX_LO = (
+    "list_sum(list_transform(range(9,17), i -> (strpos('0123456789abcdef', "
+    "substr({h},i,1)) - 1)::BIGINT * (1::BIGINT << (4*(16-i)))))::BIGINT"
+)
+
+
+def _plane_sql(p: str, dim: int = EMB_DIM, seed: int = LSH_SEED) -> str:
+    """DuckDB fragment mirroring similarity.md5_planes row ``p``."""
+    return (
+        f"list_transform(range(0, {dim}), d -> CASE WHEN strpos('01234567', "
+        f"substr(md5('{seed}:' || CAST({p} AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) > 0 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,6 +381,22 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, list(qvec), "embedding", "vec_id", k=10)
 
 
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed (the 100 TB path): candidates
+    share >=1 of 4 band buckets (4 md5-plane sign bits each), exact cosine
+    re-rank >= threshold. Deterministic planes -> full DuckDB oracle."""
+    from go_dcp_elasticsearch_spark.operators.dedup import embedding_cosine_dups
+
+    return embedding_cosine_dups(
+        _emb(spark, sf_dir), "embedding", "vec_id",
+        threshold=EMB_DUP_THRESHOLD, method="lsh",
+        n_bands=EMB_DUP_BANDS, band_bits=EMB_DUP_BAND_BITS,
+        seed=LSH_SEED, dim=EMB_DIM,
+    ).select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
+    )
+
+
 def _q_changes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1/B2: CDC apply — events as the change feed over empty state;
     final state = newest action per key unless it is a delete."""
@@ -392,7 +433,11 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_topk(emb, list(qvec), "embedding", "vec_id", k=10, n_planes=8, dim=len(qvec))
+    return lsh_topk(
+        emb, list(qvec), "embedding", "vec_id", k=10,
+        n_planes=ANN_PLANES, dim=len(qvec), seed=LSH_SEED,
+        max_hamming=ANN_MAX_HAMMING,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -416,8 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
+        "embedding_dups": _q_embedding_dups,
         "changes_apply": _q_changes_apply,
-        # non-SQL-expressible (bit arithmetic / approximate): rows-only checks
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -635,5 +680,93 @@ SELECT doc_key, md5(content) AS content_hash FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 AND action <> 'delete'
+""",
+        "embedding_dups": f"""
+WITH planes AS (SELECT p, {_plane_sql("p")} AS pv
+                FROM range(0, {EMB_DUP_BANDS * EMB_DUP_BAND_BITS}) t(p)),
+bits AS (
+  SELECT vec_id, p // {EMB_DUP_BAND_BITS} AS band, p,
+         CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings, planes
+),
+buckets AS (SELECT vec_id, band, string_agg(bit, '' ORDER BY p) AS bucket
+            FROM bits GROUP BY vec_id, band),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+    floor((list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))))
+      * 1000000 + 0.5) / 1000000.0 AS cosine
+  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+            JOIN embeddings eb ON eb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {EMB_DUP_THRESHOLD}
+""",
+        "ann_lsh_topk": f"""
+WITH planes AS (SELECT p, {_plane_sql("p")} AS pv FROM range(0, {ANN_PLANES}) t(p)),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings, planes
+),
+buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+            FROM bits GROUP BY vec_id),
+q AS (SELECT b.bucket AS qb, e.embedding::DOUBLE[] AS qv
+      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+cand AS (
+  SELECT vec_id FROM buckets, q
+  WHERE len(list_filter(range(1, {ANN_PLANES + 1}),
+            i -> substr(bucket, i, 1) <> substr(qb, i, 1))) <= {ANN_MAX_HAMMING}
+)
+SELECT e.vec_id,
+  floor((list_dot_product(e.embedding::DOUBLE[], qv) /
+    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(qv, qv)))) * 1000000 + 0.5) / 1000000.0 AS cosine
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "simhash": f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS_SQL} AS tokens FROM documents),
+tf AS (SELECT id, t.term, count(*)::BIGINT AS tf FROM toks,
+       unnest(tokens) AS t(term) GROUP BY id, t.term),
+h AS (SELECT id, tf, {_HEX_HI.format(h="md5(term)")} AS hi,
+             {_HEX_LO.format(h="md5(term)")} AS lo FROM tf),
+votes AS (
+  SELECT id, b.b AS b,
+    sum(CASE WHEN ((CASE WHEN b.b >= 32 THEN hi >> (b.b - 32)
+                         ELSE lo >> b.b END) & 1) = 1
+             THEN tf ELSE -tf END) AS v
+  FROM h, range(0, 64) b(b) GROUP BY id, b.b
+),
+sig AS (
+  SELECT id, CAST(sum(CASE WHEN v > 0 THEN
+      CASE WHEN b = 63 THEN -9223372036854775807 - 1
+           ELSE (1::BIGINT << b) END ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+)
+SELECT d.doc_id AS id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s ON s.id = d.doc_id
+""",
+        "fingerprint": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents),
+mh AS (SELECT doc_id,
+  CASE WHEN len(tokens) = 0 THEN NULL
+       WHEN len(tokens) <= 8 THEN substr(md5(array_to_string(tokens,' ')),1,16)
+       ELSE list_min(list_transform(range(1, len(tokens) - 6),
+              i -> substr(md5(array_to_string(list_slice(tokens, i, i + 7), ' ')),1,16)))
+  END AS h FROM toks),
+parts AS (SELECT doc_id, {_HEX_HI.format(h="h")} AS hi,
+                 {_HEX_LO.format(h="h")} AS lo FROM mh WHERE h IS NOT NULL)
+SELECT m.doc_id,
+  COALESCE((p.hi - CASE WHEN p.hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+           * 4294967296 + p.lo, 0) AS fingerprint
+FROM mh m LEFT JOIN parts p USING (doc_id)
 """,
     }

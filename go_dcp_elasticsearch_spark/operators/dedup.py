@@ -133,8 +133,25 @@ def minhash_band_buckets(
     )
 
 
-def minhash_candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """LSH candidate pairs: ids sharing any (band, bucket), id_a < id_b."""
+def minhash_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing any (band, bucket), id_a < id_b.
+
+    ``max_bucket_size``: scale guard — a degenerate bucket of m identical
+    docs emits m^2 join rows pre-distinct; buckets above the cap are
+    dropped (their members are still paired through their OTHER bands
+    unless those are degenerate too — the standard production trade, same
+    as ngram_jaccard_pairs' max_shingle_df). Off by default for oracle
+    parity; turn ON at scale."""
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -233,28 +250,87 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def embedding_cosine_dups(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_bands: int = 4,
+    band_bits: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold.
 
-    Baseline is the brute-force self-join (exact); the scale path buckets by
-    random-hyperplane LSH first (see operators.similarity.lsh_buckets) so
-    the join is bucket-local. Cosine computed JVM-side with zip_with +
+    ``method="lsh"`` (the scale path and default): candidate pairs share
+    at least one LSH band bucket (n_bands bands of band_bits md5-derived
+    Rademacher hyperplane sign bits — OR-construction for recall), then an
+    exact cosine re-rank filters by threshold. The only shuffle is the
+    (band, bucket) hash join; no all-pairs blow-up. Deterministic planes
+    (similarity.md5_planes) make the WHOLE operator SQL-mirrorable, so the
+    driver oracle checks candidate generation and re-rank bit-for-bit.
+
+    ``method="exact"``: brute-force O(n^2) self-join — the small-data /
+    recall-ceiling baseline only; never the 100 TB plan.
+
+    ``max_bucket_size``: drop degenerate buckets (see
+    minhash_candidate_pairs). Cosine computed JVM-side with zip_with +
     aggregate in float64.
     """
-    from go_dcp_elasticsearch_spark.operators.similarity import cosine_expr
+    from go_dcp_elasticsearch_spark.operators.similarity import cosine_expr, md5_planes
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    a, b = v.alias("a"), v.alias("b")
+    if method == "exact":
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+    elif method == "lsh":
+        if dim is None:
+            dim = len(df.select(vec_col).head()[0])
+        planes = md5_planes(n_bands * band_bits, dim, seed)
+        vec = F.col("v")
+        band_cols = []
+        for band in range(n_bands):
+            bits = []
+            for j in range(band_bits):
+                p = F.lit(planes[band * band_bits + j].tolist()).cast("array<double>")
+                dot = F.aggregate(
+                    F.zip_with(vec, p, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+                )
+                bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+            band_cols.append(F.concat(*bits))
+        buckets = v.select(
+            "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+        )
+        if max_bucket_size is not None:
+            hot = (
+                buckets.groupBy("band", "bucket")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > max_bucket_size)
+                .select("band", "bucket")
+            )
+            buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
+    else:
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
     return (
-        a.crossJoin(b)
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            round6_expr(cosine_expr(F.col("a.v"), F.col("b.v"))).alias("cosine"),
+        pairs.select(
+            "id_a", "id_b",
+            round6_expr(cosine_expr(F.col("va"), F.col("vb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

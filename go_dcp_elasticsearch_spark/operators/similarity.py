@@ -45,6 +45,34 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def md5_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Rademacher (+-1) hyperplanes derived from md5 so ANY
+    engine (Spark, numpy, DuckDB SQL) reproduces identical buckets:
+    plane[p][d] = +1 if the first hex nibble of md5(f"{seed}:{p}:{d}") < 8
+    else -1. Sign random projection with +-1 entries is a standard LSH
+    family for cosine (the sign of <v, r> with Rademacher r); deriving the
+    entries from md5 (not a process RNG) is what makes the ANN operators
+    oracle-checkable end-to-end."""
+    import hashlib
+
+    m = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            m[p, d] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return m
+
+
+def plane_sql(p: str, dim: int, seed: int = 42) -> str:
+    """DuckDB list<double> expression for plane ``p`` (a SQL fragment
+    evaluating md5_planes row p — same bytes, same signs)."""
+    return (
+        f"list_transform(range(0, {dim}), d -> CASE WHEN strpos('01234567', "
+        f"substr(md5('{seed}:' || CAST({p} AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) > 0 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -55,13 +83,12 @@ def lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string of <v, plane_i>.
 
-    Planes are a deterministic numpy RNG draw broadcast as literals; the
+    Planes are deterministic md5-derived +-1 literals (md5_planes); the
     projection is zip_with/aggregate per plane — all JVM-side. Vectors in
     the same bucket are ANN candidates; self-join on bucket stays local
     after a single hash-shuffle on the (short) bucket key.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = md5_planes(n_planes, dim, seed)
     v = F.col(vec_col).cast("array<double>")
     bits = []
     for i in range(n_planes):
@@ -80,28 +107,31 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
-    max_hamming: int = 2,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """ANN top-k: probe buckets within ``max_hamming`` bit flips of the
-    query's bucket, exact re-rank of candidates. Approximate by design;
-    recall measured in tests against brute force."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    query's bucket, exact re-rank of candidates. Approximate by design
+    (recall measured in tests against brute force) but DETERMINISTIC and
+    engine-portable: planes come from md5_planes, so a SQL oracle derives
+    the identical candidate set ("bucket within hamming <= h of the
+    query's bucket" == the probe-neighbor expansion)."""
+    planes = md5_planes(n_planes, dim, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = ["1" if planes[i] @ qv >= 0 else "0" for i in range(n_planes)]
 
     def neighbors(bits: list[str], flips: int) -> set[str]:
-        out = {"".join(bits)}
-        if flips >= 1:
-            for i in range(len(bits)):
+        """All buckets within ``flips`` bit flips (multi-probe set). The
+        probe budget sum_{i<=flips} C(n_planes, i) trades recall vs
+        candidate count; n_planes=8 / flips=3 is 93 buckets."""
+        from itertools import combinations
+
+        out = set()
+        for r in range(flips + 1):
+            for idxs in combinations(range(len(bits)), r):
                 b = bits.copy()
-                b[i] = "0" if b[i] == "1" else "1"
+                for i in idxs:
+                    b[i] = "0" if b[i] == "1" else "1"
                 out.add("".join(b))
-                if flips >= 2:
-                    for j in range(i + 1, len(bits)):
-                        c = b.copy()
-                        c[j] = "0" if c[j] == "1" else "1"
-                        out.add("".join(c))
         return out
 
     probe = sorted(neighbors(qbits, max_hamming))

@@ -120,3 +120,44 @@ def test_simhash_tf_weighting():
     a = simhash64_py(["alpha"] * 50 + ["beta"])
     b = simhash64_py(["alpha"])
     assert hamming64(a, b) <= 8
+
+
+def test_embedding_dups_lsh_subset_of_exact(spark, sf_dir):
+    """The bucketed path returns a SUBSET of the exact O(n^2) pairs (same
+    cosines, no false positives); on the fixture the candidate generation
+    is checked bit-exact by the driver oracle."""
+    from go_dcp_elasticsearch_spark.operators.dedup import embedding_cosine_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_dups(
+            emb, "embedding", "vec_id", threshold=0.3, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_dups(
+            emb, "embedding", "vec_id", threshold=0.3, method="lsh", dim=64
+        ).collect()
+    }
+    assert lsh, "lsh path returned nothing"
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket_size drops degenerate buckets: m identical docs would
+    emit m^2 candidate rows; with the cap the bucket is skipped."""
+    import pandas as pd
+
+    from go_dcp_elasticsearch_spark.operators.dedup import minhash_candidate_pairs
+
+    rows = [(i, 0, "samebucket") for i in range(20)] + [(100, 1, "b2"), (101, 1, "b2")]
+    buckets = spark.createDataFrame(rows, "id long, band int, bucket string")
+    uncapped = minhash_candidate_pairs(buckets).count()
+    capped = minhash_candidate_pairs(buckets, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert uncapped == 190 + 1
+    assert got == {(100, 101)}
