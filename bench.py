@@ -96,12 +96,29 @@ def main() -> None:
         q.topk_exact(QUERY_SET[0], 10).collect()
         timings["topk_exact_sec"] = round(time.time() - t0, 4)
 
-        # --- batch retrieval: all queries in ONE job (shared scan+decode) ---
+        # --- batch retrieval: all queries in ONE job (shared scan+decode).
+        # This is the SERVING pattern: per-query Spark-job latency above is
+        # scheduler-bound (~0.7 s/job no matter the data); batching
+        # amortizes the scan+schedule over the whole query set. Cold run
+        # reported separately; qps = median of 3 warm runs.
         t0 = time.time()
         q.topk_batch(list(enumerate(QUERY_SET)), 10).collect()
-        batch_sec = time.time() - t0
+        timings["topk_batch12_cold_sec"] = round(time.time() - t0, 4)
+        warm = []
+        for _ in range(3):
+            t0 = time.time()
+            q.topk_batch(list(enumerate(QUERY_SET)), 10).collect()
+            warm.append(time.time() - t0)
+        batch_sec = sorted(warm)[1]
         timings["topk_batch12_sec"] = round(batch_sec, 4)
         timings["topk_batch_qps"] = round(len(QUERY_SET) / batch_sec, 2)
+
+        # larger batch: 48 queries, one scan — amortization at serving scale
+        big = [(i, QUERY_SET[i % len(QUERY_SET)] + f" q{i % 7}") for i in range(48)]
+        t0 = time.time()
+        q.topk_batch(big, 10).collect()
+        big_sec = time.time() - t0
+        timings["topk_batch48_qps"] = round(len(big) / big_sec, 2)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -76,8 +76,42 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Marker-word language ID: argmax over languages of marker hits.
 
     Deterministic tie-break: higher count wins, then language code asc.
-    Expressed as a sorted array-of-structs pick — single scan, no UDF.
+    Vectorized pandas UDF that tokenizes ONCE per doc: Catalyst does not
+    CSE an expression referenced inside several lambda bindings, so the
+    declarative variant (language_id_expr) re-tokenizes per language —
+    measured 2.4x slower at sf0.1. Same rows, same oracle.
     """
+    from collections import Counter
+
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+
+    msets = [(lang, LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)]
+
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        preds, hits = [], []
+        for txt in texts:
+            c = Counter(tokenize_py(txt))
+            best = None
+            for lang, markers in msets:
+                n = sum(c[m] for m in markers)
+                if best is None or (-n, lang) < best[0]:
+                    best = ((-n, lang), lang, n)
+            preds.append(best[1])
+            hits.append(best[2])
+        return pd.DataFrame({"pred_lang": preds, "marker_hits": hits})
+
+    udf = F.pandas_udf(kernel, "struct<pred_lang:string, marker_hits:int>")
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("_r")).select(
+        id_col, F.col("_r.pred_lang").alias("pred_lang"),
+        F.col("_r.marker_hits").alias("marker_hits"),
+    )
+
+
+def language_id_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Declarative variant of language_id (sorted array-of-structs argmax;
+    the 1:1 mirror of the DuckDB oracle SQL). Kept for plan-shape
+    documentation and engines where Python workers are unavailable; note
+    the per-language re-tokenization caveat in language_id's docstring."""
     toks = tokenize_expr(text_col)
     scores = []
     for lang in sorted(LANG_MARKERS):
