@@ -55,6 +55,7 @@ MINHASH_N, MINHASH_BAND = 6, 3
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
 BATCH_SIZE_LIMIT = 100
+BATCH_BYTE_LIMIT = 500  # small enough that the BYTE trigger binds before the count trigger
 EMB_DIM = 64
 EMB_DUP_THRESHOLD = 0.35
 EMB_DUP_BANDS, EMB_DUP_BAND_BITS = 4, 4
@@ -308,6 +309,48 @@ def _q_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planned.groupBy("cluster_key", "batch_id").agg(F.count("*").alias("n_actions"))
 
 
+def _q_batch_plan_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 byte trigger: batch_id increments when EITHER the running count
+    hits batch_size_limit OR the running byte size hits the byte limit —
+    both data-driven flush triggers of bulk.go:206-208 in one plan."""
+    from go_dcp_elasticsearch_spark.operators.batching import plan_batches
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumnRenamed("event_type", "cluster_key")
+        .withColumn("byte_size", F.length("props"))
+    )
+    planned = plan_batches(
+        ev, cluster_col="cluster_key", order_col="event_id",
+        size_col="byte_size", batch_size_limit=BATCH_SIZE_LIMIT,
+        batch_byte_limit=BATCH_BYTE_LIMIT,
+    )
+    return planned.groupBy("cluster_key", "batch_id").agg(
+        F.count("*").alias("n_actions"),
+        F.sum("byte_size").alias("batch_bytes"),
+    )
+
+
+def _q_mapper_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 1->N custom mapper: one DCP event fans out to multiple actions
+    (mapper.go:8 returns []ESActionDocument; 'update multiple documents
+    for a DCP event', README.md:13) — select + explode, no UDF."""
+    from go_dcp_elasticsearch_spark.operators.dispatch import dispatch_events
+
+    ev = dispatch_events(_events(spark, sf_dir))
+    n = (F.col("event_id") % 3 + 1).cast("int")
+    acts = ev.select(
+        "event_id", "op",
+        F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("replica"),
+    )
+    return acts.select(
+        F.concat_ws(":", F.col("event_id"), F.col("replica")).alias("doc_key"),
+        F.when(F.col("op") == "mutation", F.lit("index"))
+        .otherwise(F.lit("delete"))
+        .alias("action"),
+    )
+
+
 def _q_serialize_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/A9: ES Bulk NDJSON envelope rendering (index + delete actions)."""
     from go_dcp_elasticsearch_spark.operators.dispatch import (
@@ -456,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dispatch_counts": _q_event_dispatch_counts,
         "index_resolution": _q_index_resolution,
         "batch_plan": _q_batch_plan,
+        "batch_plan_bytes": _q_batch_plan_bytes,
+        "mapper_explode": _q_mapper_explode,
         "serialize_bulk": _q_serialize_bulk,
         "serialize_bulk_routing": _q_serialize_bulk_routing,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -608,6 +653,29 @@ WITH planned AS (
 )
 SELECT cluster_key, batch_id, count(*) AS n_actions
 FROM planned GROUP BY cluster_key, batch_id
+""",
+        "batch_plan_bytes": f"""
+WITH a AS (SELECT event_type AS cluster_key, event_id,
+                  length(props) AS byte_size FROM events),
+w AS (
+  SELECT cluster_key, byte_size,
+         row_number() OVER (PARTITION BY cluster_key ORDER BY event_id ASC) - 1 AS rn,
+         sum(byte_size) OVER (PARTITION BY cluster_key ORDER BY event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS run_bytes
+  FROM a
+)
+SELECT cluster_key,
+       greatest(CAST(floor(rn / {BATCH_SIZE_LIMIT}.0) AS BIGINT),
+                CAST(floor((run_bytes - byte_size) / {BATCH_BYTE_LIMIT}.0) AS BIGINT)) AS batch_id,
+       count(*) AS n_actions,
+       CAST(sum(byte_size) AS BIGINT) AS batch_bytes
+FROM w GROUP BY 1, 2
+""",
+        "mapper_explode": """
+SELECT CAST(event_id AS VARCHAR) || ':' || CAST(r.replica AS VARCHAR) AS doc_key,
+       CASE WHEN event_type IN ('click','view','signup','purchase')
+            THEN 'index' ELSE 'delete' END AS action
+FROM events, unnest(range(0, event_id % 3 + 1)) AS r(replica)
 """,
         "serialize_bulk": """
 SELECT CAST(event_id AS VARCHAR) AS doc_key,

@@ -62,7 +62,14 @@ TF_SCHEMA = StructType(
 )
 
 # pre-encoded posting chunks emitted by the SPIMI map side: one row per
-# (term, shard) per source partition, already varbyte blocks
+# (term, shard) per source partition, already varbyte blocks.
+# Block-max metadata is (max_tf, min_dl) rather than a precomputed
+# tf_norm bound: tf/(tf + K1(1-b+b*dl/avgdl)) is increasing in tf and
+# decreasing in dl, so max_tf with min_dl upper-bounds every posting in
+# the block under WHATEVER avgdl the query runs with — the bound is
+# computed at query time, so (a) the chunk kernel needs no stats
+# pre-pass (single content scan build) and (b) incremental updates that
+# shift avgdl can never invalidate stored bounds.
 CHUNK_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
@@ -75,9 +82,13 @@ CHUNK_SCHEMA = StructType(
         StructField("max_doc_id", LongType(), False),
         StructField("max_tf", LongType(), False),
         StructField("tf_sum", LongType(), False),
-        StructField("block_max_tf_norm", DoubleType(), False),
+        StructField("min_dl", LongType(), False),
     ]
 )
+
+# sentinel term for per-doc rows carried through the chunk stream in the
+# fused single-scan build: real tokens are never empty strings
+DOC_SENTINEL = ""
 
 
 def shard_of(doc_id: int, n_docs: int, n_shards: int) -> int:
@@ -102,7 +113,7 @@ POSTINGS_SCHEMA = StructType(
         StructField("max_doc_id", LongType(), False),
         StructField("max_tf", LongType(), False),
         StructField("tf_sum", LongType(), False),
-        StructField("block_max_tf_norm", DoubleType(), False),
+        StructField("min_dl", LongType(), False),
     ]
 )
 
@@ -262,22 +273,32 @@ def assign_doc_ids_input_order(corpus: DataFrame) -> DataFrame:
     return out
 
 
-def posting_chunks_fixed_shard(avgdl: float):
+def posting_chunks_fixed_shard_with_sentinels():
+    """posting_chunks_fixed_shard + per-doc DOC_SENTINEL rows (sha256 +
+    doc_len) — the routing-mode arm of the fused single-scan build."""
+    return posting_chunks_fixed_shard(with_doc_sentinels=True)
+
+
+def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: bool = False):
     """Chunk kernel that trusts a precomputed ``shard`` COLUMN instead of
     deriving shards from the doc-id range formula — used by (a) incremental
     rebuilds, where shard assignments are preserved from the original
-    build, and (b) routing-placed indexes, where shard = hash(routing)."""
+    build, and (b) routing-placed indexes, where shard = hash(routing).
+    (``avgdl`` accepted for backward compat and unused — block metadata is
+    (max_tf, min_dl), bound applied at query time.)"""
+    import hashlib
+
     import numpy as np
 
     from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE, encode_blocks_bulk
 
     cols = [f.name for f in CHUNK_SCHEMA.fields]
-    k1, b = K1, B
 
     def kernel(iterator):
         from collections import Counter
 
         rows = []
+        sents = []
         for pdf in iterator:
             pdf = pdf.sort_values("doc_id")
             for did, content, sh in zip(pdf["doc_id"], pdf["content"], pdf["shard"]):
@@ -285,7 +306,15 @@ def posting_chunks_fixed_shard(avgdl: float):
                 dl = sum(c.values())
                 for t, tf in c.items():
                     rows.append((t, int(sh), int(did), tf, dl))
+                if with_doc_sentinels:
+                    sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                    sents.append(
+                        (DOC_SENTINEL, int(sh), int(did), sha.encode("ascii"),
+                         b"", b"", int(dl), int(did), 0, 0, int(dl))
+                    )
         if not rows:
+            if sents:
+                yield pd.DataFrame(sents, columns=cols)
             return
         pdf = pd.DataFrame(rows, columns=["term", "shard", "doc_id", "tf", "dl"])
         pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
@@ -294,15 +323,14 @@ def posting_chunks_fixed_shard(avgdl: float):
             ids = g["doc_id"].to_numpy()
             tfs = g["tf"].to_numpy()
             dls = g["dl"].to_numpy()
-            tf_f = tfs.astype(np.float64)
-            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
             blocks = encode_blocks_bulk(ids, tfs, dls)
-            bmax = np.maximum.reduceat(tf_norm, np.arange(0, len(ids), BLOCK_SIZE))
+            mindl = np.minimum.reduceat(dls, np.arange(0, len(ids), BLOCK_SIZE))
             for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks):
                 out.append(
                     (t, int(sh), int(ids[bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
-                     cnt, max_id, max_tf, tf_sum, float(bmax[bi]))
+                     cnt, max_id, max_tf, tf_sum, int(mindl[bi]))
                 )
+        out.extend(sents)
         yield pd.DataFrame(out, columns=cols)
 
     return kernel
@@ -415,7 +443,7 @@ class IndexBuilder:
 
         return corpus_ids.select("doc_id", "content").mapInPandas(kernel, schema=TF_SCHEMA)
 
-    def _posting_chunks(self, avgdl: float, n_docs: int):
+    def _posting_chunks(self, n_docs: int, with_doc_sentinels: bool = False):
         """SPIMI map side proper: per source partition, build LOCAL posting
         lists and emit them pre-encoded (varbyte blocks), one row per
         (term, shard, block).
@@ -427,14 +455,21 @@ class IndexBuilder:
         partition (assign_doc_ids) and shards are contiguous ranges, so
         chunks of one (term, shard) never interleave — the reduce side
         concatenates, it does not re-encode.
+
+        ``with_doc_sentinels``: ALSO emit one DOC_SENTINEL row per doc
+        carrying (doc_id, sha256(content), doc_len) — the fused build
+        derives the docs forward store from the same single content scan
+        (the reference reads each document once too; a second JVM
+        tokenize+sha pass was ~15% of build time and doubled the scan).
         """
         n_shards = self.n_shards
-        k1, b = K1, B
         cols = [f.name for f in CHUNK_SCHEMA.fields]
 
         def kernel(iterator):
             from collections import Counter
             from itertools import chain
+
+            import hashlib
 
             import numpy as np
 
@@ -446,6 +481,7 @@ class IndexBuilder:
             # gather the partition's tf triples with vectorized emission
             term_parts: list[list[str]] = []
             did_parts, tf_parts, dl_parts = [], [], []
+            sent_frames = []
             for pdf in iterator:
                 counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
                 sizes = np.fromiter(
@@ -463,8 +499,30 @@ class IndexBuilder:
                 doc_lens = np.fromiter(
                     (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
                 )
-                did_parts.append(np.repeat(pdf["doc_id"].to_numpy(), sizes))
+                batch_ids = pdf["doc_id"].to_numpy()
+                did_parts.append(np.repeat(batch_ids, sizes))
                 dl_parts.append(np.repeat(doc_lens, sizes))
+                if with_doc_sentinels:
+                    shas = [
+                        hashlib.sha256(c.encode("utf-8")).hexdigest().encode("ascii")
+                        for c in pdf["content"]
+                    ]
+                    bsh = np.minimum(
+                        batch_ids * n_shards // max(n_docs, 1), n_shards - 1
+                    ).astype(np.int32)
+                    sent_frames.append(pd.DataFrame({
+                        "term": DOC_SENTINEL,
+                        "shard": bsh,
+                        "first_doc_id": batch_ids,
+                        "ids_vb": shas,
+                        "tfs_vb": b"",
+                        "dls_vb": b"",
+                        "count": doc_lens.astype(np.int32),
+                        "max_doc_id": batch_ids,
+                        "max_tf": 0,
+                        "tf_sum": 0,
+                        "min_dl": doc_lens,
+                    }))
             if not did_parts:
                 return
             terms = pd.Series(list(chain.from_iterable(term_parts)))
@@ -479,8 +537,6 @@ class IndexBuilder:
             shards = np.minimum(dids * n_shards // max(n_docs, 1), n_shards - 1).astype(
                 np.int32
             )
-            tf_f = tfs.astype(np.float64)
-            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
             change = np.empty(len(codes), dtype=bool)
             change[0] = True
             change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
@@ -489,7 +545,7 @@ class IndexBuilder:
             rows = []
             for s, e in zip(starts, ends):
                 blocks = encode_blocks_bulk(dids[s:e], tfs[s:e], dls[s:e])
-                bmax = np.maximum.reduceat(tf_norm[s:e], np.arange(0, e - s, BLOCK_SIZE))
+                mindl = np.minimum.reduceat(dls[s:e], np.arange(0, e - s, BLOCK_SIZE))
                 t = uniq_terms[codes[s]]
                 sh = int(shards[s])
                 for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(
@@ -497,19 +553,23 @@ class IndexBuilder:
                 ):
                     rows.append(
                         (t, sh, int(dids[s + bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
-                         cnt, max_id, max_tf, tf_sum, float(bmax[bi]))
+                         cnt, max_id, max_tf, tf_sum, int(mindl[bi]))
                     )
-            yield pd.DataFrame(rows, columns=cols)
+            out = pd.DataFrame(rows, columns=cols)
+            if sent_frames:
+                out = pd.concat([out, *sent_frames], ignore_index=True)
+            yield out
 
         return kernel
 
-    def _merge_chunks(self, avgdl: float):
+    def _merge_chunks(self, avgdl: float | None = None):
         """SPIMI reduce side: order each (term, shard) group's chunks by
         first_doc_id and assign sequential block_ids. Chunks are disjoint
         ranges, so no decoding — except small fragmented lists (total
         postings < BLOCK_SIZE across >1 chunk), which are re-encoded into
-        one dense block to keep block fill healthy for rare terms."""
-        k1, b = K1, B
+        one dense block to keep block fill healthy for rare terms.
+        (``avgdl`` is accepted for backward compat and unused: block-max
+        metadata is (max_tf, min_dl), bound applied at query time.)"""
         cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
         def kernel(iterator):
@@ -547,7 +607,7 @@ class IndexBuilder:
             col_maxid = pdf["max_doc_id"].to_numpy()
             col_maxtf = pdf["max_tf"].to_numpy()
             col_tfsum = pdf["tf_sum"].to_numpy()
-            col_bmax = pdf["block_max_tf_norm"].to_numpy()
+            col_mindl = pdf["min_dl"].to_numpy()
             for s, e in zip(starts, ends):
                 t, sh = terms_arr[s], int(shards[s])
                 total = int(counts[s:e].sum())
@@ -571,31 +631,31 @@ class IndexBuilder:
                     if np.any(ids[1:] < ids[:-1]):
                         o = np.argsort(ids, kind="stable")
                         ids, tfs, dls = ids[o], tfs[o], dls[o]
-                    tf_f = tfs.astype(np.float64)
-                    tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
                     from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE
 
                     blocks = encode_blocks_bulk(ids, tfs, dls)
-                    bmax = np.maximum.reduceat(tf_norm, np.arange(0, len(ids), BLOCK_SIZE))
+                    mindl = np.minimum.reduceat(
+                        dls.astype(np.int64), np.arange(0, len(ids), BLOCK_SIZE)
+                    )
                     for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(
                         blocks
                     ):
                         rows.append(
                             (t, sh, bi, ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
-                             tf_sum, float(bmax[bi]))
+                             tf_sum, int(mindl[bi]))
                         )
                 else:
                     for bi, i in enumerate(range(s, e)):
                         rows.append(
                             (t, sh, bi, col_ids[i], col_tfs[i], col_dls[i], int(counts[i]),
                              int(col_maxid[i]), int(col_maxtf[i]), int(col_tfsum[i]),
-                             float(col_bmax[i]))
+                             int(col_mindl[i]))
                         )
             yield pd.DataFrame(rows, columns=cols)
 
         return kernel
 
-    def _encode_partition(self, avgdl: float):
+    def _encode_partition(self, avgdl: float | None = None):
         """mapInPandas kernel: encode ALL (term, shard) groups of a hash
         partition in one pass.
 
@@ -606,7 +666,6 @@ class IndexBuilder:
         once (np.lexsort), group boundaries found vectorized, and each
         group encoded with O(1) numpy calls (encode_blocks_bulk).
         """
-        k1, b = K1, B
         cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
         def encode(iterator):
@@ -630,8 +689,6 @@ class IndexBuilder:
             terms, shards, ids_a = terms[order], shards[order], ids_a[order]
             tfs_a = pdf["tf"].to_numpy()[order]
             dls_a = pdf["dl"].to_numpy()[order]
-            tf_f = tfs_a.astype(np.float64)
-            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls_a / avgdl))
             change = np.empty(len(terms), dtype=bool)
             change[0] = True
             change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
@@ -640,20 +697,19 @@ class IndexBuilder:
             rows = []
             for s, e in zip(starts, ends):
                 blocks = encode_blocks_bulk(ids_a[s:e], tfs_a[s:e], dls_a[s:e])
-                bmax = np.maximum.reduceat(tf_norm[s:e], np.arange(0, e - s, BLOCK_SIZE))
+                mindl = np.minimum.reduceat(dls_a[s:e], np.arange(0, e - s, BLOCK_SIZE))
                 t, sh = terms[s], int(shards[s])
                 for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks):
                     rows.append(
                         (t, sh, bi, ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum,
-                         float(bmax[bi]))
+                         int(mindl[bi]))
                     )
             yield pd.DataFrame(rows, columns=cols)
 
         return encode
 
-    def _encode_groups(self, avgdl: float):
+    def _encode_groups(self, avgdl: float | None = None):
         """applyInPandas kernel: one (term, shard) group -> compressed block rows."""
-        k1, b = K1, B
 
         def encode(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
@@ -670,13 +726,11 @@ class IndexBuilder:
             term = pdf["term"].iloc[0]
             shard = int(pdf["shard"].iloc[0])
             blocks = encode_blocks_bulk(ids, tfs, dls)
-            tf_f = tfs.astype(np.float64)
-            tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
             starts = np.arange(0, len(ids), BLOCK_SIZE)
-            block_max_norm = np.maximum.reduceat(tf_norm, starts)
+            mindl = np.minimum.reduceat(dls, starts)
             rows = [
                 (term, shard, bi, ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum,
-                 float(block_max_norm[bi]))
+                 int(mindl[bi]))
                 for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks)
             ]
             return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
@@ -715,6 +769,17 @@ class IndexBuilder:
         """
         t0 = time.time()
         done = self.lineage.completed_stages() if resume else set()
+        if done:
+            # format guard: never resume into an index laid out by an older
+            # build (pre-min_dl block metadata) — rebuild it instead
+            try:
+                pf = set(
+                    self.spark.read.parquet(self.paths.postings).schema.fieldNames()
+                )
+                if "min_dl" not in pf:
+                    done = set()
+            except Exception:
+                done = set()
 
         if self.id_mode == "input":
             # shuffle-free scale path: two column-pruned scans of the
@@ -745,22 +810,38 @@ class IndexBuilder:
                 f"{self.n_shards - 1})"
             )
 
-        # docs forward store: doc_len via the JVM tokenizer expression
-        # (mirror-identical to the python tokenizer; no second Python pass),
-        # sha256 invariant, range-shard assignment.
-        if "docs" not in done:
-            from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
+        # ---- fused single content scan: ONE tokenize pass emits both the
+        # pre-encoded posting chunks AND per-doc sentinel rows (sha256 +
+        # doc_len); docs and postings are two cheap consumers of the
+        # persisted (chunk-sized, content-free) intermediate. The old
+        # two-pass shape re-scanned and re-tokenized the whole corpus for
+        # the docs table — ~15% of build wall time and double the IO.
+        all_rows = None
+        if "docs" not in done or "postings" not in done:
+            if self.routing_col:
+                chunks_src = corpus_ids.select(
+                    "doc_id", "content", shard_expr.alias("shard")
+                )
+                all_rows = chunks_src.mapInPandas(
+                    posting_chunks_fixed_shard_with_sentinels(),
+                    schema=CHUNK_SCHEMA,
+                )
+            else:
+                all_rows = corpus_ids.select("doc_id", "content").mapInPandas(
+                    self._posting_chunks(n_docs, with_doc_sentinels=True),
+                    schema=CHUNK_SCHEMA,
+                )
+            all_rows = all_rows.persist()
 
-            docs = corpus_ids.select(
-                "doc_id",
-                "repo",
-                "path",
-                "commit",
-                "lang",
-                F.sha2(F.col("content"), 256).alias("content_sha256"),
-                F.size(tokenize_expr("content")).cast("long").alias("doc_len"),
-                shard_expr.alias("shard"),
+        if "docs" not in done:
+            doc_rows = all_rows.filter(F.col("term") == DOC_SENTINEL).select(
+                F.col("first_doc_id").alias("doc_id"),
+                F.col("ids_vb").cast("string").alias("content_sha256"),
+                F.col("count").cast("long").alias("doc_len"),
+                F.col("shard"),
             )
+            meta = corpus_ids.select("doc_id", "repo", "path", "commit", "lang")
+            docs = meta.join(doc_rows, "doc_id")
             # repartition on shard first: without it every input partition
             # writes a file per shard value (n_parts x n_shards tiny files)
             docs.repartition(self.n_shards, F.col("shard")).write.mode(
@@ -768,17 +849,14 @@ class IndexBuilder:
             ).partitionBy("shard").parquet(self.paths.docs)
             self.lineage.commit("docs", 0, -1)
 
-        # stats from the (small, pruned) docs table — avgdl feeds block-max.
-        # bound_avgdl = the smallest avgdl any live block's max was computed
-        # under; block-max tf-norm grows with avgdl, so queries running at a
-        # larger current avgdl must inflate stored bounds by
-        # avgdl/bound_avgdl to stay sound (matters after incremental
-        # updates shift avgdl; == avgdl on a fresh build).
+        # stats from the (small, pruned) docs table. Block-max metadata is
+        # (max_tf, min_dl) with the tf_norm bound computed at query time
+        # under the CURRENT avgdl — always sound, no matter how later
+        # incremental updates shift avgdl.
         if "stats" not in done:
             stats = (
                 self.spark.read.parquet(self.paths.docs)
                 .agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-                .withColumn("bound_avgdl", F.col("avgdl"))
                 .withColumn("index_name", F.lit(self.index_name))
             )
             stats.coalesce(1).write.mode("overwrite").parquet(self.paths.stats)
@@ -787,24 +865,17 @@ class IndexBuilder:
         avgdl = float(srow["avgdl"])
         n_docs = int(srow["n_docs"])
 
-        # postings: SPIMI — local tokenize+encode per partition, shuffle the
-        # compressed chunks (tiny), concat-merge per (term, shard)
+        # postings: SPIMI — the persisted chunk rows (minus doc sentinels),
+        # shuffled compressed (tiny), concat-merged per (term, shard)
         if "postings" not in done:
             n_enc_parts = max(
                 int(self.spark.conf.get("spark.sql.shuffle.partitions", "64")),
                 self.n_shards,
             )
-            if self.routing_col:
-                chunks = corpus_ids.select(
-                    "doc_id", "content", shard_expr.alias("shard")
-                ).mapInPandas(posting_chunks_fixed_shard(avgdl), schema=CHUNK_SCHEMA)
-            else:
-                chunks = corpus_ids.select("doc_id", "content").mapInPandas(
-                    self._posting_chunks(avgdl, n_docs), schema=CHUNK_SCHEMA
-                )
+            chunks = all_rows.filter(F.col("term") != DOC_SENTINEL)
             postings = chunks.repartition(
                 n_enc_parts, F.col("term"), F.col("shard")
-            ).mapInPandas(self._merge_chunks(avgdl), schema=POSTINGS_SCHEMA)
+            ).mapInPandas(self._merge_chunks(), schema=POSTINGS_SCHEMA)
             (
                 postings.repartition(self.n_shards, F.col("shard"))
                 .sortWithinPartitions("term", "block_id")
@@ -813,6 +884,8 @@ class IndexBuilder:
                 .parquet(self.paths.postings)
             )
             self.lineage.commit("postings", 0, n_docs)
+        if all_rows is not None:
+            all_rows.unpersist()
 
         # dictionary: derived from the already-aggregated postings blocks —
         # a tiny column-pruned scan (term, count, tf_sum), no re-shuffle of

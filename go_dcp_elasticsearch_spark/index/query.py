@@ -12,7 +12,8 @@ Two physical strategies, rank-identical results:
    MaxScore/Block-Max-WAND family): per shard, compute per-doc score UPPER
    bounds from block-max metadata WITHOUT decoding tf payloads (doc-id
    membership via decoded id streams; ub = sum over terms of
-   idf * block_max_tf_norm of the containing block); exact-score the top-k
+   idf * bound(max_tf, min_dl, avgdl) of the containing block, the bound
+   evaluated at query time under the current avgdl); exact-score the top-k
    docs by UB to obtain a valid threshold lambda <= true kth score; fully
    score only docs with UB >= lambda. Sound (candidate set provably
    contains the true top-k) and exact. Each shard returns a local top-k;
@@ -69,13 +70,9 @@ class BM25Query:
         srow = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
-        # soundness correction for block-max bounds after incremental
-        # updates: bounds computed under a smaller avgdl underestimate
-        # tf_norm at the current avgdl by at most avgdl/bound_avgdl
-        bound_avgdl = float(
-            srow["bound_avgdl"] if "bound_avgdl" in srow.asDict() else srow["avgdl"]
-        )
-        self.ub_scale = max(1.0, self.avgdl / bound_avgdl)
+        # Block-max metadata is (max_tf, min_dl); the per-block tf_norm
+        # upper bound is computed HERE under the current avgdl — always
+        # sound regardless of how incremental updates shifted avgdl.
 
     # ---------- shared helpers ----------
 
@@ -161,9 +158,9 @@ class BM25Query:
         idfs = self._term_stats(terms)
         if not idfs:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
-        kernel = _make_shard_kernel(idfs, self.avgdl, k, self.ub_scale)
+        kernel = _make_shard_kernel(idfs, self.avgdl, k)
         blocks = self._candidate_blocks(list(idfs)).select(
-            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "block_max_tf_norm"
+            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "max_tf", "min_dl"
         )
         local = blocks.groupBy("shard").applyInPandas(
             kernel, schema="doc_id long, score double"
@@ -190,9 +187,9 @@ class BM25Query:
         live = {qid: ts for qid, ts in live.items() if ts}
         if not live:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k, self.ub_scale)
+        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k)
         blocks = self._candidate_blocks(sorted({t for ts in live.values() for t in ts})).select(
-            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "block_max_tf_norm"
+            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "max_tf", "min_dl"
         )
         local = blocks.groupBy("shard").applyInPandas(
             kernel, schema="query_id long, doc_id long, score double"
@@ -207,9 +204,15 @@ class BM25Query:
         )
 
 
+def _block_ub(max_tf: float, min_dl: float, avgdl: float) -> float:
+    """Sound per-block tf_norm upper bound under the CURRENT avgdl:
+    tf/(tf + K1(1-b+b*dl/avgdl)) is increasing in tf, decreasing in dl,
+    so (max_tf, min_dl) bounds every posting in the block."""
+    return max_tf / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl))
+
+
 def _make_batch_shard_kernel(
     qterms: dict[int, list[str]], idfs: dict[str, float], avgdl: float, k: int,
-    ub_scale: float = 1.0,
 ):
     """Multi-query per-shard kernel: decode each (term, block) id stream
     ONCE, then run the two-phase UB/exact pruning per query over the
@@ -250,7 +253,9 @@ def _make_batch_shard_kernel(
                 for row in per_term[t]:
                     ids = ids_of(t, row)
                     all_ids.append(ids)
-                    all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm * ub_scale))
+                    all_ubs.append(
+                        np.full(len(ids), w * _block_ub(row.max_tf, row.min_dl, avgdl))
+                    )
             ids_cat = np.concatenate(all_ids)
             ubs_cat = np.concatenate(all_ubs)
             uniq, inv = np.unique(ids_cat, return_inverse=True)
@@ -297,11 +302,12 @@ def _make_batch_shard_kernel(
     return kernel
 
 
-def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int, ub_scale: float = 1.0):
+def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
     """Build the per-shard numpy kernel (runs inside applyInPandas).
 
     Phase A: decode doc-id streams only; per-doc UB = sum_t idf_t *
-    block_max_tf_norm(block of t containing doc). Phase B: lambda = kth
+    bound(max_tf, min_dl, avgdl) of the block of t containing doc.
+    Phase B: lambda = kth
     largest exact score among the top-k docs by UB; candidates = UB >=
     lambda; exact-score candidates from tf/dl payloads (decoded lazily only
     for blocks that contain a candidate).
@@ -326,7 +332,9 @@ def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int, ub_scale: f
                 ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
                 decoded[(t, row.block_id)] = (ids, row)
                 all_ids.append(ids)
-                all_ubs.append(np.full(len(ids), w * row.block_max_tf_norm * ub_scale))
+                all_ubs.append(
+                    np.full(len(ids), w * _block_ub(row.max_tf, row.min_dl, avgdl))
+                )
         if not all_ids:
             return pd.DataFrame({"doc_id": [], "score": []})
         ids_cat = np.concatenate(all_ids)

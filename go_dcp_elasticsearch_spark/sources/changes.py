@@ -228,9 +228,6 @@ def apply_changes_to_index(
     )
     b = IndexBuilder(spark, index_dir, n_shards=int(n_shards))
     srow = spark.read.parquet(b.paths.stats).collect()[0]
-    old_bound_avgdl = float(
-        srow["bound_avgdl"] if "bound_avgdl" in srow.asDict() else srow["avgdl"]
-    )
     n_docs_before = int(srow["n_docs"])
 
     # inserts -> NEW tail shards sized like the existing ones: k new shards
@@ -311,8 +308,7 @@ def apply_changes_to_index(
         _delete_shard_partitions(spark, docs_path, emptied)
         _delete_shard_partitions(spark, b.paths.postings, emptied)
 
-        # NEW avgdl first: the rebuilt shards' block-max bounds must be
-        # computed under the avgdl queries will actually use
+        # refreshed corpus stats (block bounds no longer depend on avgdl)
         stats_row = (
             spark.read.parquet(docs_path)
             .agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
@@ -333,15 +329,15 @@ def apply_changes_to_index(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    # refresh dictionary + stats; bound_avgdl = smallest avgdl any live
-    # block bound was computed under (untouched shards keep old bounds)
+    # refresh dictionary + stats (block-max bounds are (max_tf, min_dl),
+    # evaluated at query time under the current avgdl — no bound-avgdl
+    # bookkeeping needed across incremental updates)
     spark.read.parquet(b.paths.postings).groupBy("term").agg(
         F.sum("count").alias("df"), F.sum("tf_sum").alias("cf")
     ).write.mode("overwrite").parquet(b.paths.dictionary)
-    bound_avgdl = min(old_bound_avgdl, avgdl_new)
     spark.createDataFrame(
-        [(n_docs_total, avgdl_new, bound_avgdl, b.index_name)],
-        "n_docs long, avgdl double, bound_avgdl double, index_name string",
+        [(n_docs_total, avgdl_new, b.index_name)],
+        "n_docs long, avgdl double, index_name string",
     ).coalesce(1).write.mode("overwrite").parquet(b.paths.stats)
     b.lineage.commit("incremental", -1, n_changed)
     shard_corpus.unpersist()

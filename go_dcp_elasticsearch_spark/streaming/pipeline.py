@@ -68,3 +68,146 @@ def stream_changes(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def write_corpus_mirror(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    key_cols: list[str] = ("repo", "path"),
+    n_buckets: int = 64,
+) -> None:
+    """Bootstrap the index's content forward store (``_corpus``).
+
+    The reference can rebuild any document because Elasticsearch stores
+    `_source`; our postings are derived, so shard rebuilds need a content
+    authority. The mirror is hash-bucketed on the doc key so a streaming
+    micro-batch only rewrites the buckets its keys touch (dynamic
+    partition overwrite), never the whole corpus.
+    """
+    key_cols = list(key_cols)
+    (
+        corpus.withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
+        .repartition(n_buckets, F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(f"{index_dir}/_corpus")
+    )
+    # the bucket count is part of the mirror's layout: persist it so every
+    # later consumer buckets identically (a mismatched modulus would route
+    # an upsert to a different partition than the row it replaces)
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/_corpus_meta")
+
+
+def stream_changes_to_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    index_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] = ("repo", "path"),
+    order_col: str = "seq_no",
+    n_buckets: int = 64,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The full reference loop end-to-end: stream change events ->
+    incrementally maintain the QUERYABLE index (go-dcp delivers events,
+    the connector ships them, Elasticsearch indexes them; here the sink
+    IS the index). Requires ``write_corpus_mirror`` bootstrap.
+
+    Micro-batch body (all idempotent deterministic overwrites, so
+    Structured Streaming's at-least-once replay = exactly-once state):
+      1. LWW-dedup the batch (A7).
+      2. Merge upserts/deletes into the touched ``_corpus`` buckets only
+         (dynamic partition overwrite on the key-hash bucket).
+      3. ``apply_changes_to_index`` — rebuild ONLY affected shards,
+         refresh dictionary/stats, commit lineage.
+    The source offset commits after the batch returns (ack-gated manual
+    checkpointing, connector.go:186 + bulk.go:320-332).
+
+    Stream schema: key_cols..., action ('index'|'delete'), commit, lang,
+    content (null for deletes), ``order_col``.
+    """
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    key_cols = list(key_cols)
+    corpus_path = f"{index_dir}/_corpus"
+    # layout authority: the modulus the mirror was written with wins over
+    # the parameter (see write_corpus_mirror)
+    try:
+        n_buckets = int(
+            spark.read.parquet(f"{index_dir}/_corpus_meta").collect()[0]["n_buckets"]
+        )
+    except Exception:
+        pass
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        feed = last_write_wins(batch_df, key_cols, order_col).persist()
+        touched = (
+            feed.select(_bucket_expr(key_cols, n_buckets).alias("_bucket"))
+            .distinct()
+            .collect()
+        )
+        touched_buckets = [int(r["_bucket"]) for r in touched]
+
+        # merge the touched buckets: survivors keep content, upserts win.
+        # The semi-join against the docs key set also garbage-collects rows
+        # whose keys were deleted by EARLIER batches in other buckets
+        # (an empty-after-delete bucket is never rewritten by dynamic
+        # overwrite, so stale content would otherwise linger — harmless
+        # for queries, but a space leak).
+        old = spark.read.parquet(corpus_path).filter(
+            F.col("_bucket").isin(touched_buckets)
+        )
+        live_keys = spark.read.parquet(f"{index_dir}/docs").select(*key_cols)
+        survivors = old.join(live_keys, key_cols, "left_semi").join(
+            F.broadcast(feed.select(*key_cols)), key_cols, "left_anti"
+        )
+        upserts = feed.filter(F.col("action") != "delete").select(
+            *key_cols, "commit", "lang", "content",
+            F.col(order_col).cast("int").alias("seq_no"),
+        ).withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
+        merged = survivors.unionByName(upserts).persist()
+        merged.count()  # materialize before overwriting what `old` reads
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.repartition(max(len(touched_buckets), 1), F.col("_bucket")).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(corpus_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshByPath(corpus_path)
+
+        new_corpus = spark.read.parquet(corpus_path).drop("_bucket")
+        apply_changes_to_index(
+            spark, index_dir, new_corpus,
+            feed.select(*key_cols, "action",
+                        F.col(order_col).cast("long").alias(order_col)),
+            key_cols=key_cols, order_col=order_col,
+        )
+        merged.unpersist()
+        feed.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

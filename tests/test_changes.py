@@ -163,7 +163,6 @@ def test_apply_changes_to_index_end_to_end(spark, tmp_path):
     ).collect()
     docs_tokens = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
     q = BM25Query(spark, idx)
-    assert q.ub_scale >= 1.0
     for qtext in ["quasarFlux buffer", "kraken_sentinel", "getValue", new_content]:
         want = bm25_oracle(docs_tokens, tokenize_py(qtext), 10)
         got = [(int(r["doc_id"]), float(r["score"])) for r in q.topk_pruned(qtext, 10).collect()]

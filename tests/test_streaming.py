@@ -46,3 +46,75 @@ def test_stream_drain_and_resume(spark, tmp_path):
     q2.awaitTermination(60)
     rows2 = {(r["key"], r["seq_no"]) for r in spark.read.parquet(sink).collect()}
     assert rows2 == {("a", 2), ("b", 1), ("c", 5)}
+
+
+def test_stream_changes_to_index_end_to_end(spark, tmp_path):
+    """A1/A18/B1-B2 full loop: build index + corpus mirror, stream two
+    change files (update + delete + insert), AvailableNow drain; the
+    QUERYABLE index reflects the stream and ranks match a full rebuild."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.streaming.pipeline import (
+        stream_changes_to_index,
+        write_corpus_mirror,
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "changes_src")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = synth_corpus(spark, 150)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    write_corpus_mirror(spark, idx, corpus, n_buckets=8)
+
+    docs0 = spark.read.parquet(f"{idx}/docs")
+    victims = docs0.orderBy("doc_id").limit(2).collect()
+    upd_key = (victims[0]["repo"], victims[0]["path"])
+    del_key = (victims[1]["repo"], victims[1]["path"])
+
+    schema = StructType([
+        StructField("repo", StringType()), StructField("path", StringType()),
+        StructField("action", StringType()), StructField("commit", StringType()),
+        StructField("lang", StringType()), StructField("content", StringType()),
+        StructField("seq_no", IntegerType()),
+    ])
+    new_content = "streamedRewrite nebularPulse nebularPulse buffer"
+    batch1 = [(upd_key[0], upd_key[1], "index", "c1", "python", new_content, 1001),
+              (del_key[0], del_key[1], "delete", None, None, None, 1002)]
+    batch2 = [("orgS/streamrepo", "src/s.py", "index", "c2", "go",
+               "streamInserted vortex_beacon parser", 1003)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = stream_changes_to_index(spark, src, schema, idx, ckpt, available_now=True)
+    q.awaitTermination(120)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_changes_to_index(spark, src, schema, idx, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    docs1 = spark.read.parquet(f"{idx}/docs")
+    assert docs1.filter(
+        (F.col("repo") == del_key[0]) & (F.col("path") == del_key[1])
+    ).count() == 0
+    assert docs1.filter(F.col("repo") == "orgS/streamrepo").count() == 1
+    assert docs1.count() == 150  # -1 delete +1 insert
+
+    # rank identity over the post-stream state
+    mirror = spark.read.parquet(f"{idx}/_corpus")
+    id_rows = docs1.select("doc_id", "repo", "path").join(
+        mirror.select("repo", "path", "content"), ["repo", "path"]
+    ).collect()
+    assert len(id_rows) == 150  # mirror consistent with docs
+    toks = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
+    bq = BM25Query(spark, idx)
+    for qtext in ["nebularPulse buffer", "vortex_beacon", "getValue index"]:
+        want = bm25_oracle(toks, tokenize_py(qtext), 10)
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in bq.topk_pruned(qtext, 10).collect()]
+        assert [g[0] for g in got] == [w[0] for w in want], qtext
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
