@@ -98,16 +98,19 @@ def main() -> None:
         synth_corpus(spark, n_docs, 128).write.mode("overwrite").parquet(corpus_path)
         spark.stop()
 
+    # interleave levels (N, 4N, N, 4N, ...): the host has sporadic
+    # minutes-long 2-3x degradation episodes; alternating decorrelates an
+    # episode from one level, and best-of-reps drops it entirely
     results = {}
-    for cores in (n_small, n_big):
-        best = None
-        for _ in range(reps):
+    for rep in range(reps):
+        for cores in (n_small, n_big):
             r = run_once(cores, corpus_path, n_shards)
-            print(f"  local[{cores}] rep: {r}")
+            print(f"  local[{cores}] rep {rep + 1}: {r}", flush=True)
+            best = results.get(cores)
             if best is None or r["files_per_sec"] > best["files_per_sec"]:
-                best = r
-        results[cores] = best
-        print(f"local[{cores}]: {best}")
+                results[cores] = r
+    for cores in (n_small, n_big):
+        print(f"local[{cores}] best: {results[cores]}")
 
     eff = (results[n_big]["files_per_sec"] / results[n_small]["files_per_sec"]) / 4
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
