@@ -440,6 +440,22 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, driver-oracled: documents' text bytes play the
+    opaque video payload; the frame sampler does the real work (binary
+    column pruned to (id, payload, duration), 1->N frame explode INSIDE
+    the Arrow kernel, bounded by max_frames) with an md5 fake decode."""
+    from go_dcp_elasticsearch_spark.operators.multimodal import sample_video_frames_md5
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        ((F.col("doc_id") % 10 + 1) * F.lit(900)).cast("long").alias("duration_ms"),
+    )
+    return sample_video_frames_md5(media, every_ms=1000, max_frames=8)
+
+
 def _q_changes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1/B2: CDC apply — events as the change feed over empty state;
     final state = newest action per key unless it is a delete."""
@@ -507,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
+        "media_frames": _q_media_frames,
         "changes_apply": _q_changes_apply,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -775,6 +792,13 @@ scored AS (
             JOIN embeddings eb ON eb.vec_id = vec_b
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {EMB_DUP_THRESHOLD}
+""",
+        "media_frames": """
+SELECT doc_id AS media_id, CAST(r.frame_idx AS INT) AS frame_idx,
+       md5(text || ':' || CAST(r.frame_idx AS VARCHAR)) AS frame_md5
+FROM documents,
+     unnest(range(0, least(8, greatest(1, ((doc_id % 10 + 1) * 900) // 1000))))
+     AS r(frame_idx)
 """,
         "ann_lsh_topk": f"""
 WITH planes AS (SELECT p, {_plane_sql("p")} AS pv FROM range(0, {ANN_PLANES}) t(p)),

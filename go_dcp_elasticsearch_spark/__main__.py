@@ -42,7 +42,10 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="BM25 top-k query against a built index")
     q.add_argument("--index", required=True)
-    q.add_argument("--text", required=True)
+    q.add_argument("--text", default=None, help="single query text")
+    q.add_argument("--text-file", default=None,
+                   help="file with one query per line — served via topk_batch "
+                        "(ONE postings scan + shared block decode for the whole set)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--strategy", choices=["pruned", "exact"], default="pruned")
     q.add_argument("--master", default=None)
@@ -73,9 +76,20 @@ def main(argv: list[str] | None = None) -> int:
             from go_dcp_elasticsearch_spark.index import BM25Query
 
             qq = BM25Query(spark, args.index)
-            fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
-            for row in fn(args.text, args.k).collect():
-                print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
+            if args.text_file:
+                with open(args.text_file) as f:
+                    batch = [(i, line.strip()) for i, line in enumerate(f) if line.strip()]
+                for row in qq.topk_batch(batch, args.k).collect():
+                    print(json.dumps({
+                        "query_id": row["query_id"], "doc_id": row["doc_id"],
+                        "score": row["score"],
+                    }))
+            elif args.text is not None:
+                fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
+                for row in fn(args.text, args.k).collect():
+                    print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
+            else:
+                p.error("query requires --text or --text-file")
         return 0
     finally:
         spark.stop()

@@ -840,7 +840,19 @@ class IndexBuilder:
                 F.col("count").cast("long").alias("doc_len"),
                 F.col("shard"),
             )
-            meta = corpus_ids.select("doc_id", "repo", "path", "commit", "lang")
+            if self.id_mode == "input":
+                # column pruning does NOT reach through mapInPandas: selecting
+                # metadata from corpus_ids would pipe the full content through
+                # the Python id-assignment again. Re-assign ids over the
+                # content-free projection instead — input mode's ids are row
+                # positions of the (deterministically ordered) source, so the
+                # pruned scan yields identical ids at a fraction of the IO.
+                meta = assign_doc_ids_input_order(
+                    corpus.select("repo", "path", "commit", "lang")
+                ).select("doc_id", "repo", "path", "commit", "lang")
+            else:
+                # sorted mode: corpus_ids reads the persisted shuffle output
+                meta = corpus_ids.select("doc_id", "repo", "path", "commit", "lang")
             docs = meta.join(doc_rows, "doc_id")
             # repartition on shard first: without it every input partition
             # writes a file per shard value (n_parts x n_shards tiny files)

@@ -174,6 +174,43 @@ def sample_video_frames(
     ).mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+def sample_video_frames_md5(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """sample_video_frames with an md5-derived fake frame id instead of a
+    numpy-RNG pseudo-decode: md5 is identical in Spark/Python/DuckDB, so
+    the WHOLE operator — binary payload column pruning, in-kernel 1->N
+    frame explode, bounded batch output — is checkable by the driver's
+    SQL oracle end-to-end. Frame id = md5(payload || ':' || frame_idx);
+    the real ffmpeg kernel replaces only the hash line."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_md5", StringType(), False),
+        ]
+    )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            ids, idxs, hashes = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = min(max_frames, max(1, int((dur or 0) // every_ms)))
+                pb = bytes(payload)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    # >>> STUB: real impl = ffmpeg frame grab + hash
+                    hashes.append(hashlib.md5(pb + f":{i}".encode()).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(kernel, schema=schema)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media fixture table (binary payloads from seeds)."""
     rows = []
