@@ -70,6 +70,37 @@ class BM25Query:
         srow = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
+        # shard count for the kernel partitioner (tiny pruned scan, once)
+        self.n_shards = int(
+            spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]
+        ) + 1
+        self._salts = self._shard_salts()
+
+    def _shard_salts(self) -> dict[int, int]:
+        """shard -> integer salt with pmod(hash(salt), n_shards) == shard.
+
+        Probing Spark's own murmur3 once at init buys a PERFECT
+        1-shard-per-task partitioner for every later query: plain
+        repartition(n, "shard") hashes n keys into n buckets and birthday
+        collisions make one task do two shards' work (the straggler sets
+        query wall time), while repartitionByRange adds a sampling pass
+        per query. One tiny driver job; no per-query cost."""
+        n = self.n_shards
+        best: dict[int, int] = {}
+        span = 64 * n
+        while len(best) < n:
+            probe = (
+                self.spark.range(0, span)
+                .select(
+                    F.col("id").cast("int").alias("salt"),
+                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+                )
+                .collect()
+            )
+            for r in probe:
+                best.setdefault(int(r["p"]), int(r["salt"]))
+            span *= 4
+        return {shard: best[shard] for shard in range(n)}
         # Block-max metadata is (max_tf, min_dl); the per-block tf_norm
         # upper bound is computed HERE under the current avgdl — always
         # sound regardless of how incremental updates shifted avgdl.
@@ -148,6 +179,35 @@ class BM25Query:
         )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def _per_shard(self, blocks: DataFrame, kernel, out_schema: str) -> DataFrame:
+        """Run a per-shard kernel with EXACTLY one-ish shard per task.
+
+        ``groupBy("shard").applyInPandas`` hashes n_shards keys into
+        spark.sql.shuffle.partitions buckets — birthday collisions put two
+        shards in one task and that straggler sets the query's wall time.
+        Repartitioning on the probed salt (see _shard_salts) assigns each
+        shard its OWN task deterministically; the mapInPandas wrapper runs
+        the kernel per shard group within the partition."""
+
+        def run(iterator):
+            pdfs = list(iterator)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            if len(pdf) == 0:
+                return
+            for _, g in pdf.groupby("shard", sort=False):
+                out = kernel(g)
+                if len(out):
+                    yield out
+
+        salt = F.create_map(
+            *[x for sh, sl in sorted(self._salts.items()) for x in (F.lit(sh), F.lit(sl))]
+        )[F.col("shard")].cast("int")
+        return blocks.repartition(max(self.n_shards, 1), salt).mapInPandas(
+            run, schema=out_schema
+        )
+
     # ---------- strategy 2: shard-parallel block-max pruning ----------
 
     def topk_pruned(self, query: str, k: int = 10) -> DataFrame:
@@ -162,9 +222,7 @@ class BM25Query:
         blocks = self._candidate_blocks(list(idfs)).select(
             "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "max_tf", "min_dl"
         )
-        local = blocks.groupBy("shard").applyInPandas(
-            kernel, schema="doc_id long, score double"
-        )
+        local = self._per_shard(blocks, kernel, "doc_id long, score double")
         return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     # ---------- batch retrieval (many queries at once) ----------
@@ -191,9 +249,7 @@ class BM25Query:
         blocks = self._candidate_blocks(sorted({t for ts in live.values() for t in ts})).select(
             "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "max_tf", "min_dl"
         )
-        local = blocks.groupBy("shard").applyInPandas(
-            kernel, schema="query_id long, doc_id long, score double"
-        )
+        local = self._per_shard(blocks, kernel, "query_id long, doc_id long, score double")
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )
