@@ -225,6 +225,18 @@ class BM25Query:
         local = self._per_shard(blocks, kernel, "doc_id long, score double")
         return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def with_meta(self, hits: DataFrame) -> DataFrame:
+        """Join top-k hits back to the forward store: the engine's doc_id
+        is internal; callers get the reference's identity (repo, path)
+        plus commit/lang/sha. Broadcast the (tiny) hits side so the docs
+        scan stays partition-pruned and shuffle-free."""
+        docs = self.spark.read.parquet(self.paths.docs).select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+        )
+        return docs.join(F.broadcast(hits), "doc_id").select(
+            *hits.columns, "repo", "path", "commit", "lang", "content_sha256"
+        )
+
     # ---------- batch retrieval (many queries at once) ----------
 
     def topk_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:

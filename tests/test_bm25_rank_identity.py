@@ -75,3 +75,19 @@ def test_batch_retrieval_matches_single(spark, built):
         want = bm25_oracle(docs_tokens, tokenize_py(qtext), 5)
         got = by_qid.get(qid, [])
         assert [g[0] for g in got] == [w[0] for w in want], qtext
+
+
+def test_with_meta_roundtrip(spark, tmp_path):
+    """Hits -> forward-store join returns the caller-facing identity
+    (repo, path) for every hit, broadcast side = hits."""
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+
+    idx = str(tmp_path / "idx")
+    IndexBuilder(spark, idx, n_shards=2).build(synth_corpus(spark, 120))
+    q = BM25Query(spark, idx)
+    hits = q.topk_pruned("getValue buffer", 5)
+    out = q.with_meta(hits).collect()
+    assert len(out) == 5
+    assert all(r["repo"] and r["path"] and len(r["content_sha256"]) == 64 for r in out)
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in hits.collect()}
