@@ -284,6 +284,10 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
     deriving shards from the doc-id range formula — used by (a) incremental
     rebuilds, where shard assignments are preserved from the original
     build, and (b) routing-placed indexes, where shard = hash(routing).
+    Vectorized like _posting_chunks (factorize + lexsort + reduceat; the
+    lexsort — rather than a stable sort by term alone — is what keeps
+    (term, shard) groups contiguous with ascending ids when the shard
+    column is NOT monotone in doc_id, e.g. hash routing).
     (``avgdl`` accepted for backward compat and unused — block metadata is
     (max_tf, min_dl), bound applied at query time.)"""
     import hashlib
@@ -296,42 +300,85 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
 
     def kernel(iterator):
         from collections import Counter
+        from itertools import chain
 
-        rows = []
+        term_parts: list[list[str]] = []
+        did_parts, tf_parts, dl_parts, sh_parts = [], [], [], []
         sents = []
         for pdf in iterator:
             pdf = pdf.sort_values("doc_id")
-            for did, content, sh in zip(pdf["doc_id"], pdf["content"], pdf["shard"]):
-                c = Counter(tokenize_py(content))
-                dl = sum(c.values())
-                for t, tf in c.items():
-                    rows.append((t, int(sh), int(did), tf, dl))
-                if with_doc_sentinels:
-                    sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
-                    sents.append(
-                        (DOC_SENTINEL, int(sh), int(did), sha.encode("ascii"),
-                         b"", b"", int(dl), int(did), 0, 0, int(dl))
-                    )
-        if not rows:
-            if sents:
-                yield pd.DataFrame(sents, columns=cols)
+            counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
+            sizes = np.fromiter(
+                (len(c) for c in counters), dtype=np.int64, count=len(counters)
+            )
+            n = int(sizes.sum())
+            term_parts.append(list(chain.from_iterable(c.keys() for c in counters)))
+            tf_parts.append(
+                np.fromiter(
+                    chain.from_iterable(c.values() for c in counters),
+                    dtype=np.int64, count=n,
+                )
+            )
+            doc_lens = np.fromiter(
+                (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
+            )
+            batch_ids = pdf["doc_id"].to_numpy()
+            batch_sh = pdf["shard"].to_numpy().astype(np.int32)
+            did_parts.append(np.repeat(batch_ids, sizes))
+            dl_parts.append(np.repeat(doc_lens, sizes))
+            sh_parts.append(np.repeat(batch_sh, sizes))
+            if with_doc_sentinels:
+                shas = [
+                    hashlib.sha256(c.encode("utf-8")).hexdigest().encode("ascii")
+                    for c in pdf["content"]
+                ]
+                sents.append(pd.DataFrame({
+                    "term": DOC_SENTINEL,
+                    "shard": batch_sh,
+                    "first_doc_id": batch_ids,
+                    "ids_vb": shas,
+                    "tfs_vb": b"",
+                    "dls_vb": b"",
+                    "count": doc_lens.astype(np.int32),
+                    "max_doc_id": batch_ids,
+                    "max_tf": 0,
+                    "tf_sum": 0,
+                    "min_dl": doc_lens,
+                }))
+        if not did_parts:
             return
-        pdf = pd.DataFrame(rows, columns=["term", "shard", "doc_id", "tf", "dl"])
-        pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
-        out = []
-        for (t, sh), g in pdf.groupby(["term", "shard"], sort=False):
-            ids = g["doc_id"].to_numpy()
-            tfs = g["tf"].to_numpy()
-            dls = g["dl"].to_numpy()
-            blocks = encode_blocks_bulk(ids, tfs, dls)
-            mindl = np.minimum.reduceat(dls, np.arange(0, len(ids), BLOCK_SIZE))
-            for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(blocks):
-                out.append(
-                    (t, int(sh), int(ids[bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
+        terms = pd.Series(list(chain.from_iterable(term_parts)))
+        dids = np.concatenate(did_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        shards = np.concatenate(sh_parts)
+        codes, uniq_terms = pd.factorize(terms, sort=False)
+        order = np.lexsort((dids, shards, codes))
+        codes, dids, tfs, dls, shards = (
+            codes[order], dids[order], tfs[order], dls[order], shards[order]
+        )
+        change = np.empty(len(codes), dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(codes))
+        rows = []
+        for s, e in zip(starts, ends):
+            blocks = encode_blocks_bulk(dids[s:e], tfs[s:e], dls[s:e])
+            mindl = np.minimum.reduceat(dls[s:e], np.arange(0, e - s, BLOCK_SIZE))
+            t = uniq_terms[codes[s]]
+            sh = int(shards[s])
+            for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(
+                blocks
+            ):
+                rows.append(
+                    (t, sh, int(dids[s + bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
                      cnt, max_id, max_tf, tf_sum, int(mindl[bi]))
                 )
-        out.extend(sents)
-        yield pd.DataFrame(out, columns=cols)
+        out = pd.DataFrame(rows, columns=cols)
+        if sents:
+            out = pd.concat([out, *sents], ignore_index=True)
+        yield out
 
     return kernel
 

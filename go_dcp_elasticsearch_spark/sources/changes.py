@@ -195,6 +195,13 @@ def apply_changes_to_index(
     Scale shape: the rebuild reads only shard-pruned docs partitions + the
     changed keys' content; insert-id assignment is offset-based (no global
     window); dictionary/stats refresh is a column-pruned scan of postings.
+
+    Cost model: proportional to the AFFECTED shards, so it wins when the
+    delta clusters (the common CDC case — one repo's commits hash near
+    each other in key space). A delta touching EVERY shard costs ~2x a
+    fresh build (join + id-map bookkeeping on top of the rebuild); for
+    such re-ingest-everything deltas prefer IndexBuilder.build — but note
+    a fresh build re-ranks doc ids, while this path preserves them.
     """
     from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
     from go_dcp_elasticsearch_spark.index.builder import (
