@@ -60,6 +60,7 @@ EMB_DIM = 64
 EMB_DUP_THRESHOLD = 0.35
 EMB_DUP_BANDS, EMB_DUP_BAND_BITS = 4, 4
 ANN_PLANES, ANN_MAX_HAMMING = 8, 3
+IVF_CELLS, IVF_PROBE = 16, 4
 LSH_SEED = 42
 
 _TOKS_SQL = tokenize_duckdb_sql("text")
@@ -499,6 +500,21 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN scale path: deterministic coarse quantizer (lowest-id
+    vectors as centroids), probe the 4 nearest of 16 cells, exact re-rank
+    of candidates — fully SQL-mirrorable, so assignment + probe + re-rank
+    are all oracle-checked."""
+    from go_dcp_elasticsearch_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb, list(qvec), "embedding", "vec_id", k=10,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _q_bm25_topk,
@@ -528,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -792,6 +809,35 @@ scored AS (
             JOIN embeddings eb ON eb.vec_id = vec_b
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {EMB_DUP_THRESHOLD}
+""",
+        "ivf_topk": f"""
+WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < {IVF_CELLS}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qcells AS (
+  SELECT cid FROM cents, q
+  ORDER BY (list_dot_product(cv, qv) /
+            (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))) DESC,
+           cid ASC
+  LIMIT {IVF_PROBE}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (list_dot_product(e.embedding::DOUBLE[], c.cv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.cv, c.cv)))) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+cand AS (SELECT vec_id FROM assign WHERE cell IN (SELECT cid FROM qcells))
+SELECT e.vec_id,
+  floor((list_dot_product(e.embedding::DOUBLE[], qv) /
+    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(qv, qv)))) * 1000000 + 0.5) / 1000000.0 AS cosine
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "media_frames": """
 SELECT doc_id AS media_id, CAST(r.frame_idx AS INT) AS frame_idx,

@@ -98,6 +98,65 @@ def lsh_buckets(
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: cell = argmax cosine(v, centroid), ties
+    broken by lowest centroid id. All JVM expressions (one struct per
+    centroid, array_sort argmax) — no UDF, whole-stage codegen'd."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = []
+    for cid, cv in centroids:
+        c = F.lit(list(map(float, cv))).cast("array<double>")
+        scored.append(
+            F.struct((-cosine_expr(v, c)).alias("neg"), F.lit(int(cid)).alias("cid"))
+        )
+    best = F.array_sort(F.array(*scored))[0]
+    return df.select(F.col(id_col), F.col(vec_col), best["cid"].alias("cell"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer of ``n_cells`` centroid vectors,
+    probe the ``n_probe`` cells nearest to the query, exact cosine re-rank
+    of candidates only.
+
+    Centroids are DETERMINISTIC — the n_cells lowest-id vectors — so the
+    whole operator (assignment, probe set, re-rank) is reproducible in
+    ANSI SQL and oracle-checked by the driver. At scale a trained k-means
+    codebook slots into the same plumbing: ``ivf_assign`` takes any
+    (cid, vector) list; assignment is one scan, candidates one
+    partition-pruned scan per probe set. Scale shape: candidate count ~
+    n_probe/n_cells of the corpus; no all-pairs anything.
+    """
+    cents = [
+        (int(r[id_col]), list(map(float, r[vec_col])))
+        for r in df.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def cos(c):
+        c = np.asarray(c, dtype=np.float64)
+        return float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv)))
+
+    probed = [cid for cid, cv in sorted(cents, key=lambda t: (-cos(t[1]), t[0]))[:n_probe]]
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    cands = assigned.filter(F.col("cell").isin(probed)).select(id_col, vec_col)
+    return brute_force_topk(cands, query_vec, vec_col, id_col, k)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -122,3 +122,30 @@ def test_fingerprint_properties(spark):
     assert got[1] == got[2]  # deterministic
     assert got[1] != got[3]
     assert got[4] == 0
+
+
+def test_ivf_recall_on_near_duplicates(spark, sf_dir):
+    """IVF-flat: planted near-copies of the query must land in the probed
+    cells (their cosine to the query's cell centroid is ~the query's) —
+    recall >= 0.8 at n_probe=4/16."""
+    from go_dcp_elasticsearch_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(1)
+    emb = _emb(spark, sf_dir)
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64
+    )
+    planted = [
+        (10_000 + i, (q + rng.normal(scale=0.08, size=len(q))).tolist(), -1)
+        for i in range(15)
+    ]
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>, label int")
+    )
+    exact = {r["vec_id"] for r in brute_force_topk(aug, q.tolist(), k=15).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(aug, q.tolist(), k=15, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low on near-dups: {recall}"
