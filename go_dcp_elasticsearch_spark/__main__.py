@@ -40,6 +40,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="engine config YAML/JSON (maxRetries -> task retry budget)")
     b.add_argument("--master", default=None)
 
+    a = sub.add_parser("apply", help="apply a change feed to an existing index "
+                                     "(incremental shard-scoped rebuild)")
+    a.add_argument("--index", required=True)
+    a.add_argument("--corpus", required=True,
+                   help="post-change corpus snapshot (parquet)")
+    a.add_argument("--changes", required=True,
+                   help="parquet of (repo, path, action, seq_no)")
+    a.add_argument("--master", default=None)
+
+    c = sub.add_parser("compact", help="merge small tail shards (metadata-only)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--target-docs-per-shard", type=int, default=None)
+    c.add_argument("--master", default=None)
+
     q = sub.add_parser("query", help="BM25 top-k query against a built index")
     q.add_argument("--index", required=True)
     q.add_argument("--text", default=None, help="single query text")
@@ -72,6 +86,21 @@ def main(argv: list[str] | None = None) -> int:
                 routing_col=args.routing_col,
             ).build(corpus, resume=args.resume)
             print(json.dumps(summary))
+        elif args.cmd == "apply":
+            from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+            out = apply_changes_to_index(
+                spark, args.index,
+                spark.read.parquet(args.corpus),
+                spark.read.parquet(args.changes),
+            )
+            print(json.dumps(out))
+        elif args.cmd == "compact":
+            from go_dcp_elasticsearch_spark.sources.changes import compact_index
+
+            print(json.dumps(compact_index(
+                spark, args.index, target_docs_per_shard=args.target_docs_per_shard
+            )))
         else:
             from go_dcp_elasticsearch_spark.index import BM25Query
 
