@@ -119,6 +119,26 @@ def main() -> None:
         q.topk_batch(big, 10).collect()
         big_sec = time.time() - t0
         timings["topk_batch48_qps"] = round(len(big) / big_sec, 2)
+
+        # --- incremental maintenance: 2% update delta, shard-scoped rebuild ---
+        from pyspark.sql import functions as F
+
+        from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+        upd = corpus.filter(F.col("seq_no") % 50 == 7).withColumn(
+            "content", F.concat(F.col("content"), F.lit(" benchPatchToken"))
+        )
+        new_corpus = corpus.join(
+            upd.select("repo", "path"), ["repo", "path"], "left_anti"
+        ).unionByName(upd)
+        changes = upd.select(
+            "repo", "path", F.lit("index").alias("action"),
+            (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
+        )
+        t0 = time.time()
+        inc = apply_changes_to_index(spark, idx_dir, new_corpus, changes)
+        timings["incremental_apply_sec"] = round(time.time() - t0, 3)
+        timings["incremental_changed"] = inc["n_changed"]
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
