@@ -139,6 +139,9 @@ def main() -> None:
         inc = apply_changes_to_index(spark, idx_dir, new_corpus, changes)
         timings["incremental_apply_sec"] = round(time.time() - t0, 3)
         timings["incremental_changed"] = inc["n_changed"]
+        # new-in-round-2 workload: keep the HEADLINE total comparable with
+        # earlier rounds (build + query set + operator suite only)
+        extra_sec = timings["incremental_apply_sec"]
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -152,7 +155,7 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 4)
 
-    total = time.time() - t_all
+    total = time.time() - t_all - extra_sec
     print(
         json.dumps(
             {
