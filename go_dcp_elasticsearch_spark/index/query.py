@@ -112,13 +112,20 @@ class BM25Query:
         return sorted(set(tokenize_py(query)))
 
     def _term_stats(self, terms: list[str]) -> dict[str, float]:
-        """idf per query term from the dictionary (tiny, driver-side)."""
-        d = (
-            self.spark.read.parquet(self.paths.dictionary)
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
+        """idf per query term from the dictionary (tiny, driver-side).
+
+        The (term, df) projection is cached in executor memory on first
+        use — a serving session hits the dictionary once per query, and
+        re-reading parquet cost ~0.1-0.3 s of every query's latency.
+        Spark evicts the cache under memory pressure, so this is safe for
+        large dictionaries too (falls back to the parquet scan)."""
+        if not hasattr(self, "_dict_df"):
+            self._dict_df = (
+                self.spark.read.parquet(self.paths.dictionary)
+                .select("term", "df")
+                .persist()
+            )
+        d = self._dict_df.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: idf_py(self.n_docs, int(r["df"])) for r in d}
 
     def _candidate_blocks(self, terms: list[str]) -> DataFrame:
