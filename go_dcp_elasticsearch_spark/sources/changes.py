@@ -202,6 +202,12 @@ def apply_changes_to_index(
     fresh build (join + id-map bookkeeping on top of the rebuild); for
     such re-ingest-everything deltas prefer IndexBuilder.build — but note
     a fresh build re-ranks doc ids, while this path preserves them.
+
+    Routing-placed indexes (IndexBuilder(routing_col=...)): updates and
+    deletes stay correct (shard assignments are preserved per doc), but
+    INSERTS land in new tail shards rather than their routing shard —
+    query results are unaffected (shards only need to partition docs);
+    co-location for new docs is restored by a routed fresh build.
     """
     from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
     from go_dcp_elasticsearch_spark.index.builder import (
