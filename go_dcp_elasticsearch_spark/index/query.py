@@ -64,9 +64,31 @@ DECODED_SCHEMA = StructType(
 
 
 class BM25Query:
+    """Query handle over one index LAYOUT: n_docs/avgdl/shard salts are
+    snapshotted at init and the (term, df) dictionary projection is cached
+    on first use. After ``apply_changes_to_index`` / ``compact_index``
+    rewrite the index, a held handle serves stale idf/stats or hits
+    FileNotFound on the overwritten parquet — call :meth:`refresh` (or
+    re-instantiate) after any index maintenance."""
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        self.refresh()
+
+    def refresh(self) -> "BM25Query":
+        """Invalidate all cached state and re-snapshot the index: unpersist
+        + drop the dictionary cache, re-read n_docs/avgdl, re-derive the
+        shard count and the perfect-partitioner salts (compaction can
+        change the shard set). Safe to call between queries; returns self."""
+        if hasattr(self, "_dict_df"):
+            self._dict_df.unpersist()
+            del self._dict_df
+        spark = self.spark
+        spark.catalog.refreshByPath(self.paths.postings)
+        spark.catalog.refreshByPath(self.paths.docs)
+        spark.catalog.refreshByPath(self.paths.dictionary)
+        spark.catalog.refreshByPath(self.paths.stats)
         srow = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(srow["n_docs"])
         self.avgdl = float(srow["avgdl"])
@@ -75,6 +97,7 @@ class BM25Query:
             spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]
         ) + 1
         self._salts = self._shard_salts()
+        return self
 
     def _shard_salts(self) -> dict[int, int]:
         """shard -> integer salt with pmod(hash(salt), n_shards) == shard.

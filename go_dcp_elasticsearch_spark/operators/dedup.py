@@ -68,50 +68,96 @@ def minhash_band_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n_hashes: int = 6,
+    n_hashes: int = 12,
     band_size: int = 3,
     shingle_n: int = 3,
+    mode: str = "md5",
 ) -> DataFrame:
-    """MinHash + LSH banding, fully relational and engine-portable.
+    """MinHash + LSH banding. Returns rows (id, band, bucket).
 
-    signature_i(doc) = min over shingles s of hash_i(s), where hash_i is a
-    disjoint 5-hex-char slice of ONE md5(s) per shingle (md5 bits are
-    independent, so slices act as independent 20-bit hash functions — and
-    one digest per shingle instead of n_hashes of them is the dominant
-    cost saver). Hex compares lexicographically the same everywhere.
-    Bands of ``band_size`` signatures are md5-ed into bucket keys; docs
-    sharing any (band, bucket) are near-dup candidates. Returns rows
-    (id, band, bucket).
+    ``mode="md5"`` (oracle-portable): signature_i(doc) = min over shingles
+    s of hash_i(s), where hash_i is a disjoint 5-hex-char slice of
+    md5(salt_d + s) with d = i // 6 and salt_d = "" for d=0, f"{d}|"
+    otherwise (md5 bits are independent, so slices act as independent
+    20-bit hash functions; extra salted digests extend past 6 hashes).
+    Hex compares lexicographically the same everywhere, so the DuckDB
+    oracle reproduces buckets bit-for-bit. For n_hashes <= 6 this is
+    byte-identical to the historical single-digest scheme.
 
-    Scale path: the only shuffle is on (band, bucket); signatures are
-    computed map-side from the shingle array without exploding shingles
-    through a shuffle (array_min of transform — JVM-side, codegen'd).
+    ``mode="fast"`` (the 100 TB path, see ``minhash_lsh_pairs``): ONE
+    blake2b-128 digest per shingle split into two uint64 (h1, h2); the
+    n_hashes functions are h_i = h1 + i*h2 mod 2^64 (Kirsch-Mitzenmacher),
+    minimized over shingles in a single numpy broadcast — no per-slice
+    Python loops and no n_hashes-proportional digest cost. Buckets are
+    blake2b-64 of the band's signature bytes. Deterministic across
+    executors (keyed hash, no process salt) but not SQL-mirrorable.
+
+    Default n_hashes=12 / band_size=3 restores the 4-band recall
+    (P[candidate] = 1-(1-j^3)^4) that an earlier 6-hash default halved.
+
+    Scale shape (both modes): the only shuffle is on (band, bucket);
+    signatures are computed map-side inside one vectorized Arrow kernel —
+    a pure-expression version is possible but Catalyst inlines the token
+    array into every lambda use (no CSE across lambda bindings),
+    re-tokenizing per shingle: O(len^2) per doc.
     """
-    assert n_hashes * 5 <= 32, "md5 hex has 32 chars; n_hashes*5 must fit"
+    if mode not in ("md5", "fast"):
+        raise ValueError(f"mode must be 'md5' or 'fast', got {mode!r}")
     n_bands = n_hashes // band_size
 
-    # One vectorized Arrow kernel computes tokenize -> shingles -> md5 ->
-    # min-slices -> band buckets per doc. A pure-expression version is
-    # possible but Catalyst inlines the token array into every lambda use
-    # (no CSE across lambda bindings), re-tokenizing per shingle — O(len^2)
-    # per doc; the kernel hashes each shingle exactly once. hashlib md5 ==
-    # Spark md5 == DuckDB md5, so the SQL oracle is unchanged.
     def kernel(texts: pd.Series) -> pd.Series:
         import hashlib
 
         from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
 
+        if mode == "fast":
+            import numpy as np
+
+            idx = np.arange(n_hashes, dtype=np.uint64)
+            out = []
+            for text in texts:
+                toks = tokenize_py(text)
+                if len(toks) < shingle_n:
+                    out.append(None)
+                    continue
+                raw = b"".join(
+                    hashlib.blake2b(
+                        " ".join(toks[i : i + shingle_n]).encode(), digest_size=16
+                    ).digest()
+                    for i in range(len(toks) - shingle_n + 1)
+                )
+                h = np.frombuffer(raw, dtype=np.uint64).reshape(-1, 2)
+                sig = (h[:, :1] + idx[None, :] * h[:, 1:]).min(axis=0)
+                out.append(
+                    [
+                        hashlib.blake2b(
+                            sig[b * band_size : (b + 1) * band_size].tobytes(),
+                            digest_size=8,
+                        ).hexdigest()
+                        for b in range(n_bands)
+                    ]
+                )
+            return pd.Series(out)
+
+        salts = ["" if d == 0 else f"{d}|" for d in range(-(-n_hashes // 6))]
         out = []
         for text in texts:
             toks = tokenize_py(text)
             if len(toks) < shingle_n:
                 out.append(None)
                 continue
-            digests = [
-                hashlib.md5(" ".join(toks[i : i + shingle_n]).encode()).hexdigest()
+            shingles = [
+                " ".join(toks[i : i + shingle_n])
                 for i in range(len(toks) - shingle_n + 1)
             ]
-            mh = [min(d[i * 5 : i * 5 + 5] for d in digests) for i in range(n_hashes)]
+            digests = [
+                [hashlib.md5((salt + s).encode()).hexdigest() for s in shingles]
+                for salt in salts
+            ]
+            mh = [
+                min(d[(i % 6) * 5 : (i % 6) * 5 + 5] for d in digests[i // 6])
+                for i in range(n_hashes)
+            ]
             out.append(
                 [
                     hashlib.md5(
@@ -162,6 +208,34 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    scale_mode: bool = False,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash near-dup candidate pairs, one call.
+
+    ``scale_mode=True`` is THE single flag for the configuration you'd run
+    at 100 TB: fast blake2b/Kirsch-Mitzenmacher hashing (mode="fast") AND
+    the degenerate-bucket cap ON (max_bucket_size=256 unless overridden) —
+    closing the gap between the oracle-parity defaults and the safe
+    production config. scale_mode=False keeps the md5 SQL-mirrorable
+    hashing and no caps (exact LSH semantics, DuckDB-checkable).
+    """
+    if scale_mode and max_bucket_size is None:
+        max_bucket_size = 256
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, n_hashes=n_hashes, band_size=band_size,
+        shingle_n=shingle_n, mode="fast" if scale_mode else "md5",
+    )
+    return minhash_candidate_pairs(buckets, max_bucket_size=max_bucket_size)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -169,6 +243,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    scale_mode: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
@@ -177,22 +252,44 @@ def ngram_jaccard_pairs(
     quadratically — production pipelines cap posting length per shingle
     (drop shingles with df above a cap, standard in MinHash dedup); the cap
     keeps the blow-up bounded and is exposed as ``max_shingle_df``.
+
+    ``scale_mode=True``: the 100 TB config in one flag — shingles are
+    replaced by their blake2b-64 hash BEFORE the distinct/self-join (the
+    shuffle moves 8-byte ints, not n-word strings; 64-bit collisions are
+    negligible at any corpus size) and ``max_shingle_df`` defaults ON
+    (128). Default False keeps raw-shingle joins (exact, SQL-mirrorable).
     """
+    if scale_mode and max_shingle_df is None:
+        max_shingle_df = 128
+
     def shingle_kernel(texts: pd.Series) -> pd.Series:
+        import hashlib
+
         from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
 
         def sh(text):
             toks = tokenize_py(text)
-            return [
+            shingles = [
                 " ".join(toks[i : i + shingle_n])
                 for i in range(len(toks) - shingle_n + 1)
             ]
+            if scale_mode:
+                return [
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big", signed=True,
+                    )
+                    for s in shingles
+                ]
+            return shingles
 
         return texts.map(sh)
 
-    from pyspark.sql.types import ArrayType, StringType
+    from pyspark.sql.types import ArrayType, LongType, StringType
 
-    shingles_udf = F.pandas_udf(shingle_kernel, ArrayType(StringType()))
+    shingles_udf = F.pandas_udf(
+        shingle_kernel, ArrayType(LongType() if scale_mode else StringType())
+    )
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles_udf(F.col(text_col))).alias("sh"))
         .distinct()
@@ -254,7 +351,8 @@ def embedding_cosine_dups(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    method: str = "lsh",
+    *,
+    method: str,
     n_bands: int = 4,
     band_bits: int = 4,
     seed: int = 42,
@@ -263,7 +361,12 @@ def embedding_cosine_dups(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold.
 
-    ``method="lsh"`` (the scale path and default): candidate pairs share
+    ``method`` is REQUIRED (no default): the two strategies trade recall
+    against scale — "lsh" can miss pairs that share no band bucket,
+    "exact" is an O(n^2) crossJoin — and silently defaulting either way
+    burned callers before; the choice must be explicit.
+
+    ``method="lsh"`` (the scale path): candidate pairs share
     at least one LSH band bucket (n_bands bands of band_bits md5-derived
     Rademacher hyperplane sign bits — OR-construction for recall), then an
     exact cosine re-rank filters by threshold. The only shuffle is the

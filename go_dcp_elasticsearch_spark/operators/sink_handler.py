@@ -72,6 +72,7 @@ def reconcile_sink(
     attempted: DataFrame,
     sink_dir: str,
     key_cols: list[str],
+    run_id: str | None = None,
 ) -> DataFrame:
     """A15: attempted-vs-committed reconciliation — the batch analogue of
     the reference parsing the bulk response and joining ``items[idx]`` back
@@ -79,10 +80,19 @@ def reconcile_sink(
     whose keys are NOT present in the sink (a left-anti join against the
     committed table), i.e. the per-item failures of a partial write.
 
-    Scale shape: the committed side is column-pruned to the key columns
-    before the anti-join; no full payload re-read."""
-    committed = spark.read.parquet(sink_dir).select(*key_cols)
-    return attempted.join(committed, list(key_cols), "left_anti")
+    ``run_id``: scope the committed side to ONE write (the ``_run_id``
+    stamped by :func:`run_sink`). Without it, a key committed by any
+    EARLIER run to an append-mode sink satisfies the anti-join and a lost
+    re-write of that key goes undetected — the normal CDC update case
+    would make the check vacuous.
+
+    Scale shape: the committed side is partition-pruned to the run and
+    column-pruned to the key columns before the anti-join; no full payload
+    re-read."""
+    committed = spark.read.parquet(sink_dir)
+    if run_id is not None:
+        committed = committed.filter(F.col("_run_id") == run_id)
+    return attempted.join(committed.select(*key_cols), list(key_cols), "left_anti")
 
 
 def run_sink(
@@ -92,6 +102,7 @@ def run_sink(
     stage: str = "sink",
     error_col: str = "error",
     verify_keys: list[str] | None = None,
+    run_id: str | None = None,
 ) -> dict:
     """Write an actions DataFrame through the full handler lifecycle.
 
@@ -101,25 +112,42 @@ def run_sink(
     e.g. unmappable collections or invalid docs). Rows flagged
     ``is_skipped`` by on_before_bulk are dropped pre-flight (A11).
 
+    Every write is stamped with a ``_run_id`` (a fresh uuid unless given)
+    and the sink is PARTITIONED by it, so reconciliation and replay
+    inspection read only the current run's files (partition pruning), and
+    a key committed by an earlier run can never mask this run's lost write.
+
     ``verify_keys``: when set, an attempted-vs-committed reconciliation
-    (``reconcile_sink``) runs after the write; any attempted key missing
-    from the sink is routed to ``handler.on_error`` exactly like a
-    per-item bulk rejection. Adds one pruned read of the sink.
+    (``reconcile_sink`` scoped to this run) runs after the write; any
+    attempted key missing from the sink is routed to ``handler.on_error``
+    exactly like a per-item bulk rejection. Adds one pruned read of the
+    current run's sink partition.
     """
+    import uuid
+
     handler = handler or SinkHandler()
     handler.on_init()
     t0 = time.time()
+    if run_id is None:
+        run_id = uuid.uuid4().hex
     staged = handler.on_before_bulk(actions)
     if "is_skipped" in staged.columns:
         staged = staged.filter(~F.coalesce(F.col("is_skipped"), F.lit(False)))
     has_err = error_col in staged.columns
     err_pred = F.col(error_col).isNotNull() if has_err else F.lit(False)
-    ok = staged.filter(~err_pred).drop(*([error_col] if has_err else []))
-    ok.write.mode("append").parquet(sink_dir)
+    ok = (
+        staged.filter(~err_pred)
+        .drop(*([error_col] if has_err else []))
+        .withColumn("_run_id", F.lit(run_id))
+        .persist()  # two consumers (write + count): don't re-evaluate the plan
+    )
+    ok.write.mode("append").partitionBy("_run_id").parquet(sink_dir)
     n_written = ok.count()
     n_uncommitted = 0
     if verify_keys:
-        uncommitted = reconcile_sink(ok.sparkSession, ok, sink_dir, verify_keys)
+        uncommitted = reconcile_sink(
+            ok.sparkSession, ok, sink_dir, verify_keys, run_id=run_id
+        )
         n_uncommitted = uncommitted.count()
         if n_uncommitted:
             handler.on_error(
@@ -132,11 +160,13 @@ def run_sink(
         if not failed.isEmpty():
             handler.on_error(failed, stage)
     handler.on_after_bulk(n_written)
+    ok.unpersist()
     latency = (time.time() - t0) * 1000.0
     if handler.metrics is not None:
         handler.metrics.record(stage, "_all", "bulk", "latency", n_written, latency)
     return {
         "written": n_written,
         "uncommitted": n_uncommitted,
+        "run_id": run_id,
         "latency_ms": latency,
     }

@@ -129,7 +129,16 @@ def _assign_insert_ranks(inserts: DataFrame, key_cols: list[str], n_parts: int) 
     """Distributed dense 0-based rank of each insert key in (key_cols) sort
     order — the offset pattern from builder.assign_doc_ids (range partition
     + per-partition counts + broadcast cumulative offsets), NOT a global
-    ``Window.orderBy`` which funnels the whole delta through one task."""
+    ``Window.orderBy`` which funnels the whole delta through one task.
+
+    The range-partitioned intermediate is persisted before the counts job:
+    Spark's range-boundary reservoir sampling is seeded per job, so an
+    unpersisted intermediate could place keys in DIFFERENT partitions
+    between the counts job and the rank job once the delta is large enough
+    to be sampled rather than scanned exhaustively — mis-basing ranks and
+    minting duplicate/missing doc_ids. Same reason assign_doc_ids persists.
+    Callers must unpersist via ``out._persisted_parent`` once the ranked
+    output has been materialized."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     keyed = (
@@ -137,6 +146,7 @@ def _assign_insert_ranks(inserts: DataFrame, key_cols: list[str], n_parts: int) 
         .repartitionByRange(n_parts, *key_cols)
         .sortWithinPartitions(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = {
         r["_pid"]: r["c"]
@@ -163,7 +173,22 @@ def _assign_insert_ranks(inserts: DataFrame, key_cols: list[str], n_parts: int) 
 
     out = keyed.mapInPandas(add_ranks, schema=schema)
     out._n_rows = acc
+    out._persisted_parent = keyed
     return out
+
+
+def _tail_shard_expr(n_shards: int, k_new: int, n_inserts: int) -> "F.Column":
+    """Shard label for an insert given its dense ``_rank``: the existing
+    shard count plus rank*k_new DIV n_inserts. Integer ``DIV`` (not double
+    division): at >= 2^53/k_new inserts the rank*k product would round in
+    a double, landing docs in the wrong tail shard and silently breaking
+    the contiguous-id-range invariant the pruned query path relies on —
+    the same reason the builder's shard expression uses DIV
+    (index/builder.py:854-858)."""
+    return F.expr(
+        f"CAST({int(n_shards)} + least((_rank * {int(k_new)}) DIV {max(int(n_inserts), 1)}, "
+        f"{int(k_new) - 1}) AS INT)"
+    )
 
 
 def apply_changes_to_index(
@@ -258,15 +283,13 @@ def apply_changes_to_index(
         ins_ids = ranked.select(
             *key_cols,
             (F.col("_rank") + F.lit(int(max_id) + 1)).alias("doc_id"),
-            (
-                F.lit(int(n_shards))
-                + (F.col("_rank") * F.lit(k_new)) / F.lit(n_inserts)
-            ).cast("int").alias("shard"),
+            _tail_shard_expr(n_shards, k_new, n_inserts).alias("shard"),
         )
         insert_shards = {int(n_shards) + i for i in range(k_new)}
     else:
         ins_ids = None
     if not affected and not insert_shards:
+        ranked._persisted_parent.unpersist()
         feed.unpersist()
         return {
             "affected_shards": [], "insert_shards": [],
@@ -294,6 +317,8 @@ def apply_changes_to_index(
         .persist()
     )
     shard_corpus.count()
+    # ranked output is folded into the (now materialized) shard_corpus
+    ranked._persisted_parent.unpersist()
 
     new_docs = shard_corpus.select(
         "doc_id",

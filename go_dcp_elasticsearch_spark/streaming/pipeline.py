@@ -178,9 +178,11 @@ def stream_changes_to_index(
         survivors = old.join(live_keys, key_cols, "left_semi").join(
             F.broadcast(feed.select(*key_cols)), key_cols, "left_anti"
         )
+        # seq_no is a 64-bit CDC sequence — cast("int") would wrap silently
+        # past 2^31 and corrupt the durable mirror's ordering authority
         upserts = feed.filter(F.col("action") != "delete").select(
             *key_cols, "commit", "lang", "content",
-            F.col(order_col).cast("int").alias("seq_no"),
+            F.col(order_col).cast("long").alias("seq_no"),
         ).withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
         merged = survivors.unionByName(upserts).persist()
         merged.count()  # materialize before overwriting what `old` reads

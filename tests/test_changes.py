@@ -328,3 +328,80 @@ def test_incremental_delete_whole_shard(spark, tmp_path):
     q = BM25Query(spark, idx)
     got = {int(r["doc_id"]) for r in q.topk_pruned("getValue buffer index", 50).collect()}
     assert not (got & deleted_ids)
+
+
+def test_tail_shard_expr_exact_past_2_53(spark):
+    """The insert-shard formula must be integer DIV, not double division:
+    at ranks where rank*k exceeds 2^53 a double rounds and can land a doc
+    in the wrong tail shard, breaking the contiguous-id-range invariant
+    the pruned query path relies on. Checked against Python bigint math
+    at synthetic ranks around and far past the 2^53 boundary."""
+    from go_dcp_elasticsearch_spark.sources.changes import _tail_shard_expr
+
+    n_shards, k_new = 64, 1024
+    n_inserts = (1 << 50) + 12345  # ~10^15 inserts: the 10^12-file regime
+    # ranks where float(rank*k)/n floors to the WRONG shard (found by
+    # scanning the k shard boundaries; double ulp at 2^60 magnitude = 256
+    # exceeds the boundary offset)
+    bad = [19791209300185, 39582418600370, 79164837200740]
+    ranks = [0, 1, n_inserts - 1, n_inserts // 2, *bad,
+             *[r - 1 for r in bad], *[r + 1 for r in bad]]
+    df = spark.createDataFrame([(r,) for r in ranks], "_rank long")
+    got = {
+        r["_rank"]: r["shard"]
+        for r in df.select(
+            "_rank", _tail_shard_expr(n_shards, k_new, n_inserts).alias("shard")
+        ).collect()
+    }
+    for rank in ranks:
+        want = n_shards + min((rank * k_new) // n_inserts, k_new - 1)
+        assert got[rank] == want, (rank, got[rank], want)
+    # and the old double formula IS wrong for these (long product cast to
+    # double before dividing, as Spark's `/` on longs does)
+    wrong = sum(
+        1
+        for rank in ranks
+        if int(float(rank * k_new) / n_inserts)
+        != min((rank * k_new) // n_inserts, k_new - 1)
+    )
+    assert wrong >= 3, "fixture no longer exercises the double-rounding regime"
+
+
+def test_bm25query_refresh_after_maintenance(spark, tmp_path):
+    """A handle held across apply_changes_to_index serves stale stats and
+    a stale persisted dictionary; refresh() must re-snapshot everything so
+    results equal a freshly constructed handle (ADVICE r2)."""
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_refresh")
+    corpus = synth_corpus(spark, 120)
+    IndexBuilder(spark, idx, n_shards=3).build(corpus)
+    q = BM25Query(spark, idx)
+    q.topk_pruned("getValue buffer", 5).collect()  # warms the dict cache
+
+    upd = corpus.orderBy("repo", "path").limit(1).collect()[0]
+    new_corpus = corpus.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == upd["repo"]) & (F.col("path") == upd["path"]),
+            F.lit("zephyrNovaToken zephyrNovaToken refreshed buffer"),
+        ).otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [(upd["repo"], upd["path"], "index", 77)],
+        "repo string, path string, action string, seq_no long",
+    )
+    apply_changes_to_index(spark, idx, new_corpus, changes)
+
+    q.refresh()
+    fresh = BM25Query(spark, idx)
+    for qtext in ["zephyrNovaToken buffer", "getValue buffer"]:
+        got = [(int(r["doc_id"]), round(float(r["score"]), 9))
+               for r in q.topk_pruned(qtext, 10).collect()]
+        want = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                for r in fresh.topk_pruned(qtext, 10).collect()]
+        assert got == want, qtext
+    assert q.n_docs == fresh.n_docs and abs(q.avgdl - fresh.avgdl) < 1e-12

@@ -161,3 +161,80 @@ def test_minhash_hot_bucket_cap(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert uncapped == 190 + 1
     assert got == {(100, 101)}
+
+
+def test_minhash_md5_extended_hashes(spark):
+    """n_hashes > 6 in md5 mode: slices 0-5 come from md5(s), 6-11 from
+    md5('1|'+s) — checked against a pure-Python oracle; first-6 behavior
+    stays byte-identical to the single-digest scheme."""
+    n_hashes, band = 12, 3
+    got = {}
+    for r in minhash_band_buckets(
+        _df(spark), "text", "doc_id", n_hashes, band
+    ).collect():
+        got.setdefault(r["id"], {})[r["band"]] = r["bucket"]
+    for did, text in DOCS:
+        toks = tokenize_py(text)
+        if len(toks) < 3:
+            assert did not in got
+            continue
+        shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        d0 = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+        d1 = [hashlib.md5(("1|" + s).encode()).hexdigest() for s in shingles]
+        mh = [
+            min(d[(i % 6) * 5 : (i % 6) * 5 + 5] for d in (d0 if i < 6 else d1))
+            for i in range(n_hashes)
+        ]
+        want = {
+            b: hashlib.md5("|".join(mh[b * band : (b + 1) * band]).encode()).hexdigest()
+            for b in range(n_hashes // band)
+        }
+        assert got[did] == want, did
+
+
+def test_minhash_scale_mode_recall(spark, sf_dir):
+    """scale_mode (blake2b + Kirsch-Mitzenmacher + bucket cap) recovers
+    >= 0.95 of the md5-mode candidate pairs on the real fixture — the
+    'config you'd run at 100 TB' is checked against the oracle config."""
+    from go_dcp_elasticsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", scale_mode=True).collect()
+    }
+    assert base, "md5-mode found no candidate pairs on the fixture"
+    recall = len(base & fast) / len(base)
+    assert recall >= 0.95, f"scale-mode recall {recall:.3f} < 0.95 ({len(base)} base pairs)"
+
+
+def test_ngram_scale_mode_matches_exact(spark):
+    """scale_mode hashes shingles to int64 before the join; on a fixture
+    with no hot shingles (cap never binds) and no 64-bit collisions the
+    jaccard output must be IDENTICAL to the raw-shingle join."""
+    raw = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_df(spark), "text", "doc_id", 3, 0.3).collect()
+    }
+    hashed = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _df(spark), "text", "doc_id", 3, 0.3, scale_mode=True
+        ).collect()
+    }
+    assert raw == hashed and raw
+
+
+def test_embedding_dups_method_required(spark, sf_dir):
+    """method has no default: the recall/scale trade must be explicit."""
+    import pytest
+
+    from go_dcp_elasticsearch_spark.operators.dedup import embedding_cosine_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(TypeError):
+        embedding_cosine_dups(emb, "embedding", "vec_id", 0.3)

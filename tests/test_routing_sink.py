@@ -167,3 +167,58 @@ def test_engine_conf_max_retries():
     assert engine_conf(IndexConfig()) == {}
     assert engine_conf(IndexConfig(max_retries=3)) == {"spark.task.maxFailures": "4"}
     assert engine_conf(IndexConfig(max_retries=0)) == {"spark.task.maxFailures": "1"}
+
+
+class TestRunScopedReconcile:
+    def test_prior_run_commit_does_not_mask_lost_write(self, spark, tmp_path):
+        """A key committed by run 1 must still be reported uncommitted when
+        run 2's write of the SAME key is lost — the committed side of the
+        anti-join is scoped to the current run's _run_id partition."""
+        from go_dcp_elasticsearch_spark.operators.sink_handler import (
+            reconcile_sink,
+            run_sink,
+        )
+
+        sink = str(tmp_path / "sink3")
+        df = spark.createDataFrame(
+            [("a", "v1"), ("b", "v1")], "doc_key string, payload string"
+        )
+        out1 = run_sink(df, sink, verify_keys=["doc_key"], run_id="run1")
+        assert out1["written"] == 2 and out1["uncommitted"] == 0
+
+        # run 2 attempts both keys but NOTHING lands (simulated lost write:
+        # we never call run_sink, just reconcile the attempted set)
+        attempted = spark.createDataFrame(
+            [("a", "v2"), ("b", "v2")], "doc_key string, payload string"
+        )
+        missing_scoped = reconcile_sink(
+            spark, attempted, sink, ["doc_key"], run_id="run2"
+        )
+        assert {r["doc_key"] for r in missing_scoped.collect()} == {"a", "b"}
+        # the UNSCOPED check is vacuous here — documents the failure mode
+        assert reconcile_sink(spark, attempted, sink, ["doc_key"]).count() == 0
+
+    def test_run_sink_partial_second_run(self, spark, tmp_path):
+        """Partial second-run write over keys run 1 already committed:
+        verify_keys catches exactly the lost ones."""
+        from go_dcp_elasticsearch_spark.operators.sink_handler import (
+            reconcile_sink,
+            run_sink,
+        )
+
+        sink = str(tmp_path / "sink4")
+        keys = [(str(i), "v1") for i in range(6)]
+        run_sink(
+            spark.createDataFrame(keys, "doc_key string, payload string"),
+            sink, run_id="r1",
+        )
+        # run 2 re-writes all 6; simulate a partial landing by writing only
+        # 4 of them under r2's partition, then reconciling the full set
+        df2 = spark.createDataFrame(
+            [(str(i), "v2") for i in range(6)], "doc_key string, payload string"
+        )
+        df2.filter(F.col("doc_key") < "4").withColumn(
+            "_run_id", F.lit("r2")
+        ).write.mode("append").partitionBy("_run_id").parquet(sink)
+        missing = reconcile_sink(spark, df2, sink, ["doc_key"], run_id="r2")
+        assert {r["doc_key"] for r in missing.collect()} == {"4", "5"}
