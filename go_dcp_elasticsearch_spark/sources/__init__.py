@@ -6,3 +6,8 @@ from go_dcp_elasticsearch_spark.sources.changes import (  # noqa: F401
     compact_index,
     incremental_index_delta,
 )
+from go_dcp_elasticsearch_spark.sources.snapshots import (  # noqa: F401
+    SnapshotStore,
+    applied_snapshot_id,
+    resume_apply,
+)

@@ -1,0 +1,213 @@
+"""Snapshot-versioned change source (SURVEY.md A1) — "read exactly the
+delta between snapshot A and snapshot B", the Iceberg incremental-read
+contract (``option("start-snapshot-id", a).option("end-snapshot-id", b)``)
+re-expressed over the engine's own corpus mirror, since the sandbox has no
+lakehouse format on the classpath.
+
+Reference parity: go-dcp's whole identity is resumable CDC — checkpointing
+is forced to manual (connector.go:186) and vBucket offsets are committed
+only AFTER the sink acknowledged the flushed batch (bulk.go:320-332);
+crash => replay from the last committed offset (at-least-once, integration
+resume behavior test/integration/integration_test.go:25-79). Here the
+snapshot id IS the offset: ``SnapshotStore.commit`` is the producer's
+append, the index's lineage log records the last APPLIED snapshot (the
+ack-gated checkpoint), and ``resume_apply`` replays exactly the committed
+range the index has not yet seen.
+
+Layout under ``store_dir`` (= the index dir, shared with the mirror):
+  _changelog/snapshot_id=N/   one parquet partition per committed snapshot
+                              (partition-pruned range reads)
+  _snapshots/meta.jsonl       driver-side commit log (one fsync'd line per
+                              snapshot — O(ms), not a Spark job)
+  _corpus/                    the head-state mirror (write_corpus_mirror)
+
+Scale shape: ``read_changes_between`` reads ONLY the requested snapshot
+partitions (directory-level pruning); the LWW collapse shuffles once on the
+doc key; ``commit`` rewrites only the mirror buckets the feed touches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class SnapshotStore:
+    """Versioned change log + head-state mirror for one corpus."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        key_cols: list[str] = ("repo", "path"),
+        order_col: str = "seq_no",
+    ):
+        self.spark = spark
+        self.store_dir = store_dir.rstrip("/")
+        self.key_cols = list(key_cols)
+        self.order_col = order_col
+        self.changelog_path = f"{self.store_dir}/_changelog"
+        self.meta_dir = f"{self.store_dir}/_snapshots"
+        self.meta_file = f"{self.meta_dir}/meta.jsonl"
+
+    # ---------- metadata ----------
+
+    def snapshots(self) -> list[dict]:
+        """Committed snapshots, oldest first: [{snapshot_id, n_changes}]."""
+        if not os.path.exists(self.meta_file):
+            return []
+        with open(self.meta_file) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def current_snapshot_id(self) -> int:
+        """Highest committed snapshot id; 0 = bootstrap (no changes yet)."""
+        snaps = self.snapshots()
+        return max((s["snapshot_id"] for s in snaps), default=0)
+
+    def _append_meta(self, rec: dict) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(self.meta_file, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    # ---------- producer side ----------
+
+    def bootstrap(self, corpus: DataFrame, n_buckets: int = 64) -> int:
+        """Write the initial mirror state as snapshot 0."""
+        from go_dcp_elasticsearch_spark.streaming.pipeline import write_corpus_mirror
+
+        write_corpus_mirror(
+            self.spark, self.store_dir, corpus, key_cols=self.key_cols,
+            n_buckets=n_buckets,
+        )
+        self._append_meta({"snapshot_id": 0, "n_changes": 0, "bootstrap": True})
+        return 0
+
+    def commit(self, changes: DataFrame) -> int:
+        """Append one snapshot: write the LWW-deduped feed as a changelog
+        partition, fold it into the head mirror, record metadata. Returns
+        the new snapshot id.
+
+        ``changes`` columns: key_cols..., action ('index'|'delete'),
+        commit, lang, content (null for deletes), ``order_col``.
+        """
+        from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
+        from go_dcp_elasticsearch_spark.streaming.pipeline import (
+            upsert_corpus_mirror,
+        )
+
+        sid = self.current_snapshot_id() + 1
+        feed = last_write_wins(changes, self.key_cols, self.order_col).select(
+            *self.key_cols, "action", "commit", "lang", "content",
+            F.col(self.order_col).cast("long").alias(self.order_col),
+        ).persist()
+        n = feed.count()
+        # file sizing: ~1M changes per file; one file for typical deltas,
+        # parallel files for bulk re-ingest snapshots
+        n_files = max(1, -(-int(n) // 1_000_000))
+        feed.withColumn("snapshot_id", F.lit(sid)).repartition(n_files).write.mode(
+            "append"
+        ).partitionBy("snapshot_id").parquet(self.changelog_path)
+        upsert_corpus_mirror(
+            self.spark, self.store_dir, feed, self.key_cols,
+            order_col=self.order_col,
+        )
+        feed.unpersist()
+        self._append_meta({"snapshot_id": sid, "n_changes": int(n)})
+        return sid
+
+    # ---------- consumer side ----------
+
+    def read_changes_between(
+        self, start_snapshot_id: int, end_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """The NET change feed for the half-open range (start, end]: per
+        key, the action/content of the newest (snapshot_id, order) change
+        wins — exactly what a state-based apply needs (replaying each
+        intermediate mutation would reach the same state; the reference's
+        at-least-once replay is likewise collapsed by its keyed upserts).
+
+        Mirrors Iceberg's ``start-snapshot-id`` (exclusive) /
+        ``end-snapshot-id`` (inclusive) incremental-read options. The scan
+        touches only the requested ``snapshot_id=N`` directories.
+        """
+        if end_snapshot_id is None:
+            end_snapshot_id = self.current_snapshot_id()
+        if end_snapshot_id <= start_snapshot_id:
+            raise ValueError(
+                f"empty snapshot range ({start_snapshot_id}, {end_snapshot_id}]"
+            )
+        df = self.spark.read.parquet(self.changelog_path).filter(
+            (F.col("snapshot_id") > start_snapshot_id)
+            & (F.col("snapshot_id") <= end_snapshot_id)
+        )
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col("snapshot_id").desc(), F.col(self.order_col).desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def corpus_at_head(self) -> DataFrame:
+        """The post-change corpus state (mirror without the bucket col)."""
+        return self.spark.read.parquet(f"{self.store_dir}/_corpus").drop("_bucket")
+
+
+def applied_snapshot_id(index_dir: str) -> int:
+    """The index's checkpoint: highest snapshot id recorded as applied in
+    the lineage log (``snapshot_apply`` stage records), 0 if none."""
+    lineage_file = f"{index_dir.rstrip('/')}/_lineage/lineage.jsonl"
+    if not os.path.exists(lineage_file):
+        return 0
+    applied = 0
+    with open(lineage_file) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if rec.get("stage") == "snapshot_apply":
+                applied = max(applied, int(rec["partition_id"]))
+    return applied
+
+
+def resume_apply(
+    spark: SparkSession,
+    index_dir: str,
+    store: SnapshotStore | None = None,
+) -> dict:
+    """Resume the index from its checkpoint: read the committed-but-not-
+    applied snapshot range, apply it, and commit the new checkpoint ONLY
+    after the apply returned (ack-gated, bulk.go:320-332 — a crash during
+    apply leaves the checkpoint at the old snapshot and the next resume
+    replays the same range; apply_changes_to_index is an idempotent
+    deterministic overwrite, so replay is exactly-once in effect).
+
+    Returns {"from_snapshot", "to_snapshot", "n_changed", ...} (the apply
+    summary), or {"from_snapshot": s, "to_snapshot": s} when up to date.
+    """
+    from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    store = store or SnapshotStore(spark, index_dir)
+    last_applied = applied_snapshot_id(index_dir)
+    head = store.current_snapshot_id()
+    if head <= last_applied:
+        return {"from_snapshot": last_applied, "to_snapshot": last_applied,
+                "n_changed": 0}
+    feed = store.read_changes_between(last_applied, head)
+    out = apply_changes_to_index(
+        spark, index_dir, store.corpus_at_head(),
+        feed.select(*store.key_cols, "action", store.order_col),
+        key_cols=store.key_cols, order_col=store.order_col,
+    )
+    LineageLog(spark, f"{index_dir.rstrip('/')}/_lineage").commit(
+        "snapshot_apply", head, out["n_changed"]
+    )
+    out.update({"from_snapshot": last_applied, "to_snapshot": head})
+    return out

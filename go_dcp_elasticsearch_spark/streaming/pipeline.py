@@ -92,6 +92,11 @@ def write_corpus_mirror(
     partition overwrite), never the whole corpus.
     """
     key_cols = list(key_cols)
+    if "seq_no" in corpus.columns:
+        # the mirror's durable seq type is long (64-bit CDC sequences);
+        # writing the bootstrap as int32 would clash with later upsert
+        # files at read time (parquet INT32 vs INT64 in one table)
+        corpus = corpus.withColumn("seq_no", F.col("seq_no").cast("long"))
     (
         corpus.withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
         .repartition(n_buckets, F.col("_bucket"))
@@ -105,6 +110,74 @@ def write_corpus_mirror(
     spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_dir}/_corpus_meta")
+
+
+def upsert_corpus_mirror(
+    spark: SparkSession,
+    index_dir: str,
+    feed: DataFrame,
+    key_cols: list[str],
+    order_col: str = "seq_no",
+    n_buckets: int = 64,
+) -> None:
+    """Merge an LWW-deduped change feed into the ``_corpus`` mirror,
+    rewriting ONLY the hash buckets the feed's keys touch (dynamic
+    partition overwrite). Shared by the streaming micro-batch body and
+    the snapshot store's commit path.
+
+    ``feed`` columns: key_cols..., action ('index'|'delete'), commit,
+    lang, content (null for deletes), ``order_col``. The modulus persisted
+    by ``write_corpus_mirror`` wins over the parameter."""
+    corpus_path = f"{index_dir}/_corpus"
+    try:
+        n_buckets = int(
+            spark.read.parquet(f"{index_dir}/_corpus_meta").collect()[0]["n_buckets"]
+        )
+    except Exception:
+        pass
+    touched = (
+        feed.select(_bucket_expr(key_cols, n_buckets).alias("_bucket"))
+        .distinct()
+        .collect()
+    )
+    touched_buckets = [int(r["_bucket"]) for r in touched]
+    if not touched_buckets:
+        return
+
+    # merge the touched buckets: survivors keep content, upserts win.
+    # When an index exists, the semi-join against its docs key set also
+    # garbage-collects rows whose keys were deleted by EARLIER batches in
+    # other buckets (an empty-after-delete bucket is never rewritten by
+    # dynamic overwrite, so stale content would otherwise linger —
+    # harmless for queries, but a space leak).
+    old = spark.read.parquet(corpus_path).filter(
+        F.col("_bucket").isin(touched_buckets)
+    )
+    try:
+        live_keys = spark.read.parquet(f"{index_dir}/docs").select(*key_cols)
+        old = old.join(live_keys, key_cols, "left_semi")
+    except Exception:
+        pass  # no index built yet: the mirror is the only state
+    survivors = old.join(
+        F.broadcast(feed.select(*key_cols)), key_cols, "left_anti"
+    )
+    # seq_no is a 64-bit CDC sequence — cast("int") would wrap silently
+    upserts = feed.filter(F.col("action") != "delete").select(
+        *key_cols, "commit", "lang", "content",
+        F.col(order_col).cast("long").alias("seq_no"),
+    ).withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
+    merged = survivors.unionByName(upserts).persist()
+    merged.count()  # materialize before overwriting what `old` reads
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.repartition(max(len(touched_buckets), 1), F.col("_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(corpus_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(corpus_path)
+    merged.unpersist()
 
 
 def stream_changes_to_index(
@@ -158,44 +231,10 @@ def stream_changes_to_index(
         if batch_df.isEmpty():
             return
         feed = last_write_wins(batch_df, key_cols, order_col).persist()
-        touched = (
-            feed.select(_bucket_expr(key_cols, n_buckets).alias("_bucket"))
-            .distinct()
-            .collect()
+        upsert_corpus_mirror(
+            spark, index_dir, feed, key_cols, order_col=order_col,
+            n_buckets=n_buckets,
         )
-        touched_buckets = [int(r["_bucket"]) for r in touched]
-
-        # merge the touched buckets: survivors keep content, upserts win.
-        # The semi-join against the docs key set also garbage-collects rows
-        # whose keys were deleted by EARLIER batches in other buckets
-        # (an empty-after-delete bucket is never rewritten by dynamic
-        # overwrite, so stale content would otherwise linger — harmless
-        # for queries, but a space leak).
-        old = spark.read.parquet(corpus_path).filter(
-            F.col("_bucket").isin(touched_buckets)
-        )
-        live_keys = spark.read.parquet(f"{index_dir}/docs").select(*key_cols)
-        survivors = old.join(live_keys, key_cols, "left_semi").join(
-            F.broadcast(feed.select(*key_cols)), key_cols, "left_anti"
-        )
-        # seq_no is a 64-bit CDC sequence — cast("int") would wrap silently
-        # past 2^31 and corrupt the durable mirror's ordering authority
-        upserts = feed.filter(F.col("action") != "delete").select(
-            *key_cols, "commit", "lang", "content",
-            F.col(order_col).cast("long").alias("seq_no"),
-        ).withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
-        merged = survivors.unionByName(upserts).persist()
-        merged.count()  # materialize before overwriting what `old` reads
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.repartition(max(len(touched_buckets), 1), F.col("_bucket")).write.mode(
-                "overwrite"
-            ).partitionBy("_bucket").parquet(corpus_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        spark.catalog.refreshByPath(corpus_path)
-
         new_corpus = spark.read.parquet(corpus_path).drop("_bucket")
         apply_changes_to_index(
             spark, index_dir, new_corpus,
@@ -203,7 +242,6 @@ def stream_changes_to_index(
                         F.col(order_col).cast("long").alias(order_col)),
             key_cols=key_cols, order_col=order_col,
         )
-        merged.unpersist()
         feed.unpersist()
 
     writer = (
