@@ -332,6 +332,30 @@ def _q_batch_plan_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_batch_plan_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 reference-EXACT flush semantics: both accumulators reset at
+    every flush (bulk.go:284-318), so a byte-triggered early flush
+    restarts the count AND byte numbering — unlike the cumulative-crossing
+    plan of batch_plan_bytes. DuckDB mirror: recursive CTE over batch
+    BOUNDARIES (one recursion step per batch, not per row)."""
+    from go_dcp_elasticsearch_spark.operators.batching import plan_batches_reset
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumnRenamed("event_type", "cluster_key")
+        .withColumn("byte_size", F.length("props"))
+    )
+    planned = plan_batches_reset(
+        ev, cluster_col="cluster_key", order_col="event_id",
+        size_col="byte_size", batch_size_limit=BATCH_SIZE_LIMIT,
+        batch_byte_limit=BATCH_BYTE_LIMIT,
+    )
+    return planned.groupBy("cluster_key", "batch_id").agg(
+        F.count("*").alias("n_actions"),
+        F.sum("byte_size").alias("batch_bytes"),
+    )
+
+
 def _q_mapper_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 1->N custom mapper: one DCP event fans out to multiple actions
     (mapper.go:8 returns []ESActionDocument; 'update multiple documents
@@ -532,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_resolution": _q_index_resolution,
         "batch_plan": _q_batch_plan,
         "batch_plan_bytes": _q_batch_plan_bytes,
+        "batch_plan_reset": _q_batch_plan_reset,
         "mapper_explode": _q_mapper_explode,
         "serialize_bulk": _q_serialize_bulk,
         "serialize_bulk_routing": _q_serialize_bulk_routing,
@@ -704,6 +729,50 @@ SELECT cluster_key,
        count(*) AS n_actions,
        CAST(sum(byte_size) AS BIGINT) AS batch_bytes
 FROM w GROUP BY 1, 2
+""",
+        "batch_plan_reset": f"""
+WITH RECURSIVE base AS (
+  SELECT event_type AS cluster_key, length(props) AS byte_size,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn,
+         sum(length(props)) OVER (PARTITION BY event_type ORDER BY event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM events
+),
+-- greedy segmentation: one recursion step per BATCH; the next boundary is
+-- min(count boundary, first row whose bytes-since-last-flush >= limit)
+seg AS (
+  SELECT cluster_key, CAST(0 AS BIGINT) AS base_prefix,
+         CAST(-1 AS BIGINT) AS bid, CAST(0 AS BIGINT) AS end_rn
+  FROM (SELECT DISTINCT cluster_key FROM base)
+  UNION ALL
+  SELECT s.cluster_key,
+         (SELECT b.prefix FROM base b
+          WHERE b.cluster_key = s.cluster_key AND b.rn = e.end_rn) AS base_prefix,
+         s.bid + 1 AS bid,
+         e.end_rn
+  FROM seg s,
+  LATERAL (
+    SELECT least(
+      s.end_rn + {BATCH_SIZE_LIMIT},
+      coalesce((SELECT min(b.rn) FROM base b
+                WHERE b.cluster_key = s.cluster_key AND b.rn > s.end_rn
+                  AND b.prefix - s.base_prefix >= {BATCH_BYTE_LIMIT}),
+               (SELECT max(b.rn) FROM base b WHERE b.cluster_key = s.cluster_key))
+    ) AS end_rn
+  ) e
+  WHERE s.end_rn < (SELECT max(b.rn) FROM base b WHERE b.cluster_key = s.cluster_key)
+),
+seg2 AS (
+  SELECT cluster_key, bid, end_rn,
+         lag(end_rn, 1, CAST(0 AS BIGINT))
+           OVER (PARTITION BY cluster_key ORDER BY bid) AS prev_end
+  FROM seg WHERE bid >= 0
+)
+SELECT b.cluster_key, s.bid AS batch_id, count(*) AS n_actions,
+       CAST(sum(b.byte_size) AS BIGINT) AS batch_bytes
+FROM base b JOIN seg2 s
+  ON b.cluster_key = s.cluster_key AND b.rn > s.prev_end AND b.rn <= s.end_rn
+GROUP BY 1, 2
 """,
         "mapper_explode": """
 SELECT CAST(event_id AS VARCHAR) || ':' || CAST(r.replica AS VARCHAR) AS doc_key,

@@ -52,6 +52,68 @@ def plan_batches(
     return actions.withColumn("batch_id", batch_id.cast("long"))
 
 
+def plan_batches_reset(
+    actions: DataFrame,
+    cluster_col: str = "cluster_key",
+    order_col: str = "seq_no",
+    size_col: str | None = "byte_size",
+    batch_size_limit: int = DEFAULT_BATCH_SIZE_LIMIT,
+    batch_byte_limit: int = DEFAULT_BATCH_BYTE_LIMIT,
+) -> DataFrame:
+    """Reference-EXACT batch assignment: both accumulators reset at every
+    flush (bulk.go:206-208 checks after each append; flushMessages zeroes
+    batchSize AND batchByteSize, bulk.go:284-318). ``plan_batches`` keeps
+    the cumulative-crossing approximation (identical under count-only
+    triggering, shuffle-free); this variant reproduces the Go loop's
+    boundaries when byte-triggered early flushes occur.
+
+    Physical shape: one shuffle on the cluster key, then a per-cluster
+    greedy segmentation kernel — NOT a per-row Python loop: each batch
+    boundary is one ``searchsorted`` against the prefix-sum byte array,
+    so the kernel is O(n_batches * log n). The running reset is inherently
+    sequential per cluster (it mirrors the reference's single mutexed
+    buffer), so one cluster's actions are processed by one task — the
+    same per-sink serialization the reference has; fan-out across
+    clusters is Spark-parallel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    has_size = bool(size_col) and size_col in actions.columns
+    out_schema = StructType(
+        list(actions.schema.fields) + [StructField("batch_id", LongType(), False)]
+    )
+    L, B = int(batch_size_limit), int(batch_byte_limit)
+    sort_cols = [order_col]
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        bids = np.empty(n, dtype=np.int64)
+        if has_size:
+            prefix = np.cumsum(pdf[size_col].to_numpy(dtype=np.int64))
+        else:
+            prefix = None
+        i, bid, base = 0, 0, 0
+        while i < n:
+            j = i + L - 1  # count trigger fires ON the Lth appended row
+            if prefix is not None:
+                j_byte = int(np.searchsorted(prefix, base + B, side="left"))
+                j = min(j, j_byte)
+            j = min(j, n - 1)
+            bids[i : j + 1] = bid
+            bid += 1
+            if prefix is not None:
+                base = int(prefix[j])
+            i = j + 1
+        pdf["batch_id"] = bids
+        return pdf
+
+    return actions.groupBy(cluster_col).applyInPandas(kern, schema=out_schema)
+
+
 def fan_out(actions: DataFrame, cluster_col: str = "cluster_key", concurrent_requests: int = 1) -> DataFrame:
     """A12+A13: partition by sink cluster, then fixed-width fan-out.
 

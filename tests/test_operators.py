@@ -151,3 +151,52 @@ class TestConfig:
         assert cfg.n_shards == 4
         assert cfg.batch_size_limit == 1000  # config.go:56 default
         assert cfg.batch_byte_limit == 10 * 1024 * 1024  # config.go:64
+
+
+def test_plan_batches_reset_matches_go_loop(spark):
+    """plan_batches_reset == a pure-Python reimplementation of the Go
+    accumulate/flush loop (bulk.go:206-208,284-318): append row; if
+    count >= L or bytes >= B, flush and zero BOTH accumulators."""
+    import random
+
+    from go_dcp_elasticsearch_spark.operators.batching import plan_batches_reset
+
+    rng = random.Random(7)
+    rows = []
+    for cl in ("alpha", "beta"):
+        for i in range(500):
+            rows.append((cl, i, rng.choice([1, 5, 40, 90, 200])))
+    df = spark.createDataFrame(rows, "cluster_key string, seq_no long, byte_size long")
+    L, B = 7, 300
+    got = {
+        (r["cluster_key"], r["seq_no"]): r["batch_id"]
+        for r in plan_batches_reset(
+            df, batch_size_limit=L, batch_byte_limit=B
+        ).collect()
+    }
+
+    want = {}
+    for cl in ("alpha", "beta"):
+        count = by = bid = 0
+        for cl2, seq, sz in rows:
+            if cl2 != cl:
+                continue
+            count += 1
+            by += sz
+            want[(cl, seq)] = bid
+            if count >= L or by >= B:
+                bid += 1
+                count = by = 0
+    assert got == want
+
+    # count-only degenerate case: reset == cumulative == floor(rn/L)
+    got2 = {
+        (r["cluster_key"], r["seq_no"]): r["batch_id"]
+        for r in plan_batches_reset(
+            df, size_col=None, batch_size_limit=L
+        ).collect()
+    }
+    for cl in ("alpha", "beta"):
+        seqs = sorted(s for c, s in got2 if c == cl)
+        for rn, s in enumerate(seqs):
+            assert got2[(cl, s)] == rn // L
