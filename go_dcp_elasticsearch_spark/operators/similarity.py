@@ -118,6 +118,96 @@ def ivf_assign(
     return df.select(F.col(id_col), F.col(vec_col), best["cid"].alias("cell"))
 
 
+def train_ivf_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed spherical k-means — the trained coarse
+    quantizer for ``ivf_assign``/``ivf_topk``.
+
+    Determinism (no process RNG, fixed iteration count, so retrains and
+    resumed jobs produce bit-identical codebooks):
+      init   = the n_cells vectors with the smallest md5(f"{seed}:{id}")
+               (a deterministic pseudo-random sample via TakeOrdered —
+                per-partition heaps, no sort shuffle);
+      assign = argmax cosine against the broadcast centroid matrix, one
+               numpy matmul per Arrow batch (vectors are L2-normalized
+               once per batch; ties break to the lowest cell id, matching
+               ivf_assign);
+      update = normalized mean of members (spherical k-means); an emptied
+               cell keeps its previous centroid.
+
+    Scale shape per iteration: one corpus scan emitting n_cells partial
+    (sum, count) rows per PARTITION, reduced by a groupBy("cell") stage to
+    n_cells rows before the driver sees anything — the driver never holds
+    more than the codebook. The codebook itself is tiny (n_cells x dim)
+    and broadcast by closure capture.
+    """
+    import pandas as pd
+
+    seeds = (
+        df.select(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ).alias("_h"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.asarray([r["_v"] for r in seeds], dtype=np.float64)
+    n_cells = len(cents)
+    dim = cents.shape[1]
+
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    partial_schema = "cell int, n long, vsum array<double>"
+    for _ in range(int(n_iters)):
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+        def partials(iterator, cn=cn):
+            sums = np.zeros((n_cells, dim))
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["_v"].to_numpy())
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                cell = np.argmax(Vn @ cn.T, axis=1)  # first max = lowest cid
+                np.add.at(sums, cell, V)
+                counts += np.bincount(cell, minlength=n_cells)
+            yield pd.DataFrame(
+                {"cell": range(n_cells), "n": counts, "vsum": list(sums)}
+            )
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "cell": [int(pdf["cell"].iloc[0])],
+                    "n": [int(pdf["n"].sum())],
+                    "vsum": [np.stack(pdf["vsum"].to_numpy()).sum(axis=0)],
+                }
+            )
+
+        rows = (
+            vecs.mapInPandas(partials, schema=partial_schema)
+            .groupBy("cell")
+            .applyInPandas(combine, schema=partial_schema)
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            if r["n"] > 0:
+                m = np.asarray(r["vsum"], dtype=np.float64) / float(r["n"])
+                new[int(r["cell"])] = m / max(np.linalg.norm(m), 1e-12)
+        cents = new
+    return [(cid, cents[cid].tolist()) for cid in range(n_cells)]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -126,25 +216,30 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse quantizer of ``n_cells`` centroid vectors,
     probe the ``n_probe`` cells nearest to the query, exact cosine re-rank
     of candidates only.
 
-    Centroids are DETERMINISTIC — the n_cells lowest-id vectors — so the
-    whole operator (assignment, probe set, re-rank) is reproducible in
-    ANSI SQL and oracle-checked by the driver. At scale a trained k-means
-    codebook slots into the same plumbing: ``ivf_assign`` takes any
-    (cid, vector) list; assignment is one scan, candidates one
-    partition-pruned scan per probe set. Scale shape: candidate count ~
-    n_probe/n_cells of the corpus; no all-pairs anything.
+    Default centroids are DETERMINISTIC — the n_cells lowest-id vectors —
+    so the whole operator (assignment, probe set, re-rank) is reproducible
+    in ANSI SQL and oracle-checked by the driver. Pass
+    ``centroids=train_ivf_codebook(df, ...)`` for the trained quantizer
+    (better recall on clustered embeddings; same plumbing: assignment is
+    one scan, candidates one partition-pruned scan per probe set). Scale
+    shape: candidate count ~ n_probe/n_cells of the corpus; no all-pairs
+    anything.
     """
-    cents = [
-        (int(r[id_col]), list(map(float, r[vec_col])))
-        for r in df.filter(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    if centroids is not None:
+        cents = [(int(cid), list(map(float, cv))) for cid, cv in centroids]
+    else:
+        cents = [
+            (int(r[id_col]), list(map(float, r[vec_col])))
+            for r in df.filter(F.col(id_col) < n_cells)
+            .select(id_col, vec_col)
+            .collect()
+        ]
     qv = np.asarray(query_vec, dtype=np.float64)
 
     def cos(c):

@@ -392,21 +392,34 @@ def compact_index(
     spark,
     index_dir: str,
     target_docs_per_shard: int | None = None,
+    split_factor: float = 2.0,
 ) -> dict:
-    """Merge runs of consecutive small shards (the tail shards that
-    incremental ingests append) back into ~target-sized shards.
+    """Re-balance shards: MERGE runs of consecutive small shards (the tail
+    shards incremental ingests append) and SPLIT oversized shards (e.g. a
+    routing-hot shard that grew unbounded) back toward ~target size.
 
-    Shards are contiguous doc-id ranges, so merging CONSECUTIVE shards
-    preserves the range invariant. The merge is metadata-only: docs rows
-    are relabeled; posting blocks move untouched (no decode/re-encode),
-    with block_id renumbered per (term, new shard) to stay unique. The new
-    label of a merged group is its lowest member id — label holes are fine
-    (shard discovery is by partition directory) and mean untouched shards
-    are never rewritten. Splitting an oversized shard is NOT done here: it
-    would require re-encoding blocks that straddle the split id.
+    Merge is metadata-only: docs rows are relabeled; posting blocks move
+    untouched (no decode/re-encode), with block_id renumbered per
+    (term, new shard) to stay unique. The new label of a merged group is
+    its lowest member id — label holes are fine (shard discovery is by
+    partition directory) and mean untouched shards are never rewritten.
 
-    Default target = current mean docs/shard, so tails merge up to the
-    mean and already-healthy shards stay single. Returns a summary dict.
+    Split (count > split_factor * target): the shard's docs are cut into
+    count-balanced pieces at doc-id boundaries; piece 0 keeps the label,
+    the rest get fresh labels past the current max. Posting blocks are
+    mostly metadata-moved too — in-block ids are sorted, so a block lands
+    wholly in one piece unless it STRADDLES a boundary; only straddling
+    blocks are decoded, cut, and re-encoded. Dictionary/stats need no
+    refresh (per-term df/cf are invariant under re-partitioning docs).
+
+    After a split, a shard's doc set is still one contiguous id range,
+    but shard LABEL order no longer follows id-range order. Nothing in
+    the query path depends on that (shards only partition docs; block
+    kernels make no cross-shard assumptions) — verified by the
+    rank-identity tests — and a later merge of consecutive LABELS remains
+    correct for the same reason.
+
+    Default target = current mean docs/shard. Returns a summary dict.
     """
     from pyspark.sql import Window
 
@@ -423,10 +436,18 @@ def compact_index(
     if target_docs_per_shard is None:
         target_docs_per_shard = max(1, -(-total // max(n_before, 1)))
 
+    split_plan = {
+        s: -(-c // int(target_docs_per_shard))
+        for s, c in counts
+        if c > split_factor * target_docs_per_shard
+    }
+
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_n = 0
     for s, c in counts:
+        if s in split_plan:
+            continue  # oversized shards are handled by the split phase
         if cur and cur_n + c > target_docs_per_shard:
             groups.append(cur)
             cur, cur_n = [], 0
@@ -436,53 +457,229 @@ def compact_index(
         groups.append(cur)
 
     merged = [g for g in groups if len(g) > 1]
-    if not merged:
-        return {"n_shards_before": n_before, "n_shards_after": n_before,
-                "rewritten": []}
-
-    remap_pairs = [(s, g[0]) for g in merged for s in g]
-    sources = {s for s, _ in remap_pairs}
-    targets = {t for _, t in remap_pairs}
-    remap = F.create_map(
-        *[x for s, t in sorted(remap_pairs) for x in (F.lit(s), F.lit(t))]
-    )
-    src_list = [int(s) for s in sources]
-
+    summary = {"n_shards_before": n_before, "n_shards_after": n_before,
+               "rewritten": [], "split": sorted(split_plan)}
     b = IndexBuilder(spark, index_dir, n_shards=n_before)
-    new_docs = (
-        docs.filter(F.col("shard").isin(src_list))
-        .withColumn("shard", remap[F.col("shard")].cast("int"))
+
+    if merged:
+        remap_pairs = [(s, g[0]) for g in merged for s in g]
+        sources = {s for s, _ in remap_pairs}
+        targets = {t for _, t in remap_pairs}
+        remap = F.create_map(
+            *[x for s, t in sorted(remap_pairs) for x in (F.lit(s), F.lit(t))]
+        )
+        src_list = [int(s) for s in sources]
+
+        new_docs = (
+            docs.filter(F.col("shard").isin(src_list))
+            .withColumn("shard", remap[F.col("shard")].cast("int"))
+        )
+        postings = spark.read.parquet(b.paths.postings)
+        w = Window.partitionBy("term", "_new_shard").orderBy("shard", "block_id")
+        new_postings = (
+            postings.filter(F.col("shard").isin(src_list))
+            .withColumn("_new_shard", remap[F.col("shard")].cast("int"))
+            .withColumn("block_id", F.row_number().over(w) - F.lit(1))
+            .drop("shard")
+            .withColumnRenamed("_new_shard", "shard")
+        )
+
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            new_docs.repartition(len(targets), F.col("shard")).write.mode(
+                "overwrite"
+            ).partitionBy("shard").parquet(docs_path)
+            new_postings.repartition(len(targets), F.col("shard")).sortWithinPartitions(
+                "term", "block_id"
+            ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        dead = sources - targets
+        _delete_shard_partitions(spark, docs_path, dead)
+        _delete_shard_partitions(spark, b.paths.postings, dead)
+        summary["rewritten"] = sorted(sources)
+        summary["n_shards_after"] -= len(sources) - len(targets)
+
+    if split_plan:
+        n_new = _split_shards(spark, index_dir, b, split_plan)
+        summary["n_shards_after"] += n_new
+    if merged or split_plan:
+        b.lineage.commit("compact", -1, len(summary["rewritten"]) + len(split_plan))
+    return summary
+
+
+def _first_varint(buf: bytes) -> int:
+    """First value of a varbyte stream (LSB-first 7-bit groups, MSB =
+    continuation) — a block's absolute first doc_id, read without
+    decoding the block."""
+    v, shift = 0, 0
+    for byte in buf:
+        v |= (byte & 0x7F) << shift
+        if not (byte & 0x80):
+            return v
+        shift += 7
+    return v
+
+
+def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
+    """Split each shard in ``split_plan`` (shard -> n_pieces) into
+    count-balanced doc-id ranges. Returns the number of NEW shard labels
+    minted. See compact_index for the contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from go_dcp_elasticsearch_spark.functions.codec import (
+        encode_blocks_bulk,
+        varbyte_decode,
     )
-    postings = spark.read.parquet(b.paths.postings)
-    w = Window.partitionBy("term", "_new_shard").orderBy("shard", "block_id")
+    from go_dcp_elasticsearch_spark.index.builder import POSTINGS_SCHEMA
+
+    docs_path = f"{index_dir}/docs"
+    docs = spark.read.parquet(docs_path)
+    max_label = int(docs.agg(F.max("shard")).collect()[0][0])
+    split_ids = [int(s) for s in split_plan]
+
+    # piece per doc: count-balanced via per-shard rank; integer DIV (the
+    # 2^53 lesson applies here too). The per-shard window funnels one
+    # shard through one task — acceptable for a maintenance op (a shard
+    # is the unit we are cutting BECAUSE it should be ~target-sized).
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    m_map = F.create_map(
+        *[x for s in sorted(split_plan) for x in (F.lit(s), F.lit(int(split_plan[s])))]
+    )
+    c_map_rows = {
+        int(r["shard"]): int(r["c"])
+        for r in docs.filter(F.col("shard").isin(split_ids))
+        .groupBy("shard").agg(F.count("*").alias("c")).collect()
+    }
+    c_map = F.create_map(
+        *[x for s, c in sorted(c_map_rows.items()) for x in (F.lit(s), F.lit(c))]
+    )
+    pieced = (
+        docs.filter(F.col("shard").isin(split_ids))
+        .withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("_m", m_map[F.col("shard")])
+        .withColumn("_c", c_map[F.col("shard")])
+        .withColumn("_piece", F.expr("CAST((_rn * _m) DIV _c AS INT)"))
+        .persist()
+    )
+    # new labels: piece 0 keeps the old label; others mint past max_label,
+    # in deterministic (shard, piece) order
+    label_of: dict[tuple[int, int], int] = {}
+    nxt = max_label + 1
+    for s in sorted(split_plan):
+        label_of[(s, 0)] = s
+        for p in range(1, int(split_plan[s])):
+            label_of[(s, p)] = nxt
+            nxt += 1
+    lbl_map = F.create_map(
+        *[
+            x
+            for (s, p), lbl in sorted(label_of.items())
+            for x in (F.lit(f"{s}:{p}"), F.lit(lbl))
+        ]
+    )
+    new_docs = pieced.withColumn(
+        "shard",
+        lbl_map[F.concat_ws(":", F.col("shard"), F.col("_piece"))].cast("int"),
+    ).drop("_rn", "_m", "_c", "_piece")
+
+    # boundary ids: min doc_id of each piece >= 1, per source shard
+    bnd_rows = (
+        pieced.filter(F.col("_piece") >= 1)
+        .groupBy("shard", "_piece")
+        .agg(F.min("doc_id").alias("b"))
+        .collect()
+    )
+    bounds: dict[int, list[int]] = {s: [] for s in split_plan}
+    for r in sorted(bnd_rows, key=lambda r: (r["shard"], r["_piece"])):
+        bounds[int(r["shard"])].append(int(r["b"]))
+
+    def split_kernel(iterator):
+        import bisect
+
+        cols = [f.name for f in POSTINGS_SCHEMA.fields] + ["_ord1", "_ord2"]
+        for pdf in iterator:
+            out = {c: [] for c in cols}
+
+            def emit(term, shard, ids_vb, tfs_vb, dls_vb, count, max_id,
+                     max_tf, tf_sum, min_dl, o1, o2):
+                for c, v in zip(cols, (term, shard, 0, ids_vb, tfs_vb, dls_vb,
+                                       count, max_id, max_tf, tf_sum, min_dl,
+                                       o1, o2)):
+                    out[c].append(v)
+
+            for row in pdf.itertuples(index=False):
+                bnds = bounds[int(row.shard)]
+                first_id = _first_varint(bytes(row.ids_vb))
+                p_first = bisect.bisect_right(bnds, first_id)
+                p_last = bisect.bisect_right(bnds, int(row.max_doc_id))
+                if p_first == p_last:
+                    # whole block in one piece: metadata move, bytes kept
+                    emit(row.term, label_of[(int(row.shard), p_first)],
+                         row.ids_vb, row.tfs_vb, row.dls_vb, row.count,
+                         row.max_doc_id, row.max_tf, row.tf_sum, row.min_dl,
+                         int(row.block_id), 0)
+                    continue
+                # straddling block: decode, cut at boundaries, re-encode
+                gaps = varbyte_decode(bytes(row.ids_vb))
+                ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                tfs = varbyte_decode(bytes(row.tfs_vb)).astype(np.int64)
+                dls = varbyte_decode(bytes(row.dls_vb)).astype(np.int64)
+                piece = np.searchsorted(np.asarray(bnds, dtype=np.int64), ids,
+                                        side="right")
+                for p in np.unique(piece):
+                    m = piece == p
+                    dls_p = dls[m]
+                    off = 0
+                    for i, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
+                            tf_sum) in enumerate(
+                        encode_blocks_bulk(ids[m], tfs[m], dls_p)
+                    ):
+                        emit(row.term, label_of[(int(row.shard), int(p))],
+                             ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
+                             tf_sum, int(dls_p[off : off + cnt].min()),
+                             int(row.block_id), i + 1)
+                        off += cnt
+            yield pd.DataFrame(out)
+
+    postings = spark.read.parquet(b.paths.postings).filter(
+        F.col("shard").isin(split_ids)
+    )
+    schema_str = (
+        "term string, shard int, block_id int, ids_vb binary, tfs_vb binary, "
+        "dls_vb binary, count int, max_doc_id long, max_tf long, tf_sum long, "
+        "min_dl long, _ord1 int, _ord2 int"
+    )
+    # materialize BEFORE the dynamic overwrite below: new_postings reads
+    # the same shard partitions it replaces (read-under-overwrite hazard)
+    provisional = postings.mapInPandas(split_kernel, schema=schema_str).persist()
+    provisional.count()
+    wb = Window.partitionBy("term", "shard").orderBy("_ord1", "_ord2")
     new_postings = (
-        postings.filter(F.col("shard").isin(src_list))
-        .withColumn("_new_shard", remap[F.col("shard")].cast("int"))
-        .withColumn("block_id", F.row_number().over(w) - F.lit(1))
-        .drop("shard")
-        .withColumnRenamed("_new_shard", "shard")
+        provisional.withColumn("block_id", F.row_number().over(wb) - F.lit(1))
+        .drop("_ord1", "_ord2")
     )
 
+    n_out = sum(split_plan.values())
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        new_docs.repartition(len(targets), F.col("shard")).write.mode(
+        new_docs.repartition(n_out, F.col("shard")).write.mode(
             "overwrite"
         ).partitionBy("shard").parquet(docs_path)
-        new_postings.repartition(len(targets), F.col("shard")).sortWithinPartitions(
+        new_postings.repartition(n_out, F.col("shard")).sortWithinPartitions(
             "term", "block_id"
         ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    dead = sources - targets
-    _delete_shard_partitions(spark, docs_path, dead)
-    _delete_shard_partitions(spark, b.paths.postings, dead)
-    b.lineage.commit("compact", -1, len(sources))
-    return {
-        "n_shards_before": n_before,
-        "n_shards_after": n_before - len(sources) + len(targets),
-        "rewritten": sorted(sources),
-    }
+    pieced.unpersist()
+    provisional.unpersist()
+    spark.catalog.refreshByPath(docs_path)
+    spark.catalog.refreshByPath(b.paths.postings)
+    return nxt - (max_label + 1)
 
 
 def _chunks_with_fixed_shard(builder, avgdl: float):

@@ -405,3 +405,86 @@ def test_bm25query_refresh_after_maintenance(spark, tmp_path):
                 for r in fresh.topk_pruned(qtext, 10).collect()]
         assert got == want, qtext
     assert q.n_docs == fresh.n_docs and abs(q.avgdl - fresh.avgdl) < 1e-12
+
+
+def test_compact_splits_oversized_shard(spark, tmp_path):
+    """compact_index also SPLITS a shard grown past split_factor*target
+    (the routing-hot-shard remedy): pieces are count-balanced, straddling
+    posting blocks are re-encoded, per-term df is preserved, and query
+    ranks are identical before/after."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import compact_index
+
+    idx = str(tmp_path / "idx_split")
+    corpus = synth_corpus(spark, 300)
+    # routing by repo: co-locates whole repos -> skewed shard sizes
+    IndexBuilder(spark, idx, n_shards=3, routing_col="repo").build(corpus)
+    docs0 = spark.read.parquet(f"{idx}/docs")
+    counts0 = {
+        int(r["shard"]): int(r["c"])
+        for r in docs0.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    }
+    dict0 = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in spark.read.parquet(f"{idx}/dictionary").collect()
+    }
+    id_rows = docs0.select("doc_id", "repo", "path").join(
+        corpus.select("repo", "path", "content"), ["repo", "path"]
+    ).collect()
+    docs_tokens = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
+
+    def check_ranks():
+        q = BM25Query(spark, idx)
+        for qtext in ["kraken_sentinel buffer", "getValue index", "parseInput"]:
+            want = bm25_oracle(docs_tokens, tokenize_py(qtext), 10)
+            got = [(int(r["doc_id"]), float(r["score"]))
+                   for r in q.topk_pruned(qtext, 10).collect()]
+            assert [g[0] for g in got] == [w[0] for w in want], qtext
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9
+
+    check_ranks()
+
+    # force every shard oversized: tiny target -> all split
+    target = 40
+    summary = compact_index(spark, idx, target_docs_per_shard=target,
+                            split_factor=1.5)
+    assert summary["split"], summary
+    assert summary["n_shards_after"] > summary["n_shards_before"]
+
+    docs1 = spark.read.parquet(f"{idx}/docs")
+    counts1 = {
+        int(r["shard"]): int(r["c"])
+        for r in docs1.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    }
+    # doc set unchanged; every post-split shard is count-balanced
+    # (no shard above ceil(source/m)+1 for its source's piece count)
+    assert sum(counts1.values()) == sum(counts0.values())
+    worst_allowed = max(
+        -(-c // -(-c // target)) + 1 for c in counts0.values()
+    )
+    assert max(counts1.values()) <= worst_allowed, (counts0, counts1)
+    assert len(counts1) == sum(-(-c // target) for c in counts0.values())
+
+    # dictionary is invariant under splitting (df/cf don't change)
+    dict1 = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in spark.read.parquet(f"{idx}/dictionary").collect()
+    }
+    assert dict1 == dict0
+    # postings per-term totals also invariant
+    p1 = spark.read.parquet(f"{idx}/postings")
+    agg1 = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in p1.groupBy("term").agg(
+            F.sum("count").alias("df"), F.sum("tf_sum").alias("cf")
+        ).collect()
+    }
+    assert agg1 == dict0
+
+    check_ranks()

@@ -149,3 +149,47 @@ def test_ivf_recall_on_near_duplicates(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall too low on near-dups: {recall}"
+
+
+def test_trained_ivf_codebook(spark, sf_dir):
+    """Deterministic k-means quantizer: (a) bit-identical across retrains
+    (md5-seeded init, fixed iterations, no RNG); (b) at the SAME probe
+    budget, recall@15 vs brute force on the planted-near-dup fixture is
+    >= the naive lowest-id quantizer's and >= 0.8."""
+    from go_dcp_elasticsearch_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.RandomState(1)
+    emb = _emb(spark, sf_dir)
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64
+    )
+    planted = [
+        (10_000 + i, (q + rng.normal(scale=0.08, size=len(q))).tolist(), -1)
+        for i in range(15)
+    ]
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>, label int")
+    )
+    cb1 = train_ivf_codebook(aug, n_cells=16, n_iters=4, seed=7)
+    cb2 = train_ivf_codebook(aug, n_cells=16, n_iters=4, seed=7)
+    assert cb1 == cb2, "k-means retrain is not deterministic"
+    assert len(cb1) == 16 and all(len(v) == len(q) for _, v in cb1)
+
+    exact = {r["vec_id"] for r in brute_force_topk(aug, q.tolist(), k=15).collect()}
+
+    def recall(centroids):
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                aug, q.tolist(), k=15, n_cells=16, n_probe=4, centroids=centroids
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_trained = recall(cb1)
+    r_naive = recall(None)
+    assert r_trained >= 0.8, f"trained IVF recall {r_trained}"
+    assert r_trained >= r_naive - 1e-9, (r_trained, r_naive)
