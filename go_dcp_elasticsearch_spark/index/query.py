@@ -269,12 +269,16 @@ class BM25Query:
 
     # ---------- batch retrieval (many queries at once) ----------
 
-    def topk_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    def topk_batch(
+        self, queries: list[tuple[int, str]], k: int = 10, chunk_size: int = 64
+    ) -> DataFrame:
         """Run many queries in ONE job: a single postings scan filtered to
         the union of all query terms, one shard shuffle, blocks decoded
-        once and shared by every query inside the shard kernel, then a
-        per-query window top-k. The batch analogue of the reference's
-        concurrent bulk requests (bulk.go:410-425) without N scans.
+        once PER CHUNK and shared by the chunk's queries inside the shard
+        kernel (``chunk_size`` bounds executor memory — decode caches are
+        cleared between chunks), then a per-query window top-k. The batch
+        analogue of the reference's concurrent bulk requests
+        (bulk.go:410-425) without N scans.
         """
         from pyspark.sql import Window
 
@@ -287,7 +291,7 @@ class BM25Query:
         live = {qid: ts for qid, ts in live.items() if ts}
         if not live:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k)
+        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k, chunk_size)
         blocks = self._candidate_blocks(sorted({t for ts in live.values() for t in ts})).select(
             "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "max_tf", "min_dl"
         )
@@ -311,10 +315,19 @@ def _block_ub(max_tf: float, min_dl: float, avgdl: float) -> float:
 
 def _make_batch_shard_kernel(
     qterms: dict[int, list[str]], idfs: dict[str, float], avgdl: float, k: int,
+    chunk_size: int = 64,
 ):
     """Multi-query per-shard kernel: decode each (term, block) id stream
-    ONCE, then run the two-phase UB/exact pruning per query over the
-    shared decode cache."""
+    ONCE per chunk, then run the two-phase UB/exact pruning per query over
+    the shared decode cache.
+
+    Memory bound: queries are processed in chunks of ``chunk_size`` and
+    the decode caches are CLEARED between chunks, so executor memory is
+    bounded by the decoded postings of one chunk's term union — not the
+    whole batch's (a 256-query batch over a wide term set would otherwise
+    pin every touched tf/dl payload for the task's lifetime). Terms shared
+    across chunks are re-decoded; varbyte decode is numpy-vectorized and
+    far cheaper than the memory it would pin."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term: dict[str, list] = {}
@@ -341,7 +354,29 @@ def _make_batch_shard_kernel(
             per_term.setdefault(row.term, []).append(row)
 
         out_q, out_d, out_s = [], [], []
-        for qid, terms in qterms.items():
+        qids = list(qterms)
+        for chunk_start in range(0, len(qids), chunk_size):
+            if chunk_start:
+                decoded_ids.clear()
+                payload.clear()
+            _run_chunk(
+                qids[chunk_start : chunk_start + chunk_size], qterms, idfs,
+                avgdl, k, per_term, ids_of, tfs_dls_of, out_q, out_d, out_s,
+            )
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return kernel
+
+
+def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
+               tfs_dls_of, out_q, out_d, out_s):
+    """Score one chunk of queries against a shard's blocks (shared decode
+    caches via ids_of/tfs_dls_of)."""
+    import numpy as np  # noqa: F811 (kernel runs on executors)
+
+    for qid in chunk_qids:
+        terms = qterms[qid]
+        if terms:
             terms_here = [t for t in sorted(set(terms)) if t in per_term]
             if not terms_here:
                 continue
@@ -395,9 +430,6 @@ def _make_batch_shard_kernel(
             out_q.extend([qid] * len(order))
             out_d.extend(cand[order].tolist())
             out_s.extend(sc[order].tolist())
-        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
-
-    return kernel
 
 
 def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):

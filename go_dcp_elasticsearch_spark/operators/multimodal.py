@@ -2,12 +2,13 @@
 metadata, with decode / feature-extract / resize / frame-sample operators.
 
 The Spark-side plumbing (schemas, partition strategy, Arrow UDF
-signatures, batch shapes) is real and tested; the media codecs themselves
-are NOT in this container, so the decode kernels are stubbed behind
-``deterministic_fake=True`` (seeded, reproducible pseudo-decodes keyed on
-the payload hash) or raise NotImplementedError when a real codec is
-requested. Swapping in PIL/ffmpeg later changes ONLY the marked kernel
-bodies — every DataFrame contract stays identical.
+signatures, batch shapes) is real and tested. Real codecs are GUARDED
+OPTIONAL imports: with ``deterministic_fake=False`` each operator
+imports PIL / cv2 and runs a real decode kernel where those exist, and
+raises a clear NotImplementedError where they don't (this sandbox has
+neither). ``deterministic_fake=True`` (default) uses seeded reproducible
+pseudo-decodes keyed on the payload hash — the test/oracle path. Every
+DataFrame contract is identical across the two paths.
 
 Scale notes: media blobs are the widest column by far — every operator
 here prunes to (id, payload) before the Python stage, emits fixed-width
@@ -70,6 +71,28 @@ def _fake_bytes(payload: bytes, n: int, salt: str) -> np.ndarray:
     return np.random.RandomState(seed).randint(0, 256, size=n, dtype=np.uint8)
 
 
+def _optional(module: str):
+    """Guarded optional import for real codecs: the operators light up
+    where PIL/opencv exist and degrade to a clear NotImplementedError
+    where they don't (this sandbox), without touching any caller."""
+    import importlib
+
+    try:
+        return importlib.import_module(module)
+    except Exception:
+        return None
+
+
+def _require_codec(module: str, what: str):
+    mod = _optional(module)
+    if mod is None:
+        raise NotImplementedError(
+            f"real {what} requires {module} (not importable in this "
+            f"environment); install it or use deterministic_fake=True"
+        )
+    return mod
+
+
 def decode_image_features(
     media: DataFrame, dim: int = 64, deterministic_fake: bool = True
 ) -> DataFrame:
@@ -79,23 +102,45 @@ def decode_image_features(
     the blob column never leaves the Python worker.
     """
     if not deterministic_fake:
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv (not in this container); "
-            "replace the kernel body below and pass deterministic_fake=False"
-        )
+        _require_codec("PIL.Image", "image decoding")
 
-    def kernel(iterator):
-        for pdf in iterator:
-            embs, ws, hs = [], [], []
-            for payload in pdf["payload"]:
-                raw = _fake_bytes(bytes(payload), dim + 2, "imgfeat")
-                # >>> STUB: real impl = PIL.Image.open(io.BytesIO(payload))
-                ws.append(int(raw[0]) * 8 + 64)
-                hs.append(int(raw[1]) * 8 + 64)
-                embs.append((raw[2:].astype(np.float32) / 255.0).tolist())
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "width": ws, "height": hs, "embedding": embs}
-            )
+        def kernel(iterator):
+            import io
+            import math
+
+            from PIL import Image
+
+            side = max(1, int(math.isqrt(dim)))
+            for pdf in iterator:
+                embs, ws, hs = [], [], []
+                for payload in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(payload)))
+                    ws.append(int(img.width))
+                    hs.append(int(img.height))
+                    # embedding = row-major downsampled grayscale, padded
+                    g = np.asarray(
+                        img.convert("L").resize((side, side)), dtype=np.float32
+                    ).ravel() / 255.0
+                    embs.append(np.pad(g, (0, dim - len(g)))[:dim].tolist())
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"], "width": ws, "height": hs,
+                     "embedding": embs}
+                )
+
+    else:
+
+        def kernel(iterator):
+            for pdf in iterator:
+                embs, ws, hs = [], [], []
+                for payload in pdf["payload"]:
+                    raw = _fake_bytes(bytes(payload), dim + 2, "imgfeat")
+                    ws.append(int(raw[0]) * 8 + 64)
+                    hs.append(int(raw[1]) * 8 + 64)
+                    embs.append((raw[2:].astype(np.float32) / 255.0).tolist())
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"], "width": ws, "height": hs,
+                     "embedding": embs}
+                )
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         kernel, schema=IMAGE_FEATURES_SCHEMA
@@ -110,9 +155,6 @@ def resize_images(
     Partition note: resize is pure map — no shuffle; output written
     partitioned however the caller partitions (typically by kind/format).
     """
-    if not deterministic_fake:
-        raise NotImplementedError("real resize requires PIL/opencv")
-
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -122,21 +164,44 @@ def resize_images(
         ]
     )
 
-    def kernel(iterator):
-        for pdf in iterator:
-            outs = [
-                # >>> STUB: real impl = decode, resample, re-encode
-                bytes(_fake_bytes(bytes(p), 32, f"resize{target_w}x{target_h}"))
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": outs,
-                    "width": target_w,
-                    "height": target_h,
-                }
-            )
+    if not deterministic_fake:
+        _require_codec("PIL.Image", "image resizing")
+
+        def kernel(iterator):
+            import io
+
+            from PIL import Image
+
+            for pdf in iterator:
+                outs = []
+                for p in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(p))).resize(
+                        (target_w, target_h)
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    outs.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"], "payload": outs,
+                     "width": target_w, "height": target_h}
+                )
+
+    else:
+
+        def kernel(iterator):
+            for pdf in iterator:
+                outs = [
+                    bytes(_fake_bytes(bytes(p), 32, f"resize{target_w}x{target_h}"))
+                    for p in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": outs,
+                        "width": target_w,
+                        "height": target_h,
+                    }
+                )
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         kernel, schema=out_schema
@@ -153,21 +218,60 @@ def sample_video_frames(
     bounded.
     """
     if not deterministic_fake:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+        _require_codec("cv2", "video frame sampling")
 
-    def kernel(iterator):
-        for pdf in iterator:
-            ids, idxs, frames = [], [], []
-            for mid, payload, dur in zip(
-                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
-            ):
-                n = min(max_frames, max(1, int((dur or 0) // every_ms)))
-                for i in range(n):
-                    ids.append(mid)
-                    idxs.append(i)
-                    # >>> STUB: real impl = ffmpeg -ss <i*every_ms> frame grab
-                    frames.append(bytes(_fake_bytes(bytes(payload), 16, f"frame{i}")))
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_png": frames})
+        def kernel(iterator):
+            import os
+            import tempfile
+
+            import cv2
+
+            for pdf in iterator:
+                ids, idxs, frames = [], [], []
+                for mid, payload, dur in zip(
+                    pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+                ):
+                    # cv2.VideoCapture needs a file path; spill the blob
+                    with tempfile.NamedTemporaryFile(
+                        suffix=".bin", delete=False
+                    ) as f:
+                        f.write(bytes(payload))
+                        tmp = f.name
+                    try:
+                        cap = cv2.VideoCapture(tmp)
+                        n = min(max_frames, max(1, int((dur or 0) // every_ms)))
+                        for i in range(n):
+                            cap.set(cv2.CAP_PROP_POS_MSEC, i * every_ms)
+                            ok, frame = cap.read()
+                            if not ok:
+                                break
+                            ok2, png = cv2.imencode(".png", frame)
+                            if not ok2:
+                                break
+                            ids.append(mid)
+                            idxs.append(i)
+                            frames.append(png.tobytes())
+                        cap.release()
+                    finally:
+                        os.unlink(tmp)
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "frame_png": frames}
+                )
+
+    else:
+
+        def kernel(iterator):
+            for pdf in iterator:
+                ids, idxs, frames = [], [], []
+                for mid, payload, dur in zip(
+                    pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+                ):
+                    n = min(max_frames, max(1, int((dur or 0) // every_ms)))
+                    for i in range(n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(bytes(_fake_bytes(bytes(payload), 16, f"frame{i}")))
+                yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_png": frames})
 
     return media.filter(F.col("kind") == "video").select(
         "media_id", "payload", "duration_ms"

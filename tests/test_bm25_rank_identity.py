@@ -63,11 +63,14 @@ def test_rank_identity_both_strategies(spark, built, k):
                 assert abs(gs - ws) < 1e-9, (qtext, strategy, gd)
 
 
-def test_batch_retrieval_matches_single(spark, built):
+@pytest.mark.parametrize("chunk_size", [64, 2])
+def test_batch_retrieval_matches_single(spark, built, chunk_size):
+    """Batch results must be chunking-invariant: chunk_size only bounds
+    executor memory (decode caches cleared between chunks), never results."""
     index_dir, docs_tokens = built
     q = BM25Query(spark, index_dir)
     queries = list(enumerate(QUERY_SET[:5]))
-    batch = q.topk_batch(queries, k=5).collect()
+    batch = q.topk_batch(queries, k=5, chunk_size=chunk_size).collect()
     by_qid: dict[int, list] = {}
     for r in sorted(batch, key=lambda r: (r["query_id"], -r["score"], r["doc_id"])):
         by_qid.setdefault(int(r["query_id"]), []).append((int(r["doc_id"]), float(r["score"])))
