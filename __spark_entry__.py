@@ -500,6 +500,55 @@ def _q_changes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_key", F.md5("content").alias("content_hash"))
 
 
+def _q_snapshot_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 snapshot-range incremental read, end-to-end through the REAL
+    store: events split 3 ways by event_id % 3 — slice 0 bootstraps the
+    mirror (snapshot 0), slices 1 and 2 are committed as snapshots 1 and
+    2; read_changes_between(0, 2) returns the NET per-key feed of (0, 2]
+    — newest (snapshot_id, seq_no) wins across the two commits. The store
+    directory is recreated from scratch each call (idempotent across
+    driver runs). Exercises commit (LWW + changelog partition write +
+    mirror upsert) AND the pruned range read; the DuckDB mirror is the
+    collapsed window over the same event partitioning."""
+    import shutil
+    import tempfile
+
+    from go_dcp_elasticsearch_spark.sources.snapshots import SnapshotStore
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    store_dir = f"{tempfile.gettempdir()}/spark_entry_snapstore_{tag}"
+    shutil.rmtree(store_dir, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("doc_key"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("index"))
+        .alias("action"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.col("props").alias("content"),
+        F.col("event_id").cast("long").alias("seq_no"),
+        (F.col("event_id") % 3).cast("int").alias("_snap"),
+    ).withColumn(
+        "content", F.when(F.col("action") == "delete", F.lit(None)).otherwise(F.col("content"))
+    )
+    store = SnapshotStore(spark, store_dir, key_cols=["doc_key"])
+    store.bootstrap(
+        ev.filter(F.col("_snap") == 0)
+        .select("doc_key", "commit", "lang", "content", "seq_no")
+    )
+    for s in (1, 2):
+        store.commit(ev.filter(F.col("_snap") == s).drop("_snap"))
+    out = store.read_changes_between(0, 2)
+    return out.select(
+        F.col("doc_key").cast("long").alias("doc_key"),
+        "action",
+        F.md5(F.coalesce(F.col("content"), F.lit(""))).alias("content_hash"),
+        F.col("snapshot_id").cast("int").alias("snapshot_id"),
+        F.col("seq_no").cast("long").alias("seq_no"),
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_dcp_elasticsearch_spark.operators.dedup import simhash64
 
@@ -566,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _q_embedding_dups,
         "media_frames": _q_media_frames,
         "changes_apply": _q_changes_apply,
+        "snapshot_range_read": _q_snapshot_range_read,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -851,6 +901,29 @@ SELECT doc_key, md5(content) AS content_hash FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 AND action <> 'delete'
+""",
+        "snapshot_range_read": """
+-- net change feed of snapshot range (0, 2]: events sliced by
+-- event_id % 3 (slice 0 = bootstrap, slices 1/2 = committed snapshots);
+-- per key the newest (snapshot_id, seq_no) wins across the range
+WITH ch AS (
+  SELECT user_id AS doc_key,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'index' END AS action,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content,
+         CAST(event_id AS BIGINT) AS seq_no,
+         CAST(event_id % 3 AS INT) AS snapshot_id
+  FROM events
+  WHERE event_id % 3 IN (1, 2)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_key ORDER BY snapshot_id DESC, seq_no DESC
+  ) AS rn
+  FROM ch
+)
+SELECT CAST(doc_key AS BIGINT) AS doc_key, action,
+       md5(coalesce(content, '')) AS content_hash, snapshot_id, seq_no
+FROM r WHERE rn = 1
 """,
         "embedding_dups": f"""
 WITH planes AS (SELECT p, {_plane_sql("p")} AS pv
