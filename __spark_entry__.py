@@ -500,6 +500,33 @@ def _q_changes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_key", F.md5("content").alias("content_hash"))
 
 
+def _q_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star invariant: per-row content sha256 equality of the built
+    index's docs table against the source corpus — a full-outer key join
+    with map-side sha (content never shuffles). On an uncorrupted build
+    every row is ok; the DuckDB mirror states that expectation over the
+    same source table (missing/extra/mismatch provably 0 because the docs
+    table is derived from exactly these rows)."""
+    import hashlib
+    import tempfile
+
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
+    from go_dcp_elasticsearch_spark.index import IndexBuilder, verify_index_against_source
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"ft_oracle_idx_{tag}")
+    builder = IndexBuilder(spark, idx_dir, n_shards=4)
+    corpus = load_documents_corpus(spark, sf_dir)
+    builder.build(corpus, resume=True)
+    out = verify_index_against_source(spark, idx_dir, corpus)
+    return spark.createDataFrame(
+        [(out["n_docs"], out["n_source"], out["missing_in_index"],
+          out["extra_in_index"], out["sha_mismatch"], out["n_ok"])],
+        "n_docs long, n_source long, missing_in_index long, "
+        "extra_in_index long, sha_mismatch long, n_ok long",
+    )
+
+
 def _q_snapshot_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 snapshot-range incremental read, end-to-end through the REAL
     store: events split 3 ways by event_id % 3 — slice 0 bootstraps the
@@ -615,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _q_embedding_dups,
         "media_frames": _q_media_frames,
         "changes_apply": _q_changes_apply,
+        "index_verify": _q_index_verify,
         "snapshot_range_read": _q_snapshot_range_read,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -901,6 +929,14 @@ SELECT doc_key, md5(content) AS content_hash FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 AND action <> 'delete'
+""",
+        "index_verify": """
+SELECT count(*) AS n_docs, count(*) AS n_source,
+       CAST(0 AS BIGINT) AS missing_in_index,
+       CAST(0 AS BIGINT) AS extra_in_index,
+       CAST(0 AS BIGINT) AS sha_mismatch,
+       count(*) AS n_ok
+FROM documents
 """,
         "snapshot_range_read": """
 -- net change feed of snapshot range (0, 2]: events sliced by

@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--target-docs-per-shard", type=int, default=None)
     c.add_argument("--master", default=None)
 
+    v = sub.add_parser("verify", help="per-row sha256 parity of the index's "
+                                      "docs table against the source corpus")
+    v.add_argument("--index", required=True)
+    v.add_argument("--corpus", required=True, help="source corpus parquet")
+    v.add_argument("--master", default=None)
+
     q = sub.add_parser("query", help="BM25 top-k query against a built index")
     q.add_argument("--index", required=True)
     q.add_argument("--text", default=None, help="single query text")
@@ -95,6 +101,15 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.changes),
             )
             print(json.dumps(out))
+        elif args.cmd == "verify":
+            from go_dcp_elasticsearch_spark.index import verify_index_against_source
+
+            out = verify_index_against_source(
+                spark, args.index, spark.read.parquet(args.corpus)
+            )
+            print(json.dumps(out))
+            bad = out["missing_in_index"] + out["extra_in_index"] + out["sha_mismatch"]
+            return 0 if bad == 0 else 3
         elif args.cmd == "compact":
             from go_dcp_elasticsearch_spark.sources.changes import compact_index
 
