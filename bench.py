@@ -38,6 +38,24 @@ QUERY_SET = [
     "scan",
 ]
 
+# big-section queries against the SYNTHETIC corpus vocabulary (hot terms,
+# language keywords, rare markers, mid-frequency locals) — the sf QUERY_SET
+# words barely occur in synth docs and would make batch qps look free
+BIG_QUERY_SET = [
+    "getValue buffer",
+    "parseInput index helper",
+    "kraken_sentinel",
+    "quasarFlux buffer",
+    "return yield lambda",
+    "func defer chan",
+    "localVar7 getValue",
+    "helper_func_11 index",
+    "obsidian_marker zephyrDelta",
+    "public static void",
+    "buffer",
+    "async await const",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -198,18 +216,20 @@ def main() -> None:
             timings["big_build_files_per_sec"] = round(big_n / big_build, 1)
             qb = BM25Query(spark, f"{big_dir}/idx")
             lat = []
-            for qtext in QUERY_SET[:6]:
+            for qtext in BIG_QUERY_SET[:6]:
                 t0 = time.time()
                 qb.topk_pruned(qtext, 10).collect()
                 lat.append(time.time() - t0)
             timings["big_topk_mean_sec"] = round(sum(lat) / len(lat), 4)
-            big48 = [(i, QUERY_SET[i % len(QUERY_SET)] + f" q{i % 7}") for i in range(48)]
+            big48 = [(i, BIG_QUERY_SET[i % len(BIG_QUERY_SET)] + f" localVar{i % 7}")
+                     for i in range(48)]
             t0 = time.time()
-            qb.topk_batch(big48, 10).collect()
+            timings["big_batch48_rows"] = qb.topk_batch(big48, 10).count()
             timings["big_batch48_qps"] = round(48 / (time.time() - t0), 2)
-            big256 = [(i, QUERY_SET[i % len(QUERY_SET)] + f" q{i % 13}") for i in range(256)]
+            big256 = [(i, BIG_QUERY_SET[i % len(BIG_QUERY_SET)] + f" localVar{i % 13}")
+                      for i in range(256)]
             t0 = time.time()
-            qb.topk_batch(big256, 10).collect()
+            timings["big_batch256_rows"] = qb.topk_batch(big256, 10).count()
             timings["big_batch256_qps"] = round(256 / (time.time() - t0), 2)
         finally:
             shutil.rmtree(big_dir, ignore_errors=True)
