@@ -104,16 +104,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full engine end-to-end on sf0.001 (build -> pruned query)."""
-    import tempfile
+    """Flagship: full engine end-to-end on sf0.001 (build -> pruned query).
+    Shares the fingerprint-guarded cached oracle index (stale /tmp state
+    from an earlier fixture generation is detected and rebuilt)."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
 
-    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
-    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
-
-    idx_dir = os.path.join(tempfile.gettempdir(), "ft_entry_idx_sf0001")
-    corpus = load_documents_corpus(spark, "/root/testdata/sf0.001")
-    builder = IndexBuilder(spark, idx_dir, n_shards=4)
-    builder.build(corpus, resume=True)
+    idx_dir = _oracle_index(spark, "/root/testdata/sf0.001")
     q = BM25Query(spark, idx_dir)
     return q.topk_pruned(" ".join(BM25_TERMS), BM25_K).select(
         "doc_id", round6_expr(F.col("score")).alias("score")
@@ -157,23 +153,65 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine: compressed sharded index + block-max pruned retrieval.
-    Same oracle as the declarative path — proves codec+shard+prune exactness."""
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of the documents fixture (file names + sizes +
+    mtimes — zero Spark jobs). Regenerated driver testdata at the SAME
+    path changes the fingerprint and invalidates the cached /tmp oracle
+    index, which would otherwise serve stale results forever (resume=True
+    skips completed builds)."""
     import hashlib
+
+    path = f"{sf_dir}/documents.parquet"
+    parts = []
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, fn))
+            parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def _oracle_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume) the per-fixture cached oracle index, guarded by
+    the fixture fingerprint."""
+    import hashlib
+    import shutil
     import tempfile
 
     from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
-    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.index import IndexBuilder
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     idx_dir = os.path.join(tempfile.gettempdir(), f"ft_oracle_idx_{tag}")
-    builder = IndexBuilder(spark, idx_dir, n_shards=4)
-    builder.build(load_documents_corpus(spark, sf_dir), resume=True)
+    fp = _fixture_fingerprint(sf_dir)
+    fp_file = os.path.join(idx_dir, "_fixture_fp")
+    if os.path.exists(idx_dir):
+        stale = True
+        if os.path.exists(fp_file):
+            with open(fp_file) as f:
+                stale = f.read().strip() != fp
+        if stale:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    IndexBuilder(spark, idx_dir, n_shards=4).build(
+        load_documents_corpus(spark, sf_dir), resume=True
+    )
+    with open(fp_file, "w") as f:
+        f.write(fp)
+    return idx_dir
+
+
+def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine: compressed sharded index + block-max pruned retrieval.
+    Same oracle as the declarative path — proves codec+shard+prune exactness."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
     q = BM25Query(spark, idx_dir)
     out = q.topk_pruned(" ".join(BM25_TERMS), BM25_K)
     # engine doc_id = rank over (repo=source, path='doc/'||doc_id); map back
-    docs = spark.read.parquet(builder.paths.docs).select(
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
         F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
     )
@@ -507,17 +545,11 @@ def _q_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row is ok; the DuckDB mirror states that expectation over the
     same source table (missing/extra/mismatch provably 0 because the docs
     table is derived from exactly these rows)."""
-    import hashlib
-    import tempfile
-
     from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
-    from go_dcp_elasticsearch_spark.index import IndexBuilder, verify_index_against_source
+    from go_dcp_elasticsearch_spark.index import verify_index_against_source
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"ft_oracle_idx_{tag}")
-    builder = IndexBuilder(spark, idx_dir, n_shards=4)
+    idx_dir = _oracle_index(spark, sf_dir)
     corpus = load_documents_corpus(spark, sf_dir)
-    builder.build(corpus, resume=True)
     out = verify_index_against_source(spark, idx_dir, corpus)
     return spark.createDataFrame(
         [(out["n_docs"], out["n_source"], out["missing_in_index"],

@@ -378,61 +378,60 @@ def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
     import numpy as np  # noqa: F811 (kernel runs on executors)
 
     for qid in chunk_qids:
-        terms = qterms[qid]
-        if terms:
-            terms_here = [t for t in sorted(set(terms)) if t in per_term]
-            if not terms_here:
-                continue
-            all_ids, all_ubs = [], []
+        terms_all = qterms[qid]
+        terms_here = [t for t in sorted(set(terms_all)) if t in per_term]
+        if not terms_here:
+            continue
+        all_ids, all_ubs = [], []
+        for t in terms_here:
+            w = idfs[t]
+            for row in per_term[t]:
+                ids = ids_of(t, row)
+                all_ids.append(ids)
+                all_ubs.append(
+                    np.full(len(ids), w * _block_ub(row.max_tf, row.min_dl, avgdl))
+                )
+        ids_cat = np.concatenate(all_ids)
+        ubs_cat = np.concatenate(all_ubs)
+        uniq, inv = np.unique(ids_cat, return_inverse=True)
+        ub = np.zeros(len(uniq))
+        np.add.at(ub, inv, ubs_cat)
+
+        def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
+            scores = np.zeros(len(doc_subset))
             for t in terms_here:
                 w = idfs[t]
                 for row in per_term[t]:
                     ids = ids_of(t, row)
-                    all_ids.append(ids)
-                    all_ubs.append(
-                        np.full(len(ids), w * _block_ub(row.max_tf, row.min_dl, avgdl))
+                    lo = np.searchsorted(doc_subset, ids[0])
+                    hi = np.searchsorted(doc_subset, ids[-1], side="right")
+                    if lo == hi:
+                        continue
+                    tfs, dls = tfs_dls_of(t, row)
+                    pos = np.searchsorted(doc_subset, ids)
+                    mask = (pos < len(doc_subset)) & (
+                        doc_subset[np.minimum(pos, len(doc_subset) - 1)] == ids
                     )
-            ids_cat = np.concatenate(all_ids)
-            ubs_cat = np.concatenate(all_ubs)
-            uniq, inv = np.unique(ids_cat, return_inverse=True)
-            ub = np.zeros(len(uniq))
-            np.add.at(ub, inv, ubs_cat)
+                    tfn = tfs[mask] / (
+                        tfs[mask] + K1 * (1.0 - B + B * dls[mask] / avgdl)
+                    )
+                    scores[pos[mask]] += w * tfn
+            return scores
 
-            def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
-                scores = np.zeros(len(doc_subset))
-                for t in terms_here:
-                    w = idfs[t]
-                    for row in per_term[t]:
-                        ids = ids_of(t, row)
-                        lo = np.searchsorted(doc_subset, ids[0])
-                        hi = np.searchsorted(doc_subset, ids[-1], side="right")
-                        if lo == hi:
-                            continue
-                        tfs, dls = tfs_dls_of(t, row)
-                        pos = np.searchsorted(doc_subset, ids)
-                        mask = (pos < len(doc_subset)) & (
-                            doc_subset[np.minimum(pos, len(doc_subset) - 1)] == ids
-                        )
-                        tfn = tfs[mask] / (
-                            tfs[mask] + K1 * (1.0 - B + B * dls[mask] / avgdl)
-                        )
-                        scores[pos[mask]] += w * tfn
-                return scores
-
-            if len(uniq) <= k:
-                cand = uniq
-            else:
-                top_by_ub = uniq[np.argsort(-ub)[:k]]
-                top_by_ub.sort()
-                lam_scores = exact_scores(top_by_ub)
-                lam = np.sort(lam_scores)[-k] if len(lam_scores) >= k else 0.0
-                cand = uniq[ub >= lam - 1e-12]
-            cand = np.sort(cand)
-            sc = exact_scores(cand)
-            order = np.lexsort((cand, -sc))[:k]
-            out_q.extend([qid] * len(order))
-            out_d.extend(cand[order].tolist())
-            out_s.extend(sc[order].tolist())
+        if len(uniq) <= k:
+            cand = uniq
+        else:
+            top_by_ub = uniq[np.argsort(-ub)[:k]]
+            top_by_ub.sort()
+            lam_scores = exact_scores(top_by_ub)
+            lam = np.sort(lam_scores)[-k] if len(lam_scores) >= k else 0.0
+            cand = uniq[ub >= lam - 1e-12]
+        cand = np.sort(cand)
+        sc = exact_scores(cand)
+        order = np.lexsort((cand, -sc))[:k]
+        out_q.extend([qid] * len(order))
+        out_d.extend(cand[order].tolist())
+        out_s.extend(sc[order].tolist())
 
 
 def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):

@@ -35,17 +35,26 @@ def verify_index_against_source(
     "violations" DataFrame of (key_cols..., kind) rows.
     """
     key_cols = list(key_cols)
+    # explicit presence markers, NOT sha nullity: a row present on both
+    # sides with NULL content (sha2(NULL) = NULL) must compare as ok, not
+    # masquerade as missing/extra
     docs = spark.read.parquet(f"{index_dir}/docs").select(
-        *key_cols, F.col("content_sha256").alias("_idx_sha")
+        *key_cols,
+        F.col("content_sha256").alias("_idx_sha"),
+        F.lit(True).alias("_in_idx"),
     )
     src = source.select(
-        *key_cols, F.sha2(F.col(content_col), 256).alias("_src_sha")
+        *key_cols,
+        F.sha2(F.col(content_col), 256).alias("_src_sha"),
+        F.lit(True).alias("_in_src"),
     )
     joined = docs.join(src, key_cols, "full_outer")
     kind = (
-        F.when(F.col("_idx_sha").isNull(), F.lit("missing_in_index"))
-        .when(F.col("_src_sha").isNull(), F.lit("extra_in_index"))
-        .when(F.col("_idx_sha") != F.col("_src_sha"), F.lit("sha_mismatch"))
+        F.when(F.col("_in_idx").isNull(), F.lit("missing_in_index"))
+        .when(F.col("_in_src").isNull(), F.lit("extra_in_index"))
+        .when(
+            ~F.col("_idx_sha").eqNullSafe(F.col("_src_sha")), F.lit("sha_mismatch")
+        )
         .otherwise(F.lit("ok"))
     )
     classified = joined.select(*key_cols, kind.alias("kind"))

@@ -160,6 +160,8 @@ def train_ivf_codebook(
         .limit(n_cells)
         .collect()
     )
+    if not seeds:
+        raise ValueError("train_ivf_codebook: empty corpus (no vectors to seed)")
     cents = np.asarray([r["_v"] for r in seeds], dtype=np.float64)
     n_cells = len(cents)
     dim = cents.shape[1]

@@ -95,6 +95,30 @@ def reconcile_sink(
     return attempted.join(committed.select(*key_cols), list(key_cols), "left_anti")
 
 
+def _guard_unpartitioned_sink(spark, sink_dir: str) -> None:
+    """Refuse to append a ``_run_id``-partitioned write into a sink that
+    already holds UNPARTITIONED parquet files at its root: Spark's
+    partition discovery silently ignores root-level leaf files next to
+    partition directories, so every legacy row would vanish from reads.
+    Raise with a migration hint instead of corrupting the table."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            raise ValueError(
+                f"sink {sink_dir} holds unpartitioned parquet written by a "
+                "pre-run_id version; appending a _run_id-partitioned write "
+                "would make Spark silently drop the legacy rows. Migrate "
+                "first (read the sink, add a _run_id column, rewrite "
+                "partitionBy('_run_id')) or use a fresh sink directory."
+            )
+
+
 def run_sink(
     actions: DataFrame,
     sink_dir: str,
@@ -130,6 +154,7 @@ def run_sink(
     t0 = time.time()
     if run_id is None:
         run_id = uuid.uuid4().hex
+    _guard_unpartitioned_sink(actions.sparkSession, sink_dir)
     staged = handler.on_before_bulk(actions)
     if "is_skipped" in staged.columns:
         staged = staged.filter(~F.coalesce(F.col("is_skipped"), F.lit(False)))

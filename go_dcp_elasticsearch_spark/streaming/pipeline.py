@@ -145,22 +145,29 @@ def upsert_corpus_mirror(
         return
 
     # merge the touched buckets: survivors keep content, upserts win.
-    # When an index exists, the semi-join against its docs key set also
-    # garbage-collects rows whose keys were deleted by EARLIER batches in
-    # other buckets (an empty-after-delete bucket is never rewritten by
-    # dynamic overwrite, so stale content would otherwise linger —
-    # harmless for queries, but a space leak).
     old = spark.read.parquet(corpus_path).filter(
         F.col("_bucket").isin(touched_buckets)
     )
-    try:
-        live_keys = spark.read.parquet(f"{index_dir}/docs").select(*key_cols)
-        old = old.join(live_keys, key_cols, "left_semi")
-    except Exception:
-        pass  # no index built yet: the mirror is the only state
-    survivors = old.join(
-        F.broadcast(feed.select(*key_cols)), key_cols, "left_anti"
-    )
+    if "seq_no" in old.columns:
+        # migrate pre-round-3 mirrors whose bootstrap wrote int32 seq_no:
+        # rewriting SOME buckets as int64 would leave a mixed-type parquet
+        # table that fails at read — normalize the WHOLE mirror once
+        if dict(old.dtypes).get("seq_no") != "bigint":
+            allb = spark.read.parquet(corpus_path).withColumn(
+                "seq_no", F.col("seq_no").cast("long")
+            ).persist()
+            allb.count()
+            allb.repartition(n_buckets, F.col("_bucket")).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(corpus_path)
+            allb.unpersist()
+            spark.catalog.refreshByPath(corpus_path)
+            old = spark.read.parquet(corpus_path).filter(
+                F.col("_bucket").isin(touched_buckets)
+            )
+    # no broadcast hint on the feed keys: a bulk re-ingest snapshot can
+    # carry millions of keys; let AQE broadcast only when it actually fits
+    survivors = old.join(feed.select(*key_cols), key_cols, "left_anti")
     # seq_no is a 64-bit CDC sequence — cast("int") would wrap silently
     upserts = feed.filter(F.col("action") != "delete").select(
         *key_cols, "commit", "lang", "content",
@@ -176,6 +183,24 @@ def upsert_corpus_mirror(
         ).partitionBy("_bucket").parquet(corpus_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # a bucket whose every row was deleted receives no merged rows, so
+    # dynamic overwrite leaves its stale directory — remove explicitly.
+    # (This replaces the old semi-join GC against the index docs table,
+    # which silently dropped committed-but-not-yet-APPLIED inserts from
+    # the mirror under the snapshot store's deferred-apply flow.)
+    live = {
+        int(r["_bucket"])
+        for r in merged.select("_bucket").distinct().collect()
+    }
+    emptied = set(touched_buckets) - live
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for b in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{corpus_path}/_bucket={b}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
     spark.catalog.refreshByPath(corpus_path)
     merged.unpersist()
 

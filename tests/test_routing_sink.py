@@ -222,3 +222,21 @@ class TestRunScopedReconcile:
         ).write.mode("append").partitionBy("_run_id").parquet(sink)
         missing = reconcile_sink(spark, df2, sink, ["doc_key"], run_id="r2")
         assert {r["doc_key"] for r in missing.collect()} == {"4", "5"}
+
+
+def test_run_sink_refuses_legacy_unpartitioned_sink(spark, tmp_path):
+    """Review regression (round 3): appending a _run_id-partitioned write
+    into a sink holding root-level parquet would make Spark silently drop
+    every legacy row — run_sink must refuse with a migration hint."""
+    import pytest
+
+    from go_dcp_elasticsearch_spark.operators.sink_handler import run_sink
+
+    sink = str(tmp_path / "legacy_sink")
+    legacy = spark.createDataFrame([("a", "v0")], "doc_key string, payload string")
+    legacy.write.parquet(sink)  # unpartitioned root-level files
+    df = spark.createDataFrame([("b", "v1")], "doc_key string, payload string")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        run_sink(df, sink)
+    # legacy rows still intact and readable
+    assert spark.read.parquet(sink).count() == 1

@@ -144,3 +144,80 @@ def test_read_changes_between_guards(spark, tmp_path):
         store.read_changes_between(0, 0)
     with pytest.raises(ValueError):
         store.read_changes_between(2)  # head is 0
+
+
+def test_deferred_apply_keeps_unapplied_inserts(spark, tmp_path):
+    """Review regression (round 3): the mirror GC must not drop a
+    committed-but-not-yet-APPLIED insert when a later commit touches the
+    same bucket. n_buckets=1 forces every commit onto one bucket."""
+    idx = str(tmp_path / "idx_gc")
+    corpus = synth_corpus(spark, 60)
+    store = SnapshotStore(spark, idx)
+    store.bootstrap(corpus, n_buckets=1)
+    IndexBuilder(spark, idx, n_shards=2).build(store.corpus_at_head())
+
+    new_key = ("orgG/gc", "src/gc.py")
+    store.commit(spark.createDataFrame(
+        [_change(new_key, "index", "zzqgcinsert buffer", 11)], CHANGE_SCHEMA
+    ))
+    # second commit touches the SAME (only) bucket with a different key
+    other = [
+        (r["repo"], r["path"])
+        for r in corpus.select("repo", "path").orderBy("repo", "path").limit(1).collect()
+    ][0]
+    store.commit(spark.createDataFrame(
+        [_change(other, "index", "zzqgcupdate buffer", 21)], CHANGE_SCHEMA
+    ))
+    # the unapplied insert must still be in the head mirror
+    head_keys = {
+        (r["repo"], r["path"]) for r in store.corpus_at_head().collect()
+    }
+    assert new_key in head_keys
+    resume_apply(spark, idx)
+    q = BM25Query(spark, idx)
+    hits = q.with_meta(q.topk_pruned("zzqgcinsert", 5)).collect()
+    assert [(r["repo"], r["path"]) for r in hits] == [new_key]
+
+
+def test_mirror_emptied_bucket_removed_and_int32_migrated(spark, tmp_path):
+    """(a) a bucket whose every key was deleted loses its partition dir
+    (the old dynamic-overwrite space leak); (b) a legacy mirror written
+    with int32 seq_no is normalized to long on first upsert instead of
+    producing a mixed-type parquet table."""
+    import os
+
+    from go_dcp_elasticsearch_spark.streaming.pipeline import (
+        _bucket_expr,
+        upsert_corpus_mirror,
+    )
+
+    idx = str(tmp_path / "idx_buckets")
+    corpus = synth_corpus(spark, 40).limit(40)
+    # legacy layout: int32 seq_no written directly (pre-round-3 bootstrap)
+    n_buckets = 2
+    corpus.withColumn("_bucket", _bucket_expr(["repo", "path"], n_buckets)) \
+        .write.partitionBy("_bucket").parquet(f"{idx}/_corpus")
+    spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(1) \
+        .write.parquet(f"{idx}/_corpus_meta")
+    assert dict(spark.read.parquet(f"{idx}/_corpus").dtypes)["seq_no"] == "int"
+
+    # delete EVERY key of bucket 0, update one key of bucket 1
+    keyed = corpus.withColumn("_b", _bucket_expr(["repo", "path"], n_buckets))
+    b0_keys = [(r["repo"], r["path"]) for r in
+               keyed.filter(F.col("_b") == 0).select("repo", "path").collect()]
+    b1_key = [(r["repo"], r["path"]) for r in
+              keyed.filter(F.col("_b") == 1).select("repo", "path").limit(1).collect()][0]
+    assert b0_keys, "fixture has no bucket-0 keys"
+    feed = spark.createDataFrame(
+        [(k[0], k[1], "delete", "c", "py", None, 100 + i) for i, k in enumerate(b0_keys)]
+        + [(b1_key[0], b1_key[1], "index", "c", "py", "migrated content", 999)],
+        CHANGE_SCHEMA,
+    )
+    upsert_corpus_mirror(spark, idx, feed, ["repo", "path"])
+
+    assert not os.path.exists(f"{idx}/_corpus/_bucket=0")
+    mirror = spark.read.parquet(f"{idx}/_corpus")
+    assert dict(mirror.dtypes)["seq_no"] == "bigint"
+    rows = {(r["repo"], r["path"]): r["content"] for r in mirror.collect()}
+    assert rows[b1_key] == "migrated content"
+    assert all(k not in rows for k in b0_keys)

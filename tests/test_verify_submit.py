@@ -120,3 +120,52 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     hits = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
     assert len(hits) == 5 and hits[0]["doc_id"] == 282
+
+
+def test_verify_null_content_is_ok_not_missing(spark, tmp_path):
+    """Review regression (round 3): a row present on BOTH sides with NULL
+    content (sha2(NULL)=NULL) must classify as ok — nullity of the sha is
+    not evidence of absence."""
+    idx = str(tmp_path / "idx_null")
+    spark.createDataFrame(
+        [("r1", "p1", None), ("r2", "p2", "abc123")],
+        "repo string, path string, content_sha256 string",
+    ).write.parquet(f"{idx}/docs")
+    src = spark.createDataFrame(
+        [("r1", "p1", None), ("r2", "p2", "different content")],
+        "repo string, path string, content string",
+    )
+    out = verify_index_against_source(spark, idx, src)
+    assert out["n_ok"] == 1  # the null row
+    assert out["sha_mismatch"] == 1  # r2 drifted
+    assert out["missing_in_index"] == 0 and out["extra_in_index"] == 0
+
+
+def test_oracle_index_fingerprint_guard(spark, tmp_path):
+    """Review regression (round 3): the cached /tmp oracle index must be
+    invalidated when the fixture at the same path changes (resume=True
+    would otherwise serve stale results forever)."""
+    import shutil
+    import time as _time
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = str(tmp_path / "sfX")
+    os.makedirs(sf_dir)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                f"{sf_dir}/documents.parquet")
+    idx1 = entrymod._oracle_index(spark, sf_dir)
+    fp1 = open(f"{idx1}/_fixture_fp").read()
+    lineage1 = open(f"{idx1}/_lineage/lineage.jsonl").read()
+    # unchanged fixture -> resume (lineage not re-written)
+    idx2 = entrymod._oracle_index(spark, sf_dir)
+    assert idx2 == idx1
+    assert open(f"{idx1}/_lineage/lineage.jsonl").read() == lineage1
+    # touched fixture (new mtime) -> fingerprint differs -> full rebuild
+    _time.sleep(1.1)
+    os.utime(f"{sf_dir}/documents.parquet")
+    idx3 = entrymod._oracle_index(spark, sf_dir)
+    fp3 = open(f"{idx3}/_fixture_fp").read()
+    assert fp3 != fp1
+    assert open(f"{idx3}/_lineage/lineage.jsonl").read() != lineage1
+    shutil.rmtree(idx1, ignore_errors=True)
