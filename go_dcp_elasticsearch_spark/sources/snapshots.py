@@ -55,12 +55,22 @@ class SnapshotStore:
 
     # ---------- metadata ----------
 
-    def snapshots(self) -> list[dict]:
-        """Committed snapshots, oldest first: [{snapshot_id, n_changes}]."""
+    def _meta_records(self) -> list[dict]:
         if not os.path.exists(self.meta_file):
             return []
         with open(self.meta_file) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def snapshots(self) -> list[dict]:
+        """Committed snapshots, oldest first: [{snapshot_id, n_changes}]."""
+        return [r for r in self._meta_records() if "snapshot_id" in r]
+
+    def expired_ids(self) -> set[int]:
+        """Snapshot ids whose changelog partitions were expired."""
+        out: set[int] = set()
+        for r in self._meta_records():
+            out.update(r.get("expired", []))
+        return out
 
     def current_snapshot_id(self) -> int:
         """Highest committed snapshot id; 0 = bootstrap (no changes yet)."""
@@ -141,6 +151,16 @@ class SnapshotStore:
             raise ValueError(
                 f"empty snapshot range ({start_snapshot_id}, {end_snapshot_id}]"
             )
+        gone = {
+            s for s in self.expired_ids()
+            if start_snapshot_id < s <= end_snapshot_id
+        }
+        if gone:
+            raise ValueError(
+                f"snapshot range ({start_snapshot_id}, {end_snapshot_id}] "
+                f"includes expired snapshots {sorted(gone)}; resume from a "
+                "fresh bootstrap of the head mirror instead"
+            )
         df = self.spark.read.parquet(self.changelog_path).filter(
             (F.col("snapshot_id") > start_snapshot_id)
             & (F.col("snapshot_id") <= end_snapshot_id)
@@ -157,6 +177,38 @@ class SnapshotStore:
     def corpus_at_head(self) -> DataFrame:
         """The post-change corpus state (mirror without the bucket col)."""
         return self.spark.read.parquet(f"{self.store_dir}/_corpus").drop("_bucket")
+
+    # ---------- retention ----------
+
+    def expire_snapshots(self, keep_after: int) -> list[int]:
+        """Drop changelog partitions with snapshot_id <= ``keep_after``
+        (Iceberg's expire_snapshots): the head mirror already folds their
+        net effect, so they are only needed for range reads starting below
+        ``keep_after``. Callers must not expire past any consumer's
+        checkpoint (``applied_snapshot_id``) or its next resume would find
+        a hole and replay from an unreadable base. Metadata keeps expired
+        ids flagged (audit trail); returns the expired ids.
+
+        Scale shape: pure directory deletes — no data is read or
+        rewritten."""
+        expired = []
+        already = self.expired_ids()
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        for s in self.snapshots():
+            sid = int(s["snapshot_id"])
+            if 0 < sid <= keep_after and sid not in already:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.changelog_path}/snapshot_id={sid}"
+                )
+                fs = p.getFileSystem(conf)
+                if fs.exists(p):
+                    fs.delete(p, True)
+                expired.append(sid)
+        if expired:
+            self.spark.catalog.refreshByPath(self.changelog_path)
+            self._append_meta({"expired": expired})
+        return expired
 
 
 def applied_snapshot_id(index_dir: str) -> int:
