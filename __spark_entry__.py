@@ -470,6 +470,30 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(buckets)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: connected components over the MinHash candidate
+    pairs — every doc labeled with its cluster's canonical (min) id and a
+    keep flag (pairwise keep-lowest under-deletes transitive groups).
+    Spark side: iterative min-label propagation to fixpoint; DuckDB
+    mirror: recursive transitive closure."""
+    from go_dcp_elasticsearch_spark.operators.dedup import (
+        dedup_clusters,
+        keep_per_cluster,
+        minhash_band_buckets,
+        minhash_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        minhash_band_buckets(
+            docs, "text", "doc_id",
+            n_hashes=MINHASH_N, band_size=MINHASH_BAND, shingle_n=SHINGLE_N,
+        )
+    )
+    clusters = dedup_clusters(docs.select(F.col("doc_id").alias("id")), pairs)
+    return keep_per_cluster(clusters)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_dcp_elasticsearch_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -669,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serialize_bulk": _q_serialize_bulk,
         "serialize_bulk_routing": _q_serialize_bulk_routing,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -925,6 +950,28 @@ buckets AS ({band_rows})
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.id < b.id
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE toks AS (SELECT doc_id AS id, {_TOKS_SQL} AS tokens FROM documents),
+sh_t AS (SELECT id, {_sql_shingles("tokens")} AS sh FROM toks),
+sigs AS (SELECT id, {mh_sigs} FROM sh_t WHERE len(sh) > 0),
+buckets AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+-- transitive closure: r = every node reachable from id; UNION dedups,
+-- so recursion terminates at the component closure
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id, min(r) AS cluster_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
 """,
         "ngram_jaccard": f"""
 WITH toks AS (SELECT doc_id AS id, {_TOKS_SQL} AS tokens FROM documents),

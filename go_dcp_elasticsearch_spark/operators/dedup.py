@@ -327,6 +327,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: every node gets
+    ``cluster_id`` = the smallest id reachable through the pair graph (its
+    canonical representative; singletons keep their own id). This is the
+    last stage of a dedup pipeline — MinHash/SimHash/embedding candidates
+    in, one keeper per duplicate CLUSTER out (pairwise keep-lowest under-
+    deletes transitive groups: A~B, B~C must collapse to one doc, not two).
+
+    ``nodes``: one row per doc (id_col); ``pairs``: (id_a, id_b) edges.
+
+    Algorithm: iterative min-label propagation to fixpoint — label(v) =
+    min(label(v), min label of v's neighbors) per round, converging in
+    O(component diameter) rounds (near-dup clusters are shallow; the cap
+    is a safety rail, and hitting it raises rather than returning a
+    half-converged labeling). Each round is one hash join + one
+    aggregation on (id, label) pairs only — no content moves. The labels
+    frame is re-persisted per round and the previous round unpersisted
+    (lineage would otherwise grow unboundedly). Deterministic: min is
+    order-free.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id, "inner")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(pathological component diameter); raise max_iters"
+        )
+    edges.unpersist()
+    return labels
+
+
+def keep_per_cluster(clusters: DataFrame) -> DataFrame:
+    """Dedup decision from ``dedup_clusters`` output: keep the canonical
+    doc of each cluster, drop the rest. Returns (id, cluster_id, keep)."""
+    return clusters.select(
+        "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over canonical tokens (vectorized pandas UDF).
 

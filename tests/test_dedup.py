@@ -238,3 +238,59 @@ def test_embedding_dups_method_required(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(TypeError):
         embedding_cosine_dups(emb, "embedding", "vec_id", 0.3)
+
+
+def test_dedup_clusters_union_find_oracle(spark):
+    """Connected components vs a pure-Python union-find on a graph with a
+    4-node chain (transitive!), a 2-cycle-joined triangle, and singletons."""
+    from go_dcp_elasticsearch_spark.operators.dedup import (
+        dedup_clusters,
+        keep_per_cluster,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4),        # chain: pairwise keep-lowest
+                                            # would keep 1 AND 3 wrongly
+             (10, 11), (11, 12), (10, 12),  # triangle
+             (20, 21)]
+    node_ids = sorted({n for e in edges for n in e} | {99, 100})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in node_ids}
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(nodes, pairs).collect()
+    }
+    assert got == want
+    keeps = {
+        r["id"]: r["keep"]
+        for r in keep_per_cluster(dedup_clusters(nodes, pairs)).collect()
+    }
+    assert {n for n, k in keeps.items() if k} == {1, 10, 20, 99, 100}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """The iteration cap raises instead of returning half-converged labels."""
+    import pytest
+
+    from go_dcp_elasticsearch_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(6)]
+    nodes = spark.createDataFrame([(n,) for n in range(7)], "id long")
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(nodes, pairs, max_iters=2)
+    assert dedup_clusters(nodes, pairs, max_iters=10).count() == 7
