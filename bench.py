@@ -189,6 +189,13 @@ def main() -> None:
     timings["minhash_scale_mode_sec"] = round(time.time() - t0, 4)
     extra_sec += timings["minhash_scale_mode_sec"]
 
+    # --- dedup clustering (new in round 3): connected components over the
+    # candidate pairs; excluded from the headline ---
+    t0 = time.time()
+    entrymod.queries()["dedup_clusters"](spark, sf_dir).collect()
+    timings["dedup_clusters_sec"] = round(time.time() - t0, 4)
+    extra_sec += timings["dedup_clusters_sec"]
+
     total = time.time() - t_all - extra_sec
 
     # --- big-corpus latency table (new in round 3, excluded from the
