@@ -155,14 +155,17 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fixture_fingerprint(sf_dir: str) -> str:
     """Cheap fingerprint of the documents fixture (file names + sizes +
-    mtimes — zero Spark jobs). Regenerated driver testdata at the SAME
-    path changes the fingerprint and invalidates the cached /tmp oracle
-    index, which would otherwise serve stale results forever (resume=True
-    skips completed builds)."""
+    mtimes — zero Spark jobs) PLUS the index format version. Regenerated
+    driver testdata at the SAME path — or a format change in a later
+    round — changes the fingerprint and invalidates the cached /tmp
+    oracle index, which would otherwise serve stale results forever
+    (resume=True skips completed builds)."""
     import hashlib
 
+    from go_dcp_elasticsearch_spark.index.builder import INDEX_FORMAT_VERSION
+
     path = f"{sf_dir}/documents.parquet"
-    parts = []
+    parts = [f"fmt{INDEX_FORMAT_VERSION}"]
     if os.path.isdir(path):
         for fn in sorted(os.listdir(path)):
             st = os.stat(os.path.join(path, fn))

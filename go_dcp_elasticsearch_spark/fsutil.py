@@ -1,0 +1,46 @@
+"""Shared Hadoop FileSystem helpers (one copy of the py4j dance).
+
+All partition-directory surgery in the engine (emptied shards, emptied
+mirror buckets, expired changelog snapshots, sink layout guards, the
+mirror migration swap) goes through these, so scheme-specific fixes
+(S3A, HDFS) land in exactly one place. Local-path semantics are what the
+tests exercise; the API is the portable Hadoop one."""
+
+from __future__ import annotations
+
+
+def hadoop_fs(spark, path: str):
+    """(fs, Path) for ``path`` under the session's Hadoop configuration."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def exists(spark, path: str) -> bool:
+    fs, p = hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete_dir(spark, path: str) -> bool:
+    """Recursive delete; returns whether anything existed."""
+    fs, p = hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+        return True
+    return False
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    fs, p = hadoop_fs(spark, src)
+    return bool(fs.rename(p, spark._jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def list_root_files(spark, path: str) -> list[str]:
+    """Names of plain FILES directly under ``path`` (no recursion)."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(p) if st.isFile()
+    ]

@@ -70,6 +70,13 @@ TF_SCHEMA = StructType(
 # computed at query time, so (a) the chunk kernel needs no stats
 # pre-pass (single content scan build) and (b) incremental updates that
 # shift avgdl can never invalidate stored bounds.
+# bump whenever the on-disk index layout changes (tables, columns, codec):
+# cached-index consumers (e.g. the driver entry's /tmp oracle index) fold
+# this into their invalidation fingerprint so resume=True can never serve
+# an old-format index after an upgrade. The schema-based guard in
+# build(resume=True) stays as the second line of defense.
+INDEX_FORMAT_VERSION = 3
+
 CHUNK_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),

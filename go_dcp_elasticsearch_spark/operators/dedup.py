@@ -360,52 +360,63 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
+    cached = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
     ).persist()
-    labels.count()
+    cached.count()
+    labels = cached
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id, "inner")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("_nmin"))
         )
-        new_labels = (
+        # a row changes exactly when a neighbor's label beats its own, so
+        # the fixpoint test rides the SAME join (one join per round, not a
+        # second new-vs-old comparison join)
+        new_cached = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("_nmin") < F.col("cluster_id"), F.lit(False)
+                ).alias("_changed"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_cached.filter(F.col("_changed")).count()
+        cached.unpersist()
+        cached = new_cached
+        labels = new_cached.drop("_changed")
         if changed == 0:
             break
     else:
         edges.unpersist()
+        cached.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
             "(pathological component diameter); raise max_iters"
         )
     edges.unpersist()
+    # the result stays persisted (iterative lineage would otherwise be
+    # recomputed N-deep by every consumer); callers that are done with it
+    # should call .unpersist() via the attached handle
+    labels._persisted_parent = cached
     return labels
 
 
 def keep_per_cluster(clusters: DataFrame) -> DataFrame:
     """Dedup decision from ``dedup_clusters`` output: keep the canonical
     doc of each cluster, drop the rest. Returns (id, cluster_id, keep)."""
-    return clusters.select(
+    out = clusters.select(
         "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
     )
+    if hasattr(clusters, "_persisted_parent"):
+        out._persisted_parent = clusters._persisted_parent
+    return out
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

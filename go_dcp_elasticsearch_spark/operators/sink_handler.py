@@ -101,15 +101,10 @@ def _guard_unpartitioned_sink(spark, sink_dir: str) -> None:
     partition discovery silently ignores root-level leaf files next to
     partition directories, so every legacy row would vanish from reads.
     Raise with a migration hint instead of corrupting the table."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(sink_dir)
-    fs = p.getFileSystem(conf)
-    if not fs.exists(p):
-        return
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if st.isFile() and name.endswith(".parquet"):
+    from go_dcp_elasticsearch_spark.fsutil import list_root_files
+
+    for name in list_root_files(spark, sink_dir):
+        if name.endswith(".parquet"):
             raise ValueError(
                 f"sink {sink_dir} holds unpartitioned parquet written by a "
                 "pre-run_id version; appending a _run_id-partitioned write "

@@ -111,15 +111,12 @@ def _delete_shard_partitions(spark, table_path: str, shards: set[int]) -> None:
     compaction) would otherwise keep its stale directory and remain
     queryable. Uses the Hadoop FileSystem API so the same code works on
     HDFS/S3A on a real cluster, not just local files."""
+    from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
     if not shards:
         return
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     for s in shards:
-        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/shard={int(s)}")
-        fs = p.getFileSystem(conf)
-        if fs.exists(p):
-            fs.delete(p, True)
+        delete_dir(spark, f"{table_path}/shard={int(s)}")
     # drop stale cached file listings for the table (readers in this
     # session would otherwise still reference the deleted files)
     spark.catalog.refreshByPath(table_path)

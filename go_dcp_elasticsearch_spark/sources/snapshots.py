@@ -186,29 +186,42 @@ class SnapshotStore:
         net effect, so they are only needed for range reads starting below
         ``keep_after``. Callers must not expire past any consumer's
         checkpoint (``applied_snapshot_id``) or its next resume would find
-        a hole and replay from an unreadable base. Metadata keeps expired
-        ids flagged (audit trail); returns the expired ids.
+        a hole and replay from an unreadable base. Returns the expired ids.
 
-        Scale shape: pure directory deletes — no data is read or
-        rewritten."""
-        expired = []
+        Crash safety: the ``expired`` INTENT record is fsync'd to the
+        metadata log BEFORE any directory is deleted — a crash between the
+        two leaves an over-approximate expired set (range reads fail loud,
+        never silently incomplete), and a re-run completes the deletes
+        (dirs whose ids are already marked are still swept). Zero-change
+        snapshots (no partition directory was ever written) are NOT
+        marked: nothing is lost by reading across them, so they must not
+        brick a consumer's resume range.
+
+        Scale shape: pure directory deletes — no data read or rewritten."""
+        from go_dcp_elasticsearch_spark.fsutil import delete_dir, exists
+
         already = self.expired_ids()
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-        for s in self.snapshots():
-            sid = int(s["snapshot_id"])
-            if 0 < sid <= keep_after and sid not in already:
-                p = jvm.org.apache.hadoop.fs.Path(
-                    f"{self.changelog_path}/snapshot_id={sid}"
+        to_mark = [
+            int(s["snapshot_id"])
+            for s in self.snapshots()
+            if 0 < int(s["snapshot_id"]) <= keep_after
+            and int(s["snapshot_id"]) not in already
+            and exists(
+                self.spark,
+                f"{self.changelog_path}/snapshot_id={int(s['snapshot_id'])}",
+            )
+        ]
+        if to_mark:
+            self._append_meta({"expired": to_mark})
+        swept = False
+        for sid in sorted(set(to_mark) | already):
+            if sid <= keep_after:
+                swept |= delete_dir(
+                    self.spark, f"{self.changelog_path}/snapshot_id={sid}"
                 )
-                fs = p.getFileSystem(conf)
-                if fs.exists(p):
-                    fs.delete(p, True)
-                expired.append(sid)
-        if expired:
+        if swept:
             self.spark.catalog.refreshByPath(self.changelog_path)
-            self._append_meta({"expired": expired})
-        return expired
+        return to_mark
 
 
 def applied_snapshot_id(index_dir: str) -> int:

@@ -144,6 +144,14 @@ def upsert_corpus_mirror(
     if not touched_buckets:
         return
 
+    from go_dcp_elasticsearch_spark.fsutil import delete_dir, exists, rename
+
+    # crash recovery for an interrupted migration swap (see below): the
+    # mirror was renamed aside but the migrated copy never took its place
+    if not exists(spark, corpus_path) and exists(spark, f"{corpus_path}._premigrate"):
+        rename(spark, f"{corpus_path}._premigrate", corpus_path)
+        spark.catalog.refreshByPath(corpus_path)
+
     # merge the touched buckets: survivors keep content, upserts win.
     old = spark.read.parquet(corpus_path).filter(
         F.col("_bucket").isin(touched_buckets)
@@ -151,16 +159,23 @@ def upsert_corpus_mirror(
     if "seq_no" in old.columns:
         # migrate pre-round-3 mirrors whose bootstrap wrote int32 seq_no:
         # rewriting SOME buckets as int64 would leave a mixed-type parquet
-        # table that fails at read — normalize the WHOLE mirror once
+        # table that fails at read — normalize the WHOLE mirror once. The
+        # mirror is the content AUTHORITY (bootstrap state is not in any
+        # changelog), so the rewrite must not overwrite in place: write to
+        # a staging dir, swap via two renames, delete the old copy last.
+        # Crash windows: before the first rename -> nothing changed (the
+        # orphan staging dir is overwritten next time); between the
+        # renames -> the recovery branch above restores the original.
         if dict(old.dtypes).get("seq_no") != "bigint":
-            allb = spark.read.parquet(corpus_path).withColumn(
+            staging = f"{corpus_path}._migrating"
+            spark.read.parquet(corpus_path).withColumn(
                 "seq_no", F.col("seq_no").cast("long")
-            ).persist()
-            allb.count()
-            allb.repartition(n_buckets, F.col("_bucket")).write.mode(
+            ).repartition(n_buckets, F.col("_bucket")).write.mode(
                 "overwrite"
-            ).partitionBy("_bucket").parquet(corpus_path)
-            allb.unpersist()
+            ).partitionBy("_bucket").parquet(staging)
+            rename(spark, corpus_path, f"{corpus_path}._premigrate")
+            rename(spark, staging, corpus_path)
+            delete_dir(spark, f"{corpus_path}._premigrate")
             spark.catalog.refreshByPath(corpus_path)
             old = spark.read.parquet(corpus_path).filter(
                 F.col("_bucket").isin(touched_buckets)
@@ -175,6 +190,21 @@ def upsert_corpus_mirror(
     ).withColumn("_bucket", _bucket_expr(key_cols, n_buckets))
     merged = survivors.unionByName(upserts).persist()
     merged.count()  # materialize before overwriting what `old` reads
+    # a bucket whose every row was deleted receives no merged rows, so
+    # dynamic overwrite would leave its stale directory — remove it
+    # BEFORE the write (after `merged` is materialized from it): a crash
+    # between delete and write is just a partial apply that at-least-once
+    # replay heals, whereas deleting after the write would leave a
+    # crash window that permanently resurrects deleted documents if the
+    # producer never retries. (This replaces the old semi-join GC against
+    # the index docs table, which silently dropped committed-but-not-yet-
+    # APPLIED inserts from the mirror under deferred apply.)
+    live = {
+        int(r["_bucket"])
+        for r in merged.select("_bucket").distinct().collect()
+    }
+    for b in set(touched_buckets) - live:
+        delete_dir(spark, f"{corpus_path}/_bucket={b}")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -183,24 +213,6 @@ def upsert_corpus_mirror(
         ).partitionBy("_bucket").parquet(corpus_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # a bucket whose every row was deleted receives no merged rows, so
-    # dynamic overwrite leaves its stale directory — remove explicitly.
-    # (This replaces the old semi-join GC against the index docs table,
-    # which silently dropped committed-but-not-yet-APPLIED inserts from
-    # the mirror under the snapshot store's deferred-apply flow.)
-    live = {
-        int(r["_bucket"])
-        for r in merged.select("_bucket").distinct().collect()
-    }
-    emptied = set(touched_buckets) - live
-    if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for b in emptied:
-            p = jvm.org.apache.hadoop.fs.Path(f"{corpus_path}/_bucket={b}")
-            fs = p.getFileSystem(conf)
-            if fs.exists(p):
-                fs.delete(p, True)
     spark.catalog.refreshByPath(corpus_path)
     merged.unpersist()
 
