@@ -241,7 +241,13 @@ def apply_changes_to_index(
     key_cols = list(key_cols)
     docs_path = f"{index_dir}/docs"
     docs = spark.read.parquet(docs_path)
-    n_shards = docs.agg(F.max("shard")).collect()[0][0] + 1
+    # one metadata-only job for both bounds (each agg is its own Spark job
+    # otherwise, and fixed job overhead dominates small incremental deltas)
+    bounds = docs.agg(
+        F.max("shard").alias("ms"), F.max("doc_id").alias("mi")
+    ).collect()[0]
+    n_shards = int(bounds["ms"]) + 1
+    max_id = int(bounds["mi"])
     feed = last_write_wins(changes, key_cols, order_col).select(
         *key_cols, "action"
     )
@@ -256,7 +262,6 @@ def apply_changes_to_index(
         .collect()
     )
     affected = {int(r["shard"]) for r in touched}
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     existing_keys = docs.select(*key_cols)
     inserts = feed.filter(F.col("action") != "delete").join(
         existing_keys, key_cols, "left_anti"
