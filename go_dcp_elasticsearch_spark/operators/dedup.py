@@ -315,9 +315,13 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # NO broadcast hint on the sizes joins: sizes is one row PER DOCUMENT —
+    # forcing a broadcast of a per-doc frame is an unconditional executor
+    # OOM at corpus scale. A plain shuffle join on id is correct, and AQE
+    # downgrades it to a broadcast join when the frame actually fits.
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

@@ -254,9 +254,13 @@ def apply_changes_to_index(
     feed.persist()
     n_changed = feed.count()
 
-    # affected shards = shards of existing docs touched by the feed
+    # affected shards = shards of existing docs touched by the feed.
+    # NO broadcast hint on the feed keys: a bulk re-ingest snapshot can
+    # carry millions of keys (the same rationale that removed the hint in
+    # upsert_corpus_mirror, streaming/pipeline.py) — resume_apply can hand
+    # this function exactly that delta. AQE broadcasts when it fits.
     touched = (
-        docs.join(F.broadcast(feed.select(*key_cols)), key_cols, "inner")
+        docs.join(feed.select(*key_cols), key_cols, "inner")
         .select("shard")
         .distinct()
         .collect()
@@ -298,8 +302,9 @@ def apply_changes_to_index(
             "n_changed": n_changed, "n_docs": None,
         }
 
+    # no broadcast hint here either: deletes is feed-sized (unbounded)
     deletes = feed.filter(F.col("action") == "delete").select(*key_cols)
-    kept = docs.join(F.broadcast(deletes), key_cols, "left_anti").select(
+    kept = docs.join(deletes, key_cols, "left_anti").select(
         *key_cols, "doc_id", "shard"
     )
     id_map = kept.unionByName(ins_ids) if ins_ids is not None else kept
