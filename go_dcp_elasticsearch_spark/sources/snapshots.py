@@ -116,16 +116,29 @@ class SnapshotStore:
             F.col(self.order_col).cast("long").alias(self.order_col),
         ).persist()
         n = feed.count()
-        # file sizing: ~1M changes per file; one file for typical deltas,
-        # parallel files for bulk re-ingest snapshots
-        n_files = max(1, -(-int(n) // 1_000_000))
-        feed.withColumn("snapshot_id", F.lit(sid)).repartition(n_files).write.mode(
-            "append"
-        ).partitionBy("snapshot_id").parquet(self.changelog_path)
-        upsert_corpus_mirror(
-            self.spark, self.store_dir, feed, self.key_cols,
-            order_col=self.order_col,
-        )
+        if n:
+            # idempotent partition write: a crash between the changelog
+            # append and the meta append means a RETRIED commit reuses the
+            # same snapshot id — clear the partition first (the same
+            # intent-first pattern expire_snapshots uses) so the retry
+            # never leaves duplicate rows in snapshot_id=N.
+            from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
+            if delete_dir(self.spark, f"{self.changelog_path}/snapshot_id={sid}"):
+                self.spark.catalog.refreshByPath(self.changelog_path)
+            # file sizing: ~1M changes per file; one file for typical
+            # deltas, parallel files for bulk re-ingest snapshots
+            n_files = max(1, -(-int(n) // 1_000_000))
+            feed.withColumn("snapshot_id", F.lit(sid)).repartition(n_files).write.mode(
+                "append"
+            ).partitionBy("snapshot_id").parquet(self.changelog_path)
+            upsert_corpus_mirror(
+                self.spark, self.store_dir, feed, self.key_cols,
+                order_col=self.order_col,
+            )
+        # n == 0: metadata-only snapshot — writing an empty DataFrame
+        # creates no parquet files, and a data-file-less changelog would
+        # crash later range reads with a schema-inference error
         feed.unpersist()
         self._append_meta({"snapshot_id": sid, "n_changes": int(n)})
         return sid
@@ -161,6 +174,13 @@ class SnapshotStore:
                 f"includes expired snapshots {sorted(gone)}; resume from a "
                 "fresh bootstrap of the head mirror instead"
             )
+        from go_dcp_elasticsearch_spark.fsutil import exists
+
+        if not exists(self.spark, self.changelog_path):
+            # every committed snapshot in range was zero-change (the
+            # changelog directory is only created by a non-empty commit):
+            # a legitimate empty feed, not an error
+            return self.spark.createDataFrame([], self._feed_schema())
         df = self.spark.read.parquet(self.changelog_path).filter(
             (F.col("snapshot_id") > start_snapshot_id)
             & (F.col("snapshot_id") <= end_snapshot_id)
@@ -173,6 +193,22 @@ class SnapshotStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def _feed_schema(self):
+        """Changelog schema without reading changelog files: key/content
+        column types come from the mirror (bootstrap always writes it),
+        plus the action column and the snapshot_id partition column, in
+        the same order a partitioned parquet read would produce."""
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+        mirror = self.spark.read.parquet(f"{self.store_dir}/_corpus").drop("_bucket")
+        by_name = {f.name: f for f in mirror.schema.fields}
+        fields = [by_name[k] for k in self.key_cols]
+        fields.append(StructField("action", StringType(), True))
+        fields += [by_name[c] for c in ("commit", "lang", "content") if c in by_name]
+        fields.append(by_name[self.order_col])
+        fields.append(StructField("snapshot_id", IntegerType(), True))
+        return StructType(fields)
 
     def corpus_at_head(self) -> DataFrame:
         """The post-change corpus state (mirror without the bucket col)."""

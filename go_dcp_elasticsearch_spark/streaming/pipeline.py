@@ -151,6 +151,13 @@ def upsert_corpus_mirror(
     if not exists(spark, corpus_path) and exists(spark, f"{corpus_path}._premigrate"):
         rename(spark, f"{corpus_path}._premigrate", corpus_path)
         spark.catalog.refreshByPath(corpus_path)
+    elif exists(spark, corpus_path) and exists(spark, f"{corpus_path}._premigrate"):
+        # crash AFTER the staging->corpus rename but before the premigrate
+        # delete: the live mirror is the migrated copy, so the stale
+        # pre-migration snapshot is garbage by construction — remove it
+        # now, or a much later loss of corpus_path would "recover" ancient
+        # data over the live mirror via the branch above
+        delete_dir(spark, f"{corpus_path}._premigrate")
 
     # merge the touched buckets: survivors keep content, upserts win.
     old = spark.read.parquet(corpus_path).filter(

@@ -146,6 +146,93 @@ def test_read_changes_between_guards(spark, tmp_path):
         store.read_changes_between(2)  # head is 0
 
 
+def test_zero_change_commit_and_empty_changelog_read(spark, tmp_path):
+    """A zero-change commit is a metadata-only snapshot: no changelog
+    partition is written (an empty write has no parquet data files and
+    would brick later range reads with a schema-inference error), the
+    snapshot id still advances, range reads across it return an empty
+    typed feed, and resume over only-empty snapshots is a clean no-op."""
+    idx = str(tmp_path / "idx_zero")
+    corpus = synth_corpus(spark, 30)
+    store = SnapshotStore(spark, idx)
+    store.bootstrap(corpus)
+    assert store.commit(spark.createDataFrame([], CHANGE_SCHEMA)) == 1
+    assert store.current_snapshot_id() == 1
+
+    out = store.read_changes_between(0, 1)
+    assert out.count() == 0
+    assert {"repo", "path", "action", "content", "seq_no", "snapshot_id"} <= set(
+        out.columns
+    )
+
+    IndexBuilder(spark, idx, n_shards=2).build(store.corpus_at_head())
+    res = resume_apply(spark, idx)
+    assert res["n_changed"] == 0 and res["to_snapshot"] == 1
+    assert applied_snapshot_id(idx) == 1
+
+    # a later real commit reads fine across the empty snapshot
+    key = [
+        (r["repo"], r["path"])
+        for r in corpus.select("repo", "path").orderBy("repo", "path").limit(1).collect()
+    ][0]
+    store.commit(spark.createDataFrame(
+        [_change(key, "index", "zzqafterempty buffer", 31)], CHANGE_SCHEMA
+    ))
+    feed = store.read_changes_between(0, 2).collect()
+    assert len(feed) == 1 and feed[0]["snapshot_id"] == 2
+
+
+def test_commit_retry_is_idempotent(spark, tmp_path):
+    """A crash between the changelog partition write and the meta append
+    means a retried commit reuses the same snapshot id; the retry must
+    clear the partial partition instead of appending the feed twice."""
+    idx = str(tmp_path / "idx_retry")
+    corpus = synth_corpus(spark, 30)
+    store = SnapshotStore(spark, idx)
+    store.bootstrap(corpus)
+    key = [
+        (r["repo"], r["path"])
+        for r in corpus.select("repo", "path").orderBy("repo", "path").limit(1).collect()
+    ][0]
+    feed = spark.createDataFrame(
+        [_change(key, "index", "zzqretry buffer", 11)], CHANGE_SCHEMA
+    )
+    # simulate the crashed first attempt: partition written, meta missing
+    feed.withColumn("snapshot_id", F.lit(1)).write.mode("append").partitionBy(
+        "snapshot_id"
+    ).parquet(f"{idx}/_changelog")
+    assert store.current_snapshot_id() == 0
+    assert store.commit(feed) == 1
+    assert store.read_changes_between(0, 1).count() == 1
+    raw = spark.read.parquet(f"{idx}/_changelog")
+    assert raw.filter(F.col("snapshot_id") == 1).count() == 1  # no duplicates
+
+
+def test_premigrate_orphan_cleaned(spark, tmp_path):
+    """A crash between the staging->corpus rename and the premigrate
+    delete orphans _corpus._premigrate while corpus_path is live; the next
+    upsert must remove the orphan (a much later corpus_path loss would
+    otherwise 'recover' ancient pre-migration data over the live mirror)."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx_orphan")
+    corpus = synth_corpus(spark, 20)
+    store = SnapshotStore(spark, idx)
+    store.bootstrap(corpus, n_buckets=2)
+    shutil.copytree(f"{idx}/_corpus", f"{idx}/_corpus._premigrate")
+    key = [
+        (r["repo"], r["path"])
+        for r in corpus.select("repo", "path").orderBy("repo", "path").limit(1).collect()
+    ][0]
+    store.commit(spark.createDataFrame(
+        [_change(key, "index", "zzqorphan buffer", 11)], CHANGE_SCHEMA
+    ))
+    assert not os.path.exists(f"{idx}/_corpus._premigrate")
+    head = {(r["repo"], r["path"]): r["content"] for r in store.corpus_at_head().collect()}
+    assert head[key] == "zzqorphan buffer"
+
+
 def test_deferred_apply_keeps_unapplied_inserts(spark, tmp_path):
     """Review regression (round 3): the mirror GC must not drop a
     committed-but-not-yet-APPLIED insert when a later commit touches the
