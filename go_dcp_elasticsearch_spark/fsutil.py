@@ -36,6 +36,40 @@ def rename(spark, src: str, dst: str) -> bool:
     return bool(fs.rename(p, spark._jvm.org.apache.hadoop.fs.Path(dst)))
 
 
+def write_file(spark, path: str, data: str, overwrite: bool = False) -> None:
+    """Create a small metadata file with the given text via the Hadoop FS
+    API — works on HDFS/S3A, not only the driver's local disk. Durability:
+    hsync() where the filesystem supports it (HDFS), else close() (object
+    stores make the object visible atomically on close, which is the same
+    commit point). Callers use create-new-file-per-record semantics
+    (the Delta/Iceberg metadata pattern) because append() is unsupported
+    on S3A and several other Hadoop filesystems."""
+    fs, p = hadoop_fs(spark, path)
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    out = fs.create(p, overwrite)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+        try:
+            out.hsync()
+        except Exception:
+            pass  # RawLocal/S3A: close() is the durability point
+    finally:
+        out.close()
+
+
+def read_file(spark, path: str) -> str:
+    """Read a small metadata file fully (Hadoop FS API)."""
+    fs, p = hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def list_root_files(spark, path: str) -> list[str]:
     """Names of plain FILES directly under ``path`` (no recursion)."""
     fs, p = hadoop_fs(spark, path)

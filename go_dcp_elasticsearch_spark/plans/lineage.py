@@ -10,16 +10,21 @@ deterministic partition overwrite, then appends one lineage record. Resume =
 skip stages whose lineage records exist; a partially-written stage without a
 record is simply overwritten on re-run (idempotent).
 
-Storage: a driver-side JSONL commit log (one fsync'd line per commit) — the
-direct analogue of the reference's checkpoint documents, and O(ms) instead
-of a Spark job per commit. ``read()`` exposes it as a DataFrame.
+Storage: one immutable metadata FILE per commit record under the log
+directory (the Delta/Iceberg metadata pattern), written through the Hadoop
+FileSystem API — so the commit log lives NEXT TO THE DATA on HDFS/S3A
+instead of only on the driver's local disk (the reference likewise persists
+its checkpoint in the metadata bucket, connector.go:186), and a driver
+replacement keeps the log. Per-record files rather than an appended JSONL
+because append() is unsupported on S3A and other Hadoop filesystems.
+Still O(ms) per commit, not a Spark job. Legacy ``lineage.jsonl`` logs from
+older indexes are read transparently. ``read()`` exposes a DataFrame.
 """
 
 from __future__ import annotations
 
 import datetime
 import json
-import os
 import uuid
 
 from pyspark.sql import SparkSession
@@ -46,11 +51,13 @@ class LineageLog:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
-        self.file = f"{self.path}/lineage.jsonl"
+        self.legacy_file = f"{self.path}/lineage.jsonl"
         self.run_id = uuid.uuid4().hex[:12]
+        self._seq = 0
 
     def commit(self, stage: str, partition_id: int, rows_out: int) -> None:
-        os.makedirs(self.path, exist_ok=True)
+        from go_dcp_elasticsearch_spark.fsutil import write_file
+
         rec = {
             "stage": stage,
             "partition_id": int(partition_id),
@@ -58,16 +65,44 @@ class LineageLog:
             "run_id": self.run_id,
             "committed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         }
-        with open(self.file, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        # file name is unique per (run, seq); the record becomes durable and
+        # visible atomically when the file closes — the ack-gated commit
+        # point (bulk.go:320-332 parity), portable to HDFS/S3A
+        self._seq += 1
+        write_file(
+            self.spark,
+            f"{self.path}/rec-{self.run_id}-{self._seq:06d}.json",
+            json.dumps(rec),
+        )
 
     def _records(self) -> list[dict]:
-        if not os.path.exists(self.file):
-            return []
-        with open(self.file) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        from go_dcp_elasticsearch_spark.fsutil import list_root_files, read_file
+
+        recs: list[dict] = []
+        names = list_root_files(self.spark, self.path)
+        if "lineage.jsonl" in names:  # pre-round-4 appended log
+            for line in read_file(self.spark, self.legacy_file).splitlines():
+                if line.strip():
+                    recs.append(json.loads(line))
+        for name in sorted(n for n in names if n.startswith("rec-") and n.endswith(".json")):
+            recs.append(json.loads(read_file(self.spark, f"{self.path}/{name}")))
+        return recs
+
+    def record_count(self) -> int:
+        """Number of committed records — a cheap monotonic INDEX EPOCH:
+        every index mutation (build stage, incremental apply, compaction)
+        commits lineage, so a changed count means the layout moved. One
+        directory listing, no file reads."""
+        from go_dcp_elasticsearch_spark.fsutil import list_root_files, read_file
+
+        names = list_root_files(self.spark, self.path)
+        n = sum(1 for x in names if x.startswith("rec-") and x.endswith(".json"))
+        if "lineage.jsonl" in names:
+            n += sum(
+                1 for line in read_file(self.spark, self.legacy_file).splitlines()
+                if line.strip()
+            )
+        return n
 
     def completed_stages(self) -> set[str]:
         return {r["stage"] for r in self._records()}

@@ -17,8 +17,11 @@ range the index has not yet seen.
 Layout under ``store_dir`` (= the index dir, shared with the mirror):
   _changelog/snapshot_id=N/   one parquet partition per committed snapshot
                               (partition-pruned range reads)
-  _snapshots/meta.jsonl       driver-side commit log (one fsync'd line per
-                              snapshot — O(ms), not a Spark job)
+  _snapshots/rec-*.json       commit log: one immutable metadata file per
+                              snapshot, written through the Hadoop FS API
+                              so it lives NEXT TO THE DATA on HDFS/S3A
+                              (O(ms), not a Spark job; legacy meta.jsonl
+                              logs are read transparently)
   _corpus/                    the head-state mirror (write_corpus_mirror)
 
 Scale shape: ``read_changes_between`` reads ONLY the requested snapshot
@@ -29,7 +32,7 @@ doc key; ``commit`` rewrites only the mirror buckets the feed touches.
 from __future__ import annotations
 
 import json
-import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -51,19 +54,31 @@ class SnapshotStore:
         self.order_col = order_col
         self.changelog_path = f"{self.store_dir}/_changelog"
         self.meta_dir = f"{self.store_dir}/_snapshots"
-        self.meta_file = f"{self.meta_dir}/meta.jsonl"
+        self.legacy_meta_file = f"{self.meta_dir}/meta.jsonl"
+        self._meta_tag = uuid.uuid4().hex[:12]
+        self._meta_seq = 0
 
     # ---------- metadata ----------
 
     def _meta_records(self) -> list[dict]:
-        if not os.path.exists(self.meta_file):
-            return []
-        with open(self.meta_file) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        from go_dcp_elasticsearch_spark.fsutil import list_root_files, read_file
+
+        recs: list[dict] = []
+        names = list_root_files(self.spark, self.meta_dir)
+        if "meta.jsonl" in names:  # pre-round-4 appended log
+            for line in read_file(self.spark, self.legacy_meta_file).splitlines():
+                if line.strip():
+                    recs.append(json.loads(line))
+        for name in sorted(n for n in names if n.startswith("rec-") and n.endswith(".json")):
+            recs.append(json.loads(read_file(self.spark, f"{self.meta_dir}/{name}")))
+        return recs
 
     def snapshots(self) -> list[dict]:
         """Committed snapshots, oldest first: [{snapshot_id, n_changes}]."""
-        return [r for r in self._meta_records() if "snapshot_id" in r]
+        return sorted(
+            (r for r in self._meta_records() if "snapshot_id" in r),
+            key=lambda r: int(r["snapshot_id"]),
+        )
 
     def expired_ids(self) -> set[int]:
         """Snapshot ids whose changelog partitions were expired."""
@@ -78,11 +93,18 @@ class SnapshotStore:
         return max((s["snapshot_id"] for s in snaps), default=0)
 
     def _append_meta(self, rec: dict) -> None:
-        os.makedirs(self.meta_dir, exist_ok=True)
-        with open(self.meta_file, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        # one immutable file per record (Hadoop FS): visible atomically on
+        # close, durable on HDFS via hsync — same ordering guarantees the
+        # old fsync'd local append gave (expire's intent record is on disk
+        # BEFORE any directory delete), but portable to HDFS/S3A
+        from go_dcp_elasticsearch_spark.fsutil import write_file
+
+        self._meta_seq += 1
+        write_file(
+            self.spark,
+            f"{self.meta_dir}/rec-{self._meta_tag}-{self._meta_seq:06d}.json",
+            json.dumps(rec),
+        )
 
     # ---------- producer side ----------
 
@@ -260,21 +282,25 @@ class SnapshotStore:
         return to_mark
 
 
-def applied_snapshot_id(index_dir: str) -> int:
+def applied_snapshot_id(index_dir: str, spark: SparkSession | None = None) -> int:
     """The index's checkpoint: highest snapshot id recorded as applied in
-    the lineage log (``snapshot_apply`` stage records), 0 if none."""
-    lineage_file = f"{index_dir.rstrip('/')}/_lineage/lineage.jsonl"
-    if not os.path.exists(lineage_file):
-        return 0
-    applied = 0
-    with open(lineage_file) as f:
-        for line in f:
-            if not line.strip():
-                continue
-            rec = json.loads(line)
-            if rec.get("stage") == "snapshot_apply":
-                applied = max(applied, int(rec["partition_id"]))
-    return applied
+    the lineage log (``snapshot_apply`` stage records), 0 if none. Reads
+    through the Hadoop FS layer, so the checkpoint lives next to the data
+    on HDFS/S3A (connector.go:186 parity)."""
+    from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("applied_snapshot_id needs an active SparkSession")
+    log = LineageLog(spark, f"{index_dir.rstrip('/')}/_lineage")
+    return max(
+        (
+            int(r["partition_id"])
+            for r in log._records()
+            if r.get("stage") == "snapshot_apply"
+        ),
+        default=0,
+    )
 
 
 def resume_apply(
@@ -296,7 +322,7 @@ def resume_apply(
     from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
 
     store = store or SnapshotStore(spark, index_dir)
-    last_applied = applied_snapshot_id(index_dir)
+    last_applied = applied_snapshot_id(index_dir, spark)
     head = store.current_snapshot_id()
     if head <= last_applied:
         return {"from_snapshot": last_applied, "to_snapshot": last_applied,

@@ -37,13 +37,13 @@ def test_resume_skips_only_committed_stages(spark, tmp_index_dir):
     b.build(corpus)
     dict_before = sorted(map(tuple, spark.read.parquet(b.paths.dictionary).collect()))
 
-    lineage_file = f"{tmp_index_dir}/_lineage/lineage.jsonl"
-    with open(lineage_file) as f:
-        recs = [json.loads(line) for line in f]
-    kept = [r for r in recs if r["stage"] in ("docs", "stats")]
-    with open(lineage_file, "w") as f:
-        for r in kept:
-            f.write(json.dumps(r) + "\n")
+    # lineage is one immutable file per record: drop the records whose
+    # stage is postings/dictionary (crash before those commits landed)
+    lineage_dir = f"{tmp_index_dir}/_lineage"
+    for fn in os.listdir(lineage_dir):
+        rec = json.loads(open(os.path.join(lineage_dir, fn)).read())
+        if rec["stage"] not in ("docs", "stats"):
+            os.remove(os.path.join(lineage_dir, fn))
 
     b2 = IndexBuilder(spark, tmp_index_dir, n_shards=2)
     b2.build(corpus, resume=True)

@@ -310,6 +310,78 @@ def test_mirror_emptied_bucket_removed_and_int32_migrated(spark, tmp_path):
     assert all(k not in rows for k in b0_keys)
 
 
+def test_store_metadata_via_hadoop_fs_uri(spark, tmp_path):
+    """The commit log goes through the Hadoop FS layer: a store addressed
+    by a file:// URI (the local stand-in for hdfs:// / s3a://) works
+    end-to-end — bootstrap, commit, range read, resume-apply, retention —
+    with no driver-local os.path/open on store paths. On a real cluster
+    this is what keeps the checkpoint NEXT TO THE DATA (the reference
+    persists its checkpoint in the metadata bucket, connector.go:186)."""
+    import os
+
+    idx = f"file://{tmp_path}/idx_uri"
+    corpus = synth_corpus(spark, 40)
+    store = SnapshotStore(spark, idx)
+    assert store.bootstrap(corpus) == 0
+    IndexBuilder(spark, idx, n_shards=2).build(store.corpus_at_head())
+
+    key = [
+        (r["repo"], r["path"])
+        for r in corpus.select("repo", "path").orderBy("repo", "path").limit(1).collect()
+    ][0]
+    assert store.commit(spark.createDataFrame(
+        [_change(key, "index", "zzquristore buffer", 11)], CHANGE_SCHEMA
+    )) == 1
+    assert store.current_snapshot_id() == 1
+    assert store.read_changes_between(0, 1).count() == 1
+
+    out = resume_apply(spark, idx)
+    assert (out["from_snapshot"], out["to_snapshot"]) == (0, 1)
+    assert applied_snapshot_id(idx, spark) == 1
+    q = BM25Query(spark, idx)
+    hits = q.with_meta(q.topk_pruned("zzquristore", 5)).collect()
+    assert [(r["repo"], r["path"]) for r in hits] == [key]
+    # metadata records physically live under the store dir (per-record
+    # files, no appended driver-local jsonl)
+    local = str(tmp_path / "idx_uri")
+    assert any(f.startswith("rec-") for f in os.listdir(f"{local}/_snapshots"))
+    assert any(f.startswith("rec-") for f in os.listdir(f"{local}/_lineage"))
+    assert store.expire_snapshots(keep_after=1) == [1]
+
+
+def test_legacy_jsonl_metadata_still_read(spark, tmp_path):
+    """Pre-round-4 stores used appended meta.jsonl/lineage.jsonl logs;
+    they must keep reading, and new per-record commits coexist."""
+    import json as _json
+    import os
+
+    idx = str(tmp_path / "idx_legacy")
+    corpus = synth_corpus(spark, 30)
+    store = SnapshotStore(spark, idx)
+    store.bootstrap(corpus)
+    meta_dir = f"{idx}/_snapshots"
+    recs = []
+    # (skip the local filesystem's hidden .crc checksum files)
+    for fn in sorted(os.listdir(meta_dir)):
+        p = os.path.join(meta_dir, fn)
+        if fn.startswith("rec-"):
+            recs.append(open(p).read().strip())
+        os.remove(p)
+    with open(f"{meta_dir}/meta.jsonl", "w") as f:
+        f.write("\n".join(recs) + "\n")
+    assert store.current_snapshot_id() == 0
+    assert _json.loads(recs[0])["snapshot_id"] == 0
+
+    key = [
+        (r["repo"], r["path"])
+        for r in corpus.select("repo", "path").orderBy("repo", "path").limit(1).collect()
+    ][0]
+    assert store.commit(spark.createDataFrame(
+        [_change(key, "index", "zzqlegacy buffer", 11)], CHANGE_SCHEMA
+    )) == 1
+    assert store.current_snapshot_id() == 1  # legacy + new records merged
+
+
 def test_expire_snapshots_retention(spark, tmp_path):
     """Iceberg-style retention: expired changelog partitions are deleted
     (directory-level, no data rewrite); range reads over an expired base

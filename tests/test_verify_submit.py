@@ -154,18 +154,26 @@ def test_oracle_index_fingerprint_guard(spark, tmp_path):
     os.makedirs(sf_dir)
     shutil.copy("/root/testdata/sf0.001/documents.parquet",
                 f"{sf_dir}/documents.parquet")
+    def _lineage_blob(idx):
+        d = f"{idx}/_lineage"
+        return "".join(
+            open(os.path.join(d, fn)).read()
+            for fn in sorted(os.listdir(d))
+            if fn.startswith("rec-")  # skip local-FS hidden .crc files
+        )
+
     idx1 = entrymod._oracle_index(spark, sf_dir)
     fp1 = open(f"{idx1}/_fixture_fp").read()
-    lineage1 = open(f"{idx1}/_lineage/lineage.jsonl").read()
+    lineage1 = _lineage_blob(idx1)
     # unchanged fixture -> resume (lineage not re-written)
     idx2 = entrymod._oracle_index(spark, sf_dir)
     assert idx2 == idx1
-    assert open(f"{idx1}/_lineage/lineage.jsonl").read() == lineage1
+    assert _lineage_blob(idx1) == lineage1
     # touched fixture (new mtime) -> fingerprint differs -> full rebuild
     _time.sleep(1.1)
     os.utime(f"{sf_dir}/documents.parquet")
     idx3 = entrymod._oracle_index(spark, sf_dir)
     fp3 = open(f"{idx3}/_fixture_fp").read()
     assert fp3 != fp1
-    assert open(f"{idx3}/_lineage/lineage.jsonl").read() != lineage1
+    assert _lineage_blob(idx3) != lineage1
     shutil.rmtree(idx1, ignore_errors=True)
