@@ -75,7 +75,11 @@ TF_SCHEMA = StructType(
 # this into their invalidation fingerprint so resume=True can never serve
 # an old-format index after an upgrade. The schema-based guard in
 # build(resume=True) stays as the second line of defense.
-INDEX_FORMAT_VERSION = 3
+# v4: dictionary is shard-partitioned partials (term, shard, df, cf) and
+# stats_shards holds per-shard (n_docs, sum_dl) — incremental applies
+# replace only rebuilt shards' partials instead of re-aggregating the
+# whole index (O(delta) refresh).
+INDEX_FORMAT_VERSION = 4
 
 CHUNK_SCHEMA = StructType(
     [
@@ -144,6 +148,10 @@ class IndexPaths:
     @property
     def stats(self) -> str:
         return f"{self.root}/stats"
+
+    @property
+    def stats_shards(self) -> str:
+        return f"{self.root}/stats_shards"
 
     @property
     def lineage(self) -> str:
@@ -388,6 +396,38 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
         yield out
 
     return kernel
+
+
+def write_stats_tables(
+    spark, paths: IndexPaths, partials: dict[int, tuple[int, int]], index_name: str
+) -> tuple[int, float]:
+    """Write the per-shard stats partials (``stats_shards``: shard ->
+    (n_docs, sum_dl)) and the global stats row derived from them. The
+    global (n_docs, avgdl) is a sum over n_shards tiny rows — never a
+    docs scan. Returns (n_docs, avgdl)."""
+    rows = [(int(s), int(n), int(sd)) for s, (n, sd) in sorted(partials.items())]
+    if rows:
+        spark.createDataFrame(
+            rows, "shard int, n_docs long, sum_dl long"
+        ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
+            paths.stats_shards
+        )
+    n_docs = sum(n for _, n, _ in rows)
+    sum_dl = sum(sd for _, _, sd in rows)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(n_docs, float(avgdl), index_name)],
+        "n_docs long, avgdl double, index_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+    return n_docs, avgdl
+
+
+def global_dictionary(spark, index_dir: str) -> DataFrame:
+    """(term, df, cf) global view over the shard-partitioned dictionary
+    partials (sum across shards). Also reads legacy pre-v4 single-table
+    layouts, where the aggregation is a per-term no-op."""
+    d = spark.read.parquet(f"{index_dir.rstrip('/')}/dictionary")
+    return d.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
 
 def dedup_last_write_wins(corpus: DataFrame) -> DataFrame:
@@ -834,6 +874,20 @@ class IndexBuilder:
                     done = set()
             except Exception:
                 done = set()
+        if "dictionary" in done:
+            # v4 layout guard: dictionary must be shard-partitioned partials
+            try:
+                if "shard" not in self.spark.read.parquet(
+                    self.paths.dictionary
+                ).schema.fieldNames():
+                    done.discard("dictionary")
+            except Exception:
+                done.discard("dictionary")
+        if "stats" in done:
+            from go_dcp_elasticsearch_spark.fsutil import exists
+
+            if not exists(self.spark, self.paths.stats_shards):
+                done.discard("stats")
 
         if self.id_mode == "input":
             # shuffle-free scale path: two column-pruned scans of the
@@ -915,17 +969,24 @@ class IndexBuilder:
             ).partitionBy("shard").parquet(self.paths.docs)
             self.lineage.commit("docs", 0, -1)
 
-        # stats from the (small, pruned) docs table. Block-max metadata is
-        # (max_tf, min_dl) with the tf_norm bound computed at query time
-        # under the CURRENT avgdl — always sound, no matter how later
-        # incremental updates shift avgdl.
+        # stats from the (small, pruned) docs table, maintained as
+        # PER-SHARD partials (shard, n_docs, sum_dl) so an incremental
+        # apply replaces only the rebuilt shards' rows and re-derives the
+        # global (n_docs, avgdl) from n_shards tiny rows — O(delta), never
+        # a full docs re-scan. Block-max metadata is (max_tf, min_dl) with
+        # the tf_norm bound computed at query time under the CURRENT avgdl.
         if "stats" not in done:
-            stats = (
+            rows = (
                 self.spark.read.parquet(self.paths.docs)
-                .agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-                .withColumn("index_name", F.lit(self.index_name))
+                .groupBy("shard")
+                .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+                .collect()
             )
-            stats.coalesce(1).write.mode("overwrite").parquet(self.paths.stats)
+            write_stats_tables(
+                self.spark, self.paths,
+                {int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"])) for r in rows},
+                self.index_name,
+            )
             self.lineage.commit("stats", 0, -1)
         srow = self.spark.read.parquet(self.paths.stats).collect()[0]
         avgdl = float(srow["avgdl"])
@@ -953,17 +1014,24 @@ class IndexBuilder:
         if all_rows is not None:
             all_rows.unpersist()
 
-        # dictionary: derived from the already-aggregated postings blocks —
-        # a tiny column-pruned scan (term, count, tf_sum), no re-shuffle of
-        # tf rows. (salted_dictionary remains the explicit two-phase path
-        # for callers aggregating raw tf at extreme skew.)
+        # dictionary: PER-SHARD partials (term, shard, df, cf) derived from
+        # the already-aggregated postings blocks — a tiny column-pruned
+        # scan, no re-shuffle of tf rows. Shard-partitioned so incremental
+        # applies replace only rebuilt shards' partitions (O(delta)
+        # refresh); the shard key also bounds hot-term reducer fan-in by
+        # construction (a corpus-wide term becomes <= n_shards partial
+        # rows, the same salting idea as salted_dictionary). Readers sum
+        # across shards for the query's terms only (global_dictionary /
+        # BM25Query's cached projection).
         if "dictionary" not in done:
             dictionary = (
                 self.spark.read.parquet(self.paths.postings)
-                .groupBy("term")
+                .groupBy("term", "shard")
                 .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
             )
-            dictionary.write.mode("overwrite").parquet(self.paths.dictionary)
+            dictionary.repartition(self.n_shards, F.col("shard")).write.mode(
+                "overwrite"
+            ).partitionBy("shard").parquet(self.paths.dictionary)
             self.lineage.commit("dictionary", 0, n_docs)
 
         elapsed = time.time() - t0

@@ -137,15 +137,20 @@ class BM25Query:
     def _term_stats(self, terms: list[str]) -> dict[str, float]:
         """idf per query term from the dictionary (tiny, driver-side).
 
-        The (term, df) projection is cached in executor memory on first
-        use — a serving session hits the dictionary once per query, and
-        re-reading parquet cost ~0.1-0.3 s of every query's latency.
-        Spark evicts the cache under memory pressure, so this is safe for
-        large dictionaries too (falls back to the parquet scan)."""
+        The dictionary is stored as shard-partitioned PARTIALS (v4 layout:
+        one (term, df, cf) row per shard containing the term — what makes
+        incremental refresh O(delta)); the global (term, df) projection is
+        aggregated once and cached in executor memory on first use — a
+        serving session hits the dictionary once per query, and re-reading
+        parquet cost ~0.1-0.3 s of every query's latency. Spark evicts the
+        cache under memory pressure, so this is safe for large
+        dictionaries too (falls back to scan + re-aggregate). Legacy
+        single-table dictionaries aggregate to themselves."""
         if not hasattr(self, "_dict_df"):
             self._dict_df = (
                 self.spark.read.parquet(self.paths.dictionary)
-                .select("term", "df")
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
                 .persist()
             )
         d = self._dict_df.filter(F.col("term").isin(terms)).collect()

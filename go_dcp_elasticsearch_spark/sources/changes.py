@@ -23,12 +23,25 @@ deterministic partition overwrite. On Iceberg the same plan lands as
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
+
+
+@contextmanager
+def _dynamic_overwrite(spark):
+    """Scoped dynamic partition-overwrite mode (restores the previous
+    setting on exit)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 ACTIONS = ("index", "delete", "doc_update", "script_update")
 
@@ -174,6 +187,97 @@ def _assign_insert_ranks(inserts: DataFrame, key_cols: list[str], n_parts: int) 
     return out
 
 
+def _ensure_partials_layout(spark, b) -> None:
+    """One-time upgrade of a pre-v4 index to the per-shard partials layout
+    (global dictionary -> shard-partitioned (term, shard, df, cf);
+    stats_shards created from the docs table). O(index) ONCE on first
+    maintenance of an old index, after which every apply is O(delta)."""
+    from go_dcp_elasticsearch_spark.fsutil import exists
+
+    try:
+        legacy_dict = "shard" not in spark.read.parquet(
+            b.paths.dictionary
+        ).schema.fieldNames()
+    except Exception:
+        legacy_dict = True
+    if legacy_dict:
+        (
+            spark.read.parquet(b.paths.postings)
+            .groupBy("term", "shard")
+            .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
+            .repartition(max(int(b.n_shards), 1), F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(b.paths.dictionary)
+        )
+        spark.catalog.refreshByPath(b.paths.dictionary)
+    if not exists(spark, b.paths.stats_shards):
+        rows = (
+            spark.read.parquet(f"{b.paths.root}/docs")
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+            .collect()
+        )
+        spark.createDataFrame(
+            [(int(r["shard"]), int(r["n_docs"]), int(r["sum_dl"])) for r in rows],
+            "shard int, n_docs long, sum_dl long",
+        ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
+            b.paths.stats_shards
+        )
+
+
+def _refresh_partials_for_shards(
+    spark, b, live_rebuilt: set[int], emptied: set[int]
+) -> tuple[int, float]:
+    """Per-shard dictionary/stats partial refresh after a shard rebuild.
+
+    Dictionary partials for the rebuilt shards are re-aggregated from the
+    JUST-WRITTEN postings partitions (a partition-pruned read: only the
+    rebuilt ``shard=N`` directories are scanned); stats partials likewise
+    from the rebuilt docs partitions (doc_len is stored, so no
+    re-tokenize). Emptied shards' partial partitions are deleted. The
+    global stats row is re-derived from the full partials table — one row
+    per shard, O(n_shards), never a docs scan. Returns (n_docs, avgdl).
+    Requires dynamic partition-overwrite mode to be active."""
+    live = sorted(int(s) for s in live_rebuilt)
+    if live:
+        docs_delta = (
+            spark.read.parquet(f"{b.paths.root}/docs")
+            .filter(F.col("shard").isin(live))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+            .collect()
+        )
+        if docs_delta:
+            spark.createDataFrame(
+                [(int(r["shard"]), int(r["n_docs"]), int(r["sum_dl"])) for r in docs_delta],
+                "shard int, n_docs long, sum_dl long",
+            ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
+                b.paths.stats_shards
+            )
+        (
+            spark.read.parquet(b.paths.postings)
+            .filter(F.col("shard").isin(live))
+            .groupBy("term", "shard")
+            .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
+            .repartition(len(live), F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(b.paths.dictionary)
+        )
+    _delete_shard_partitions(spark, b.paths.stats_shards, emptied)
+    _delete_shard_partitions(spark, b.paths.dictionary, emptied)
+    rows = spark.read.parquet(b.paths.stats_shards).collect()
+    n_docs = sum(int(r["n_docs"]) for r in rows)
+    sum_dl = sum(int(r["sum_dl"]) for r in rows)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(n_docs, float(avgdl), b.index_name)],
+        "n_docs long, avgdl double, index_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(b.paths.stats)
+    return n_docs, avgdl
+
+
 def _tail_shard_expr(n_shards: int, k_new: int, n_inserts: int) -> "F.Column":
     """Shard label for an insert given its dense ``_rank``: the existing
     shard count plus rank*k_new DIV n_inserts. Integer ``DIV`` (not double
@@ -216,7 +320,9 @@ def apply_changes_to_index(
     Returns {"affected_shards", "insert_shards", "n_changed", "n_docs"}.
     Scale shape: the rebuild reads only shard-pruned docs partitions + the
     changed keys' content; insert-id assignment is offset-based (no global
-    window); dictionary/stats refresh is a column-pruned scan of postings.
+    window); dictionary/stats refresh is O(delta) — per-shard partials,
+    only the rebuilt shards' partitions replaced, global stats re-derived
+    from one tiny row per shard (never a full docs/postings re-scan).
 
     Cost model: proportional to the AFFECTED shards, so it wins when the
     delta clusters (the common CDC case — one repo's commits hash near
@@ -271,6 +377,7 @@ def apply_changes_to_index(
         existing_keys, key_cols, "left_anti"
     )
     b = IndexBuilder(spark, index_dir, n_shards=int(n_shards))
+    _ensure_partials_layout(spark, b)  # one-time pre-v4 index upgrade
     srow = spark.read.parquet(b.paths.stats).collect()[0]
     n_docs_before = int(srow["n_docs"])
 
@@ -353,37 +460,28 @@ def apply_changes_to_index(
         _delete_shard_partitions(spark, docs_path, emptied)
         _delete_shard_partitions(spark, b.paths.postings, emptied)
 
-        # refreshed corpus stats (block bounds no longer depend on avgdl)
-        stats_row = (
-            spark.read.parquet(docs_path)
-            .agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-            .collect()[0]
-        )
-        n_docs_total = int(stats_row["n_docs"])
-        avgdl_new = float(stats_row["avgdl"]) if n_docs_total else 0.0
-
         chunks = shard_corpus.select("doc_id", "content", "shard").mapInPandas(
-            _chunks_with_fixed_shard(b, avgdl_new), schema=CHUNK_SCHEMA
+            _chunks_with_fixed_shard(b, None), schema=CHUNK_SCHEMA
         )
         postings = chunks.repartition(
             max(len(rebuild_shards) * 4, 8), F.col("term"), F.col("shard")
-        ).mapInPandas(b._merge_chunks(avgdl_new), schema=POSTINGS_SCHEMA)
+        ).mapInPandas(b._merge_chunks(None), schema=POSTINGS_SCHEMA)
         postings.repartition(len(rebuild_shards), F.col("shard")).sortWithinPartitions(
             "term", "block_id"
         ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
+
+        # O(delta) dictionary/stats refresh: replace only the rebuilt
+        # shards' per-shard partials (partition-pruned reads of exactly
+        # those shard dirs); the global stats row is re-derived from
+        # n_shards tiny partial rows — the refresh cost scales with the
+        # delta, not the index. (Block-max bounds are (max_tf, min_dl),
+        # evaluated at query time under the current avgdl, so no
+        # bound-avgdl bookkeeping is needed across incremental updates.)
+        n_docs_total, avgdl_new = _refresh_partials_for_shards(
+            spark, b, rebuild_shards - emptied, emptied
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-
-    # refresh dictionary + stats (block-max bounds are (max_tf, min_dl),
-    # evaluated at query time under the current avgdl — no bound-avgdl
-    # bookkeeping needed across incremental updates)
-    spark.read.parquet(b.paths.postings).groupBy("term").agg(
-        F.sum("count").alias("df"), F.sum("tf_sum").alias("cf")
-    ).write.mode("overwrite").parquet(b.paths.dictionary)
-    spark.createDataFrame(
-        [(n_docs_total, avgdl_new, b.index_name)],
-        "n_docs long, avgdl double, index_name string",
-    ).coalesce(1).write.mode("overwrite").parquet(b.paths.stats)
     b.lineage.commit("incremental", -1, n_changed)
     shard_corpus.unpersist()
     feed.unpersist()
@@ -467,6 +565,9 @@ def compact_index(
     summary = {"n_shards_before": n_before, "n_shards_after": n_before,
                "rewritten": [], "split": sorted(split_plan)}
     b = IndexBuilder(spark, index_dir, n_shards=n_before)
+    # one-time pre-v4 upgrade BEFORE any relabeling (the merge phase reads
+    # the source shards' stats partials, which must reflect pre-merge state)
+    _ensure_partials_layout(spark, b)
 
     if merged:
         remap_pairs = [(s, g[0]) for g in merged for s in g]
@@ -505,6 +606,43 @@ def compact_index(
         dead = sources - targets
         _delete_shard_partitions(spark, docs_path, dead)
         _delete_shard_partitions(spark, b.paths.postings, dead)
+
+        # per-shard partials maintenance, O(touched): target labels'
+        # dictionary partials re-aggregated from the just-rewritten
+        # postings partitions (partition-pruned); stats partials merged
+        # driver-side (one tiny row per source shard). Global stats are
+        # invariant under relabeling — not rewritten.
+        tgt = sorted(int(t) for t in targets)
+        src_stats = {
+            int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"]))
+            for r in spark.read.parquet(b.paths.stats_shards)
+            .filter(F.col("shard").isin(src_list))
+            .collect()
+        }
+        merged_stats: dict[int, tuple[int, int]] = {}
+        for s, t in remap_pairs:
+            n, sd = src_stats.get(int(s), (0, 0))
+            cn, csd = merged_stats.get(int(t), (0, 0))
+            merged_stats[int(t)] = (cn + n, csd + sd)
+        with _dynamic_overwrite(spark):
+            (
+                spark.read.parquet(b.paths.postings)
+                .filter(F.col("shard").isin(tgt))
+                .groupBy("term", "shard")
+                .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
+                .repartition(len(tgt), F.col("shard"))
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(b.paths.dictionary)
+            )
+            spark.createDataFrame(
+                [(t, n, sd) for t, (n, sd) in sorted(merged_stats.items())],
+                "shard int, n_docs long, sum_dl long",
+            ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
+                b.paths.stats_shards
+            )
+        _delete_shard_partitions(spark, b.paths.dictionary, dead)
+        _delete_shard_partitions(spark, b.paths.stats_shards, dead)
         summary["rewritten"] = sorted(sources)
         summary["n_shards_after"] -= len(sources) - len(targets)
 
@@ -682,10 +820,40 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
         ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    pieced.unpersist()
-    provisional.unpersist()
     spark.catalog.refreshByPath(docs_path)
     spark.catalog.refreshByPath(b.paths.postings)
+
+    # per-shard partials maintenance, O(split shards): every label touched
+    # by the split (kept piece-0 labels + freshly minted ones) gets its
+    # dictionary partial re-aggregated from the just-written postings
+    # partitions and its stats partial from the pieced docs (persisted).
+    # Global stats are invariant under re-partitioning — not rewritten.
+    # (compact_index already ran the pre-v4 layout upgrade.)
+    labels_all = sorted(set(label_of.values()))
+    stat_rows = (
+        new_docs.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+        .collect()
+    )
+    with _dynamic_overwrite(spark):
+        (
+            spark.read.parquet(b.paths.postings)
+            .filter(F.col("shard").isin(labels_all))
+            .groupBy("term", "shard")
+            .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
+            .repartition(len(labels_all), F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(b.paths.dictionary)
+        )
+        spark.createDataFrame(
+            [(int(r["shard"]), int(r["n_docs"]), int(r["sum_dl"])) for r in stat_rows],
+            "shard int, n_docs long, sum_dl long",
+        ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
+            b.paths.stats_shards
+        )
+    pieced.unpersist()
+    provisional.unpersist()
     return nxt - (max_label + 1)
 
 

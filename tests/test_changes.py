@@ -171,6 +171,86 @@ def test_apply_changes_to_index_end_to_end(spark, tmp_path):
             assert abs(gs - ws) < 1e-9
 
 
+def test_incremental_refresh_is_o_delta(spark, tmp_path):
+    """Round-4 scale fix: the dictionary/stats refresh after an
+    incremental apply must touch ONLY the rebuilt shards' partial
+    partitions. Physical assertion: the parquet files of every untouched
+    shard's dictionary/stats_shards partition are bit-identical (names,
+    sizes, mtimes) across the apply — a full re-aggregation would rewrite
+    them all. Logical assertion: partials sum to the true globals."""
+    import os
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_odelta")
+    corpus = synth_corpus(spark, 200)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+
+    def _listing(table):
+        out = {}
+        root = f"{idx}/{table}"
+        for d in os.listdir(root):
+            if d.startswith("shard="):
+                p = os.path.join(root, d)
+                out[d] = sorted(
+                    (f, os.stat(os.path.join(p, f)).st_size,
+                     os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p) if not f.startswith(".")
+                )
+        return out
+
+    dict_before = _listing("dictionary")
+    stats_before = _listing("stats_shards")
+
+    # update ONE existing doc (affects exactly its shard; no inserts)
+    victim = spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(1).collect()[0]
+    key = (victim["repo"], victim["path"])
+    new_corpus = corpus.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == key[0]) & (F.col("path") == key[1]),
+            F.lit("zzqodelta freshly minted content buffer"),
+        ).otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [(key[0], key[1], "index", 10)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes)
+    assert out["insert_shards"] == []
+    touched = {f"shard={s}" for s in out["affected_shards"]}
+    assert len(touched) == 1
+
+    dict_after = _listing("dictionary")
+    stats_after = _listing("stats_shards")
+    for d in dict_before:
+        if d not in touched:
+            assert dict_after[d] == dict_before[d], f"dictionary {d} rewritten"
+            assert stats_after[d] == stats_before[d], f"stats {d} rewritten"
+    for d in touched:
+        assert dict_after[d] != dict_before[d], "touched shard not refreshed"
+
+    # partials sum to the true globals
+    srow = spark.read.parquet(f"{idx}/stats").collect()[0]
+    parts = spark.read.parquet(f"{idx}/stats_shards").agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("sd")
+    ).collect()[0]
+    assert int(srow["n_docs"]) == int(parts["n"]) == 200
+    true_dl = int(
+        spark.read.parquet(f"{idx}/docs").agg(F.sum("doc_len")).collect()[0][0]
+    )
+    assert int(parts["sd"]) == true_dl
+    assert abs(float(srow["avgdl"]) - true_dl / 200) < 1e-12
+    # and the updated content is queryable with correct df through the
+    # aggregated dictionary view
+    q = BM25Query(spark, idx)
+    hits = q.with_meta(q.topk_pruned("zzqodelta", 5)).collect()
+    assert [(r["repo"], r["path"]) for r in hits] == [key]
+
+
 def test_merge_chunks_densify_sorts_overlapping_ranges():
     """Regression (round-2 advice): incremental rebuilds feed _merge_chunks
     chunks with OVERLAPPING doc-id ranges; the densify branch must sort by
@@ -429,9 +509,11 @@ def test_compact_splits_oversized_shard(spark, tmp_path):
         int(r["shard"]): int(r["c"])
         for r in docs0.groupBy("shard").agg(F.count("*").alias("c")).collect()
     }
+    from go_dcp_elasticsearch_spark.index.builder import global_dictionary
+
     dict0 = {
         r["term"]: (int(r["df"]), int(r["cf"]))
-        for r in spark.read.parquet(f"{idx}/dictionary").collect()
+        for r in global_dictionary(spark, idx).collect()
     }
     id_rows = docs0.select("doc_id", "repo", "path").join(
         corpus.select("repo", "path", "content"), ["repo", "path"]
@@ -474,7 +556,7 @@ def test_compact_splits_oversized_shard(spark, tmp_path):
     # dictionary is invariant under splitting (df/cf don't change)
     dict1 = {
         r["term"]: (int(r["df"]), int(r["cf"]))
-        for r in spark.read.parquet(f"{idx}/dictionary").collect()
+        for r in global_dictionary(spark, idx).collect()
     }
     assert dict1 == dict0
     # postings per-term totals also invariant

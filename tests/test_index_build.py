@@ -79,7 +79,9 @@ def test_build_structure_and_invariants(spark, tmp_index_dir):
     for _, ts in toks.items():
         for t in set(ts):
             want_df[t] = want_df.get(t, 0) + 1
-    dic = {r["term"]: r["df"] for r in spark.read.parquet(builder.paths.dictionary).collect()}
+    from go_dcp_elasticsearch_spark.index.builder import global_dictionary
+
+    dic = {r["term"]: r["df"] for r in global_dictionary(spark, tmp_index_dir).collect()}
     assert dic == want_df
 
     # postings decode == python TF, per shard

@@ -41,6 +41,8 @@ def test_resume_skips_only_committed_stages(spark, tmp_index_dir):
     # stage is postings/dictionary (crash before those commits landed)
     lineage_dir = f"{tmp_index_dir}/_lineage"
     for fn in os.listdir(lineage_dir):
+        if not fn.startswith("rec-"):
+            continue  # skip the local filesystem's hidden .crc files
         rec = json.loads(open(os.path.join(lineage_dir, fn)).read())
         if rec["stage"] not in ("docs", "stats"):
             os.remove(os.path.join(lineage_dir, fn))
@@ -114,4 +116,7 @@ def test_build_metrics_written(spark, tmp_index_dir):
     b.build(synth_corpus(spark, 80))
     recs = b.metrics.read().collect()
     assert any(r["stage"] == "build" and r["result"] == "success" for r in recs)
-    assert os.path.exists(f"{tmp_index_dir}/_metrics/metrics.jsonl")
+    # one immutable record file per commit (Hadoop-FS metadata layout)
+    assert any(
+        fn.startswith("rec-") for fn in os.listdir(f"{tmp_index_dir}/_metrics")
+    )
