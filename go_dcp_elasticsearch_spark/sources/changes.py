@@ -279,13 +279,20 @@ def _refresh_partials_for_shards(
 
 
 def _tail_shard_expr(n_shards: int, k_new: int, n_inserts: int) -> "F.Column":
-    """Shard label for an insert given its dense ``_rank``: the existing
-    shard count plus rank*k_new DIV n_inserts. Integer ``DIV`` (not double
-    division): at >= 2^53/k_new inserts the rank*k product would round in
-    a double, landing docs in the wrong tail shard and silently breaking
-    the contiguous-id-range invariant the pruned query path relies on —
-    the same reason the builder's shard expression uses DIV
-    (index/builder.py:854-858)."""
+    """Shard label for an insert given its dense ``_rank``: the tail-label
+    base (``n_shards`` = max existing label + 1) plus rank*k_new DIV
+    n_inserts. Integer ``DIV`` (not double division): at >= 2^53/k_new
+    inserts the rank*k product would round in a double, landing docs in
+    the wrong tail shard — non-deterministic placement and skewed tail
+    sizes — the same reason the builder's shard expression uses DIV.
+
+    Note on contiguity: each TAIL shard minted here is one contiguous
+    range of the new ids, which is what keeps this batch's SPIMI merge a
+    concat. Across the whole index, per-shard id-range contiguity is a
+    build-time layout property only — after ``compact_index`` splits,
+    label order no longer follows id-range order, and a later merge can
+    fuse non-adjacent ranges. The query path never relies on it (shards
+    only partition docs; verified by test_split_ingest_merge_rank_identity)."""
     return F.expr(
         f"CAST({int(n_shards)} + least((_rank * {int(k_new)}) DIV {max(int(n_inserts), 1)}, "
         f"{int(k_new) - 1}) AS INT)"
@@ -347,12 +354,25 @@ def apply_changes_to_index(
     key_cols = list(key_cols)
     docs_path = f"{index_dir}/docs"
     docs = spark.read.parquet(docs_path)
-    # one metadata-only job for both bounds (each agg is its own Spark job
-    # otherwise, and fixed job overhead dominates small incremental deltas)
+    # one metadata-only job for all three bounds (each agg is its own
+    # Spark job otherwise, and fixed job overhead dominates small deltas)
     bounds = docs.agg(
-        F.max("shard").alias("ms"), F.max("doc_id").alias("mi")
+        F.max("shard").alias("ms"),
+        F.max("doc_id").alias("mi"),
+        F.count_distinct("shard").alias("ns"),
     ).collect()[0]
-    n_shards = int(bounds["ms"]) + 1
+    if bounds["ms"] is None:
+        raise ValueError(
+            "apply_changes_to_index: the index's docs table is empty — an "
+            "incremental apply has no doc-id/shard authority to extend; "
+            "run a fresh IndexBuilder(...).build over the post-change "
+            "corpus instead"
+        )
+    # max label is the tail-minting authority; the LIVE label count sizes
+    # new shards (compaction merges leave label holes, and max+1 would
+    # over-count shards, shrinking the target and minting extra tails)
+    max_label = int(bounds["ms"])
+    n_live = int(bounds["ns"])
     max_id = int(bounds["mi"])
     feed = last_write_wins(changes, key_cols, order_col).select(
         *key_cols, "action"
@@ -376,29 +396,29 @@ def apply_changes_to_index(
     inserts = feed.filter(F.col("action") != "delete").join(
         existing_keys, key_cols, "left_anti"
     )
-    b = IndexBuilder(spark, index_dir, n_shards=int(n_shards))
+    b = IndexBuilder(spark, index_dir, n_shards=max_label + 1)
     _ensure_partials_layout(spark, b)  # one-time pre-v4 index upgrade
     srow = spark.read.parquet(b.paths.stats).collect()[0]
     n_docs_before = int(srow["n_docs"])
 
     # inserts -> NEW tail shards sized like the existing ones: k new shards
-    # for n_inserts docs where target = current avg docs/shard. Keeps the
-    # range-shard invariant (each shard = one contiguous id range) without
-    # rebuilding any untouched shard and without skewing one tail shard.
+    # for n_inserts docs where target = current avg docs per LIVE shard.
+    # Each tail shard is one contiguous range of the new ids, no untouched
+    # shard is rebuilt, and no single tail shard is skewed.
     ranked = _assign_insert_ranks(
-        inserts, key_cols, n_parts=max(1, int(n_shards))
+        inserts, key_cols, n_parts=max(1, int(n_live))
     )
     n_inserts = ranked._n_rows
     insert_shards: set[int] = set()
     if n_inserts:
-        target = max(1, n_docs_before // max(int(n_shards), 1))
+        target = max(1, n_docs_before // max(int(n_live), 1))
         k_new = max(1, -(-n_inserts // target))  # ceil
         ins_ids = ranked.select(
             *key_cols,
             (F.col("_rank") + F.lit(int(max_id) + 1)).alias("doc_id"),
-            _tail_shard_expr(n_shards, k_new, n_inserts).alias("shard"),
+            _tail_shard_expr(max_label + 1, k_new, n_inserts).alias("shard"),
         )
-        insert_shards = {int(n_shards) + i for i in range(k_new)}
+        insert_shards = {max_label + 1 + i for i in range(k_new)}
     else:
         ins_ids = None
     if not affected and not insert_shards:
@@ -809,6 +829,17 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
     )
 
     n_out = sum(split_plan.values())
+    # stats partials for every post-split label, collected BEFORE the docs
+    # overwrite: new_docs reads the persisted `pieced`, but the
+    # refreshByPath below DROPS that cache along with the stale file
+    # listings, and a later recompute would read the already-overwritten
+    # docs table (the read-under-overwrite hazard, this time via cache
+    # invalidation)
+    stat_rows = (
+        new_docs.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+        .collect()
+    )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -828,13 +859,9 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
     # dictionary partial re-aggregated from the just-written postings
     # partitions and its stats partial from the pieced docs (persisted).
     # Global stats are invariant under re-partitioning — not rewritten.
-    # (compact_index already ran the pre-v4 layout upgrade.)
+    # (compact_index already ran the pre-v4 layout upgrade; stat_rows was
+    # collected before the overwrite.)
     labels_all = sorted(set(label_of.values()))
-    stat_rows = (
-        new_docs.groupBy("shard")
-        .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
-        .collect()
-    )
     with _dynamic_overwrite(spark):
         (
             spark.read.parquet(b.paths.postings)

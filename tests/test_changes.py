@@ -570,3 +570,145 @@ def test_compact_splits_oversized_shard(spark, tmp_path):
     assert agg1 == dict0
 
     check_ranks()
+
+
+def test_apply_to_empty_index_raises_clear_error(spark, tmp_path):
+    """Round-4 guard: an incremental apply over an index whose docs table
+    is empty has no id/shard authority to extend — it must raise a clear
+    error, not a NoneType crash from the bounds collect."""
+    import pytest
+
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    idx = str(tmp_path / "idx_empty")
+    # readable-but-empty docs table (schema-only parquet; a partitioned
+    # empty write would produce no files at all and fail at read instead)
+    spark.createDataFrame(
+        [], "doc_id long, repo string, path string, commit string, lang string, "
+        "content_sha256 string, doc_len long, shard int",
+    ).write.parquet(f"{idx}/docs")
+    changes = spark.createDataFrame(
+        [("orgA/r", "src/a.py", "index", 1)],
+        "repo string, path string, action string, seq_no long",
+    )
+    corpus = spark.createDataFrame(
+        [("orgA/r", "src/a.py", "c0", "python", "fresh content", 1)],
+        "repo string, path string, commit string, lang string, content string, seq_no long",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        apply_changes_to_index(spark, idx, corpus, changes)
+
+
+def test_insert_sizing_uses_live_shards_after_label_holes(spark, tmp_path):
+    """Round-4 guard: compaction merges leave label HOLES (group label =
+    lowest member); tail-shard sizing must use the LIVE shard count, not
+    max_label+1 (which shrank the target and minted extra tail shards),
+    and new labels must mint past the max label."""
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        apply_changes_to_index,
+        compact_index,
+    )
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_holes")
+    corpus = synth_corpus(spark, 300)
+    IndexBuilder(spark, idx, n_shards=6).build(corpus)
+    # merge [0,1,2] and [3,4,5] -> live labels {0, 3}, holes 1,2,4,5
+    summary = compact_index(spark, idx, target_docs_per_shard=150)
+    labels = sorted(
+        int(r["shard"]) for r in spark.read.parquet(f"{idx}/docs")
+        .select("shard").distinct().collect()
+    )
+    assert labels == [0, 3], summary
+
+    # insert 100 new docs: target = 300 docs / 2 LIVE shards = 150 ->
+    # ONE tail shard (max_label+1 sizing would claim 6 shards, target 50,
+    # and mint two); the tail label mints past the max label (3 -> 4)
+    ins = [
+        (f"orgH/h{i}", f"src/h{i}.py", "c0", "python",
+         f"zzqhole{i} fresh buffer content", 1000 + i)
+        for i in range(100)
+    ]
+    new_corpus = corpus.unionByName(spark.createDataFrame(
+        ins, "repo string, path string, commit string, lang string, "
+        "content string, seq_no long",
+    ).withColumn("seq_no", F.col("seq_no").cast("int")))
+    changes = spark.createDataFrame(
+        [(r[0], r[1], "index", r[5]) for r in ins],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes)
+    assert out["insert_shards"] == [4]
+    assert out["n_docs"] == 400
+
+
+def test_split_ingest_merge_rank_identity(spark, tmp_path):
+    """ADVICE r3: after a split, shard label order no longer follows
+    id-range order, so a later merge of consecutive LABELS can fuse
+    non-adjacent doc-id ranges. The query path must not care (shards only
+    partition docs): split -> incremental ingest -> merge, rank-identical
+    to the python oracle at every step."""
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        apply_changes_to_index,
+        compact_index,
+    )
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_sim")
+    corpus = synth_corpus(spark, 240)
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+
+    def check_ranks(current_corpus, label):
+        docs = spark.read.parquet(f"{idx}/docs")
+        id_rows = docs.select("doc_id", "repo", "path").join(
+            current_corpus.select("repo", "path", "content"), ["repo", "path"]
+        ).collect()
+        toks = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
+        q = BM25Query(spark, idx)
+        for qtext in ["kraken_sentinel buffer", "getValue index", "zzqsim fresh"]:
+            want = bm25_oracle(toks, tokenize_py(qtext), 10)
+            got = [(int(r["doc_id"]), float(r["score"]))
+                   for r in q.topk_pruned(qtext, 10).collect()]
+            assert [g[0] for g in got] == [w[0] for w in want], (label, qtext)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (label, qtext)
+
+    # 1. split both shards (tiny target) -> labels whose order no longer
+    #    follows id ranges
+    s1 = compact_index(spark, idx, target_docs_per_shard=40, split_factor=1.5)
+    assert s1["split"], s1
+    check_ranks(corpus, "after split")
+
+    # 2. incremental ingest on the post-split layout
+    ins = [
+        (f"orgS/s{i}", f"src/s{i}.py", "c0", "python",
+         f"zzqsim{i} zzqsim fresh buffer", 500 + i)
+        for i in range(30)
+    ]
+    corpus2 = corpus.unionByName(spark.createDataFrame(
+        ins, "repo string, path string, commit string, lang string, "
+        "content string, seq_no long",
+    ).withColumn("seq_no", F.col("seq_no").cast("int")))
+    apply_changes_to_index(
+        spark, idx, corpus2,
+        spark.createDataFrame(
+            [(r[0], r[1], "index", r[5]) for r in ins],
+            "repo string, path string, action string, seq_no long",
+        ),
+    )
+    check_ranks(corpus2, "after ingest")
+
+    # 3. merge consecutive labels back (big target) — fuses non-adjacent
+    #    id ranges into one shard
+    s2 = compact_index(spark, idx, target_docs_per_shard=10_000)
+    assert s2["rewritten"], s2
+    assert s2["n_shards_after"] < s1["n_shards_after"] + len(
+        spark.read.parquet(f"{idx}/docs").select("shard").distinct().collect()
+    )
+    check_ranks(corpus2, "after merge")
