@@ -154,6 +154,10 @@ class IndexPaths:
         return f"{self.root}/stats_shards"
 
     @property
+    def meta(self) -> str:
+        return f"{self.root}/_meta/index.json"
+
+    @property
     def lineage(self) -> str:
         return f"{self.root}/_lineage"
 
@@ -396,6 +400,20 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
         yield out
 
     return kernel
+
+
+def read_index_meta(spark, index_dir: str) -> dict:
+    """The index's durable build configuration (``_meta/index.json``,
+    Hadoop FS): format_version, routing_col + routing modulus, id_mode.
+    Empty dict for pre-v4 indexes (callers default to non-routed)."""
+    import json
+
+    from go_dcp_elasticsearch_spark.fsutil import exists, read_file
+
+    path = f"{index_dir.rstrip('/')}/_meta/index.json"
+    if not exists(spark, path):
+        return {}
+    return json.loads(read_file(spark, path))
 
 
 def write_stats_tables(
@@ -1034,6 +1052,29 @@ class IndexBuilder:
             ).partitionBy("shard").parquet(self.paths.dictionary)
             self.lineage.commit("dictionary", 0, n_docs)
 
+        # durable build configuration: incremental maintenance needs the
+        # routing placement rule (B5) to keep co-locating NEW docs with
+        # their routing group — the reference forwards routing on every
+        # bulk action (document.go:16, bulk.go:246-249), so placement is
+        # an ingest-time contract, not a build-time one
+        import json as _json
+
+        from go_dcp_elasticsearch_spark.fsutil import write_file
+
+        write_file(
+            self.spark,
+            self.paths.meta,
+            _json.dumps(
+                {
+                    "format_version": INDEX_FORMAT_VERSION,
+                    "index_name": self.index_name,
+                    "id_mode": self.id_mode,
+                    "routing_col": self.routing_col,
+                    "routing_n_shards": self.n_shards if self.routing_col else None,
+                }
+            ),
+            overwrite=True,
+        )
         elapsed = time.time() - t0
         self.metrics.record(
             stage="build",

@@ -339,10 +339,13 @@ def apply_changes_to_index(
     a fresh build re-ranks doc ids, while this path preserves them.
 
     Routing-placed indexes (IndexBuilder(routing_col=...)): updates and
-    deletes stay correct (shard assignments are preserved per doc), but
-    INSERTS land in new tail shards rather than their routing shard —
-    query results are unaffected (shards only need to partition docs);
-    co-location for new docs is restored by a routed fresh build.
+    deletes preserve each doc's shard; INSERTS are routed to
+    pmod(hash(routing), routing_n_shards) — the modulus recorded at build
+    in ``_meta/index.json`` — and those shards join the rebuild set, so a
+    new doc is co-located with its routing group ON ingest (the
+    reference's routing contract, document.go:16, bulk.go:246-249).
+    Compaction relabeling weakens co-location for pre-existing group
+    members (documented trade); a routed fresh build restores it fully.
     """
     from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
     from go_dcp_elasticsearch_spark.index.builder import (
@@ -401,24 +404,56 @@ def apply_changes_to_index(
     srow = spark.read.parquet(b.paths.stats).collect()[0]
     n_docs_before = int(srow["n_docs"])
 
-    # inserts -> NEW tail shards sized like the existing ones: k new shards
-    # for n_inserts docs where target = current avg docs per LIVE shard.
-    # Each tail shard is one contiguous range of the new ids, no untouched
-    # shard is rebuilt, and no single tail shard is skewed.
+    # inserts: on a routing-placed index (B5), each insert joins its
+    # ROUTING shard's rebuild set — the reference puts a routed doc in its
+    # routing shard on every ingest (document.go:16, bulk.go:246-249), so
+    # co-location is an ingest-time contract, not a build-time one.
+    # Otherwise: NEW tail shards sized like the existing ones — k new
+    # shards for n_inserts docs where target = current avg docs per LIVE
+    # shard; each tail shard is one contiguous range of the new ids, no
+    # untouched shard is rebuilt, and no single tail shard is skewed.
+    from go_dcp_elasticsearch_spark.index.builder import read_index_meta
+
+    meta = read_index_meta(spark, index_dir)
+    routing_col = meta.get("routing_col")
+    routing_mod = int(meta.get("routing_n_shards") or 0)
     ranked = _assign_insert_ranks(
         inserts, key_cols, n_parts=max(1, int(n_live))
     )
     n_inserts = ranked._n_rows
     insert_shards: set[int] = set()
     if n_inserts:
-        target = max(1, n_docs_before // max(int(n_live), 1))
-        k_new = max(1, -(-n_inserts // target))  # ceil
-        ins_ids = ranked.select(
-            *key_cols,
-            (F.col("_rank") + F.lit(int(max_id) + 1)).alias("doc_id"),
-            _tail_shard_expr(max_label + 1, k_new, n_inserts).alias("shard"),
-        )
-        insert_shards = {max_label + 1 + i for i in range(k_new)}
+        ids = (F.col("_rank") + F.lit(int(max_id) + 1)).alias("doc_id")
+        if routing_col and routing_mod:
+            if routing_col in key_cols:
+                routed = ranked
+            else:
+                # column-pruned join: only the delta's keys + routing value
+                routed = ranked.join(
+                    new_corpus.select(*key_cols, routing_col), key_cols, "inner"
+                )
+            ins_ids = routed.select(
+                *key_cols,
+                ids,
+                F.pmod(F.hash(F.col(routing_col)), F.lit(routing_mod))
+                .cast("int")
+                .alias("shard"),
+            )
+            # the routed shards join the rebuild set (one tiny delta job);
+            # note a compaction that relabeled shards weakens co-location
+            # for the OLD group members — a routed fresh build restores it
+            insert_shards = {
+                int(r["shard"]) for r in ins_ids.select("shard").distinct().collect()
+            }
+        else:
+            target = max(1, n_docs_before // max(int(n_live), 1))
+            k_new = max(1, -(-n_inserts // target))  # ceil
+            ins_ids = ranked.select(
+                *key_cols,
+                ids,
+                _tail_shard_expr(max_label + 1, k_new, n_inserts).alias("shard"),
+            )
+            insert_shards = {max_label + 1 + i for i in range(k_new)}
     else:
         ins_ids = None
     if not affected and not insert_shards:

@@ -712,3 +712,71 @@ def test_split_ingest_merge_rank_identity(spark, tmp_path):
         spark.read.parquet(f"{idx}/docs").select("shard").distinct().collect()
     )
     check_ranks(corpus2, "after merge")
+
+
+def test_routed_inserts_colocate_incrementally(spark, tmp_path):
+    """Round-4 (B5 routing contract, document.go:16 / bulk.go:246-249): on
+    a routing-placed index, an incremental INSERT lands in its routing
+    shard (joining that shard's rebuild set) — not in a new tail shard —
+    so every routing group stays fully co-located after ingest, and
+    queries stay rank-identical to a routed FRESH build of the same
+    post-change corpus."""
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_routed")
+    n_shards = 4
+    corpus = synth_corpus(spark, 200)
+    IndexBuilder(spark, idx, n_shards=n_shards, routing_col="repo").build(corpus)
+
+    # inserts: new files in EXISTING repos plus one brand-new repo
+    repos = [r["repo"] for r in corpus.select("repo").distinct().limit(2).collect()]
+    ins = [
+        (repos[0], "src/zzqrouted_a.py", "c9", "python", "zzqrouted alpha buffer", 901),
+        (repos[1], "src/zzqrouted_b.py", "c9", "python", "zzqrouted beta buffer", 902),
+        ("orgR/brandnew", "src/zzqrouted_c.py", "c9", "python", "zzqrouted gamma buffer", 903),
+    ]
+    new_corpus = corpus.unionByName(spark.createDataFrame(
+        ins, "repo string, path string, commit string, lang string, "
+        "content string, seq_no long",
+    ).withColumn("seq_no", F.col("seq_no").cast("int")))
+    changes = spark.createDataFrame(
+        [(r[0], r[1], "index", r[5]) for r in ins],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes)
+    assert out["n_docs"] == 203
+
+    docs = spark.read.parquet(f"{idx}/docs")
+    # no tail shards minted: every insert shard is a routing shard
+    assert all(s < n_shards for s in out["insert_shards"]), out
+    # every routing group (incl. the inserted docs) occupies EXACTLY its
+    # routing shard
+    bad = docs.withColumn(
+        "_want", F.pmod(F.hash(F.col("repo")), F.lit(n_shards)).cast("int")
+    ).filter(F.col("shard") != F.col("_want")).count()
+    assert bad == 0
+    per_repo = docs.groupBy("repo").agg(
+        F.count_distinct("shard").alias("ns")
+    ).filter(F.col("ns") > 1).count()
+    assert per_repo == 0
+
+    # rank identity vs a routed FRESH build (fresh re-ranks doc ids ->
+    # compare on (repo, path) identity)
+    fresh = str(tmp_path / "idx_routed_fresh")
+    IndexBuilder(spark, fresh, n_shards=n_shards, routing_col="repo").build(new_corpus)
+    q_inc, q_fresh = BM25Query(spark, idx), BM25Query(spark, fresh)
+    for qtext in ["zzqrouted buffer", "getValue parseInput", "kraken_sentinel"]:
+        a = [
+            (r["repo"], r["path"], round(float(r["score"]), 9))
+            for r in q_inc.with_meta(q_inc.topk_pruned(qtext, 10))
+            .orderBy(F.col("score").desc(), "repo", "path").collect()
+        ]
+        b = [
+            (r["repo"], r["path"], round(float(r["score"]), 9))
+            for r in q_fresh.with_meta(q_fresh.topk_pruned(qtext, 10))
+            .orderBy(F.col("score").desc(), "repo", "path").collect()
+        ]
+        assert a == b, qtext
