@@ -66,15 +66,33 @@ DECODED_SCHEMA = StructType(
 class BM25Query:
     """Query handle over one index LAYOUT: n_docs/avgdl/shard salts are
     snapshotted at init and the (term, df) dictionary projection is cached
-    on first use. After ``apply_changes_to_index`` / ``compact_index``
-    rewrite the index, a held handle serves stale idf/stats or hits
-    FileNotFound on the overwritten parquet — call :meth:`refresh` (or
-    re-instantiate) after any index maintenance."""
+    on first use.
+
+    Staleness is handled automatically: every index mutation (build stage,
+    ``apply_changes_to_index``, ``compact_index``) commits a lineage
+    record, so the lineage record count is a monotonic INDEX EPOCH; each
+    query does one cheap directory listing and calls :meth:`refresh`
+    itself when the epoch moved — a held handle can no longer serve stale
+    idf/stats or hit FileNotFound on overwritten parquet (Elasticsearch
+    likewise serves always-fresh results after every bulk,
+    bulk.go:284-318 -> searchable on refresh). Manual :meth:`refresh`
+    remains available for callers that mutate the index out of band."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        self._lineage_log = LineageLog(spark, self.paths.lineage)
         self.refresh()
+
+    def _current_epoch(self) -> int:
+        return self._lineage_log.record_count()
+
+    def _ensure_fresh(self) -> None:
+        """Re-snapshot if the index epoch moved (one FS listing, ~ms)."""
+        if self._current_epoch() != self._epoch:
+            self.refresh()
 
     def refresh(self) -> "BM25Query":
         """Invalidate all cached state and re-snapshot the index: unpersist
@@ -97,6 +115,7 @@ class BM25Query:
             spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]
         ) + 1
         self._salts = self._shard_salts()
+        self._epoch = self._current_epoch()
         return self
 
     def _shard_salts(self) -> dict[int, int]:
@@ -193,6 +212,7 @@ class BM25Query:
 
     def topk_exact(self, query: str, k: int = 10) -> DataFrame:
         """Exact BM25 top-k; JVM-side scoring, broadcast dictionary join."""
+        self._ensure_fresh()
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
@@ -247,6 +267,7 @@ class BM25Query:
 
     def topk_pruned(self, query: str, k: int = 10) -> DataFrame:
         """Block-max pruned top-k: per-shard kernel + global merge."""
+        self._ensure_fresh()
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
@@ -287,6 +308,7 @@ class BM25Query:
         """
         from pyspark.sql import Window
 
+        self._ensure_fresh()
         qterms = {qid: self.analyze(qtext) for qid, qtext in queries}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
         if not all_terms:

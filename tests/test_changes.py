@@ -780,3 +780,49 @@ def test_routed_inserts_colocate_incrementally(spark, tmp_path):
             .orderBy(F.col("score").desc(), "repo", "path").collect()
         ]
         assert a == b, qtext
+
+
+def test_bm25query_auto_refresh_on_epoch_change(spark, tmp_path):
+    """Round-4: a held handle notices index mutations BY ITSELF — every
+    mutation commits a lineage record, the record count is the index
+    epoch, and each query checks it (one FS listing). No manual refresh:
+    stale handles are an impossible state, mirroring Elasticsearch's
+    searchable-after-refresh contract (bulk.go:284-318)."""
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        apply_changes_to_index,
+        compact_index,
+    )
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_epoch")
+    corpus = synth_corpus(spark, 120)
+    IndexBuilder(spark, idx, n_shards=3).build(corpus)
+    q = BM25Query(spark, idx)
+    assert q.topk_pruned("zzqepochtoken", 5).count() == 0  # warms caches
+
+    upd = corpus.orderBy("repo", "path").limit(1).collect()[0]
+    new_corpus = corpus.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == upd["repo"]) & (F.col("path") == upd["path"]),
+            F.lit("zzqepochtoken zzqepochtoken planted buffer"),
+        ).otherwise(F.col("content")),
+    )
+    apply_changes_to_index(
+        spark, idx, new_corpus,
+        spark.createDataFrame(
+            [(upd["repo"], upd["path"], "index", 77)],
+            "repo string, path string, action string, seq_no long",
+        ),
+    )
+    # SAME handle, no manual refresh: post-change results served
+    hits = q.with_meta(q.topk_pruned("zzqepochtoken", 5)).collect()
+    assert [(r["repo"], r["path"]) for r in hits] == [(upd["repo"], upd["path"])]
+
+    # compaction also bumps the epoch (shard set can change under the
+    # handle's cached salts — exactly the stale-handle crash class)
+    compact_index(spark, idx, target_docs_per_shard=10_000)
+    hits = q.with_meta(q.topk_pruned("zzqepochtoken", 5)).collect()
+    assert [(r["repo"], r["path"]) for r in hits] == [(upd["repo"], upd["path"])]
