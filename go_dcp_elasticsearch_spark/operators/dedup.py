@@ -84,13 +84,16 @@ def minhash_band_buckets(
     oracle reproduces buckets bit-for-bit. For n_hashes <= 6 this is
     byte-identical to the historical single-digest scheme.
 
-    ``mode="fast"`` (the 100 TB path, see ``minhash_lsh_pairs``): ONE
-    blake2b-128 digest per shingle split into two uint64 (h1, h2); the
-    n_hashes functions are h_i = h1 + i*h2 mod 2^64 (Kirsch-Mitzenmacher),
-    minimized over shingles in a single numpy broadcast — no per-slice
-    Python loops and no n_hashes-proportional digest cost. Buckets are
-    blake2b-64 of the band's signature bytes. Deterministic across
-    executors (keyed hash, no process salt) but not SQL-mirrorable.
+    ``mode="fast"`` (the 100 TB path, see ``minhash_lsh_pairs``): fully
+    vectorized — tokens are hashed ONCE per doc with pandas'
+    cython-vectorized keyed hash (``pandas.util.hash_array``, fixed
+    hash_key, deterministic across executors), shingle hashes are an
+    odd-constant polynomial over n consecutive token hashes (numpy
+    slides, no shingle strings are ever built), h2 is a bit-mix of h1,
+    and the n_hashes functions are h_i = h1 + i*h2 mod 2^64
+    (Kirsch-Mitzenmacher) minimized in one broadcast. Zero per-shingle
+    Python calls. Buckets are blake2b-64 of the band's signature bytes
+    (n_bands digests per DOC, not per shingle). Not SQL-mirrorable.
 
     Default n_hashes=12 / band_size=3 restores the 4-band recall
     (P[candidate] = 1-(1-j^3)^4) that an earlier 6-hash default halved.
@@ -111,23 +114,31 @@ def minhash_band_buckets(
         from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
 
         if mode == "fast":
+            from itertools import chain
+
             import numpy as np
 
+            from go_dcp_elasticsearch_spark.functions.hashing import (
+                shingle_poly_u64,
+                token_hashes_u64,
+            )
+
             idx = np.arange(n_hashes, dtype=np.uint64)
-            out = []
-            for text in texts:
-                toks = tokenize_py(text)
-                if len(toks) < shingle_n:
+            mix = np.uint64(0xC2B2AE3D27D4EB4F)
+            toks_list = [tokenize_py(t) for t in texts]
+            # ONE keyed-hash call for the whole Arrow batch's tokens
+            th_all = token_hashes_u64(list(chain.from_iterable(toks_list)))
+            out, off = [], 0
+            for toks in toks_list:
+                m = len(toks)
+                th = th_all[off : off + m]
+                off += m
+                if m < shingle_n:
                     out.append(None)
                     continue
-                raw = b"".join(
-                    hashlib.blake2b(
-                        " ".join(toks[i : i + shingle_n]).encode(), digest_size=16
-                    ).digest()
-                    for i in range(len(toks) - shingle_n + 1)
-                )
-                h = np.frombuffer(raw, dtype=np.uint64).reshape(-1, 2)
-                sig = (h[:, :1] + idx[None, :] * h[:, 1:]).min(axis=0)
+                h1 = shingle_poly_u64(th, shingle_n)
+                h2 = (h1 ^ (h1 >> np.uint64(33))) * mix
+                sig = (h1[:, None] + idx[None, :] * h2[:, None]).min(axis=0)
                 out.append(
                     [
                         hashlib.blake2b(
@@ -254,34 +265,51 @@ def ngram_jaccard_pairs(
     keeps the blow-up bounded and is exposed as ``max_shingle_df``.
 
     ``scale_mode=True``: the 100 TB config in one flag — shingles are
-    replaced by their blake2b-64 hash BEFORE the distinct/self-join (the
-    shuffle moves 8-byte ints, not n-word strings; 64-bit collisions are
-    negligible at any corpus size) and ``max_shingle_df`` defaults ON
-    (128). Default False keeps raw-shingle joins (exact, SQL-mirrorable).
+    replaced by a vectorized 64-bit hash BEFORE the distinct/self-join
+    (tokens hashed once via pandas' cython keyed hash, shingle hash = an
+    odd-constant polynomial over n consecutive token hashes; the shuffle
+    moves 8-byte ints, not n-word strings, and no shingle string is ever
+    built; 64-bit collisions are negligible at any corpus size) and
+    ``max_shingle_df`` defaults ON (128). Default False keeps
+    raw-shingle joins (exact, SQL-mirrorable).
     """
     if scale_mode and max_shingle_df is None:
         max_shingle_df = 128
 
     def shingle_kernel(texts: pd.Series) -> pd.Series:
-        import hashlib
-
         from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+
+        if scale_mode:
+            from itertools import chain
+
+            import numpy as np
+
+            from go_dcp_elasticsearch_spark.functions.hashing import (
+                shingle_poly_u64,
+                token_hashes_u64,
+            )
+
+            toks_list = [tokenize_py(t) for t in texts]
+            th_all = token_hashes_u64(list(chain.from_iterable(toks_list)))
+            out, off = [], 0
+            for toks in toks_list:
+                m = len(toks)
+                th = th_all[off : off + m]
+                off += m
+                if m < shingle_n:
+                    out.append([])
+                    continue
+                out.append(
+                    shingle_poly_u64(th, shingle_n).view(np.int64).tolist()
+                )
+            return pd.Series(out)
 
         def sh(text):
             toks = tokenize_py(text)
-            shingles = [
+            return [
                 " ".join(toks[i : i + shingle_n])
                 for i in range(len(toks) - shingle_n + 1)
             ]
-            if scale_mode:
-                return [
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "big", signed=True,
-                    )
-                    for s in shingles
-                ]
-            return shingles
 
         return texts.map(sh)
 
