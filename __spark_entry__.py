@@ -635,6 +635,84 @@ def _q_snapshot_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference loop under the DuckDB gate: bootstrap an index
+    from slice-0 state, then drive slices 1 and 2 as change FILES through
+    the real Structured Streaming body (stream_changes_to_index:
+    checkpointed availableNow micro-batches -> LWW dedup -> mirror upsert
+    -> incremental shard rebuild) and return the final QUERYABLE index
+    state (docs table: key, doc_len by our tokenizer, content sha256).
+    Composes A1+A7+A10+A18 with B1/B2/B6 end-to-end. seq_no is offset by
+    slice*10^7 so the per-key winner is the same under ANY micro-batch
+    split (the oracle is robust to file-source batching)."""
+    import os
+    import shutil
+    import tempfile
+
+    from go_dcp_elasticsearch_spark.index import IndexBuilder
+    from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
+    from go_dcp_elasticsearch_spark.streaming.pipeline import (
+        stream_changes_to_index,
+        write_corpus_mirror,
+    )
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    base = f"{tempfile.gettempdir()}/spark_entry_streamidx_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    idx, src, ckpt = f"{base}/idx", f"{base}/src", f"{base}/ckpt"
+    os.makedirs(src)
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("ev").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("user_id")).alias("path"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("index"))
+        .alias("action"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("content"),
+        ((F.col("event_id") % 3) * 10_000_000 + F.col("event_id"))
+        .cast("long")
+        .alias("seq_no"),
+        (F.col("event_id") % 3).cast("int").alias("_slice"),
+    )
+    # bootstrap STATE = fold of the slice-0 feed (newest action per key,
+    # kept if index) — the mirror holds one row per key by contract
+    boot = (
+        last_write_wins(ev.filter(F.col("_slice") == 0), ["repo", "path"], "seq_no")
+        .filter(F.col("action") == "index")
+        .drop("_slice", "action")
+    )
+    write_corpus_mirror(spark, idx, boot, n_buckets=4)
+    IndexBuilder(spark, idx, n_shards=2).build(boot)
+
+    # one change FILE per slice, mtime-ordered for the file source
+    for s in (1, 2):
+        staging = f"{base}/_stage{s}"
+        ev.filter(F.col("_slice") == s).drop("_slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(f"{staging}/{part}", f"{src}/batch-{s}.parquet")
+        os.utime(f"{src}/batch-{s}.parquet", (1_700_000_000 + s, 1_700_000_000 + s))
+
+    schema = ev.drop("_slice").schema
+    q = stream_changes_to_index(
+        spark, src, schema, idx, ckpt,
+        key_cols=["repo", "path"], max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    docs = spark.read.parquet(f"{idx}/docs")
+    return docs.select(
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_key"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.col("content_sha256"),
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_dcp_elasticsearch_spark.operators.dedup import simhash64
 
@@ -704,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changes_apply": _q_changes_apply,
         "index_verify": _q_index_verify,
         "snapshot_range_read": _q_snapshot_range_read,
+        "stream_apply": _q_stream_apply,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1042,6 +1121,28 @@ r AS (
 SELECT CAST(doc_key AS BIGINT) AS doc_key, action,
        md5(coalesce(content, '')) AS content_hash, snapshot_id, seq_no
 FROM r WHERE rn = 1
+""",
+        "stream_apply": f"""
+-- final queryable index state after bootstrap(slice 0) + two streamed
+-- micro-batches (slices 1, 2): seq = slice*10^7 + event_id makes the
+-- per-key winner invariant under any micro-batch split, so the fold of
+-- the whole stream = argmax by seq; winner 'delete' => key absent.
+-- doc_len = our code-aware tokenizer; sha256 identical in both engines.
+WITH ev AS (
+  SELECT user_id AS doc_key,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'index' END AS action,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content,
+         CAST((event_id % 3) * 10000000 + event_id AS BIGINT) AS seq
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT CAST(doc_key AS BIGINT) AS doc_key,
+       CAST(len({tokenize_duckdb_sql("content")}) AS BIGINT) AS doc_len,
+       sha256(content) AS content_sha256
+FROM r WHERE rn = 1 AND action = 'index'
 """,
         "embedding_dups": f"""
 WITH planes AS (SELECT p, {_plane_sql("p")} AS pv
