@@ -10,6 +10,16 @@ carries per-piece timings including build throughput (files/sec) and top-k
 p95 latency — the two target metrics in BASELINE.json. Scaling-efficiency
 evidence (local[8] vs local[32]) is produced by tools/scaling_bench.py
 into BENCH/BASELINE.md.
+
+Drift control (round 4, standing practice): hosts drift ~15% between
+measurement days, so the JSON also carries ``control_headline_sec`` — the
+PREVIOUS round's exact code (git worktree of ``DEFAULT_CONTROL_COMMIT``,
+updated each round) re-run on the same host the same day, sequentially
+AFTER this session stops (a concurrent Spark session corrupts runs). The
+judge normalizes round-over-round numbers against it mechanically.
+Override the commit with ``--control <sha>`` / ``BENCH_CONTROL=<sha>``;
+``BENCH_CONTROL=none`` or ``BENCH_SKIP_BIG=1`` (quick local iterations)
+skips it.
 """
 
 from __future__ import annotations
@@ -22,6 +32,10 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the previous round's final commit — update each round after the driver
+# records BENCH_r{N}.json so round N+1's comparison is mechanical
+DEFAULT_CONTROL_COMMIT = "a6fe9bc"
 
 QUERY_SET = [
     "spark filter join",
@@ -240,6 +254,13 @@ def main() -> None:
             timings["big_batch256_qps"] = round(256 / (time.time() - t0), 2)
         finally:
             shutil.rmtree(big_dir, ignore_errors=True)
+    spark.stop()
+
+    # --- drift control: prior round's EXACT code, same host, same day,
+    # run sequentially after this session stopped ---
+    control = _run_control(sf_dir, cpus)
+    timings.update(control)
+
     print(
         json.dumps(
             {
@@ -251,7 +272,56 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
+
+
+def _run_control(sf_dir: str, cpus: str) -> dict:
+    """Check out the control commit into a worktree and run ITS bench.py
+    (BENCH_SKIP_BIG=1: the headline is the control quantity) in a
+    subprocess. Failure records control_error instead of failing the run."""
+    import subprocess
+
+    commit = os.environ.get("BENCH_CONTROL", "")
+    if "--control" in sys.argv:
+        commit = sys.argv[sys.argv.index("--control") + 1]
+    if commit.lower() in ("none", "0", "off") or (
+        not commit and os.environ.get("BENCH_SKIP_BIG")
+    ):
+        return {}
+    commit = commit or DEFAULT_CONTROL_COMMIT
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = f"{tempfile.gettempdir()}/bench_control_{commit}"
+    out: dict = {"control_commit": commit}
+    try:
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, commit],
+                cwd=repo, check=True, capture_output=True, timeout=120,
+            )
+        env = dict(os.environ)
+        env.update({
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_CPUS": cpus,
+            "BENCH_SKIP_BIG": "1",
+            "BENCH_CONTROL": "none",  # the control must not recurse
+            "PYTHONPATH": wt,
+        })
+        proc = subprocess.run(
+            [sys.executable, f"{wt}/bench.py"],
+            cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = next(
+            ln for ln in reversed(proc.stdout.splitlines())
+            if ln.startswith("{")
+        )
+        out["control_headline_sec"] = float(json.loads(line)["value"])
+    except Exception as e:  # noqa: BLE001 — control is best-effort evidence
+        out["control_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True, timeout=60,
+        )
+    return out
 
 
 if __name__ == "__main__":

@@ -79,7 +79,9 @@ TF_SCHEMA = StructType(
 # stats_shards holds per-shard (n_docs, sum_dl) — incremental applies
 # replace only rebuilt shards' partials instead of re-aggregating the
 # whole index (O(delta) refresh).
-INDEX_FORMAT_VERSION = 4
+# v5: stats_shards is a single-file table (n_shards rows; the partitioned
+# layout paid the per-directory commit protocol for nothing).
+INDEX_FORMAT_VERSION = 5
 
 CHUNK_SCHEMA = StructType(
     [
@@ -417,27 +419,59 @@ def read_index_meta(spark, index_dir: str) -> dict:
 
 
 def write_stats_tables(
-    spark, paths: IndexPaths, partials: dict[int, tuple[int, int]], index_name: str
+    spark, paths: IndexPaths, partials: dict[int, tuple[int, int]]
 ) -> tuple[int, float]:
-    """Write the per-shard stats partials (``stats_shards``: shard ->
-    (n_docs, sum_dl)) and the global stats row derived from them. The
-    global (n_docs, avgdl) is a sum over n_shards tiny rows — never a
-    docs scan. Returns (n_docs, avgdl)."""
+    """Write the stats partials table (``stats_shards``: one row per
+    shard, (n_docs, sum_dl)) — the SINGLE source of truth for corpus
+    stats; the global (n_docs, avgdl) is derived from it at read time
+    (read_global_stats), never stored separately.
+
+    Two deliberate write-economy choices, both measured: the table is one
+    file rewritten wholesale (a shard-partitioned layout pays the
+    partitioned-commit protocol per directory for pruning that buys
+    nothing on n_shards rows), and there is no second "global stats"
+    table (every extra tiny-table write is a full commit round-trip —
+    ~0.3 s locally, worse on object stores, and it doubled under an
+    IO-pressured host). The O(delta) property of incremental refresh
+    lives in how the NEW partial VALUES are computed (partition-pruned
+    reads of only the rebuilt shards), not in this write.
+    Returns (n_docs, avgdl)."""
+    from go_dcp_elasticsearch_spark.session import tiny_df
+
     rows = [(int(s), int(n), int(sd)) for s, (n, sd) in sorted(partials.items())]
-    if rows:
-        spark.createDataFrame(
-            rows, "shard int, n_docs long, sum_dl long"
-        ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
-            paths.stats_shards
-        )
+    tiny_df(spark, rows, "shard int, n_docs long, sum_dl long").write.mode(
+        "overwrite"
+    ).parquet(paths.stats_shards)
     n_docs = sum(n for _, n, _ in rows)
     sum_dl = sum(sd for _, _, sd in rows)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    spark.createDataFrame(
-        [(n_docs, float(avgdl), index_name)],
-        "n_docs long, avgdl double, index_name string",
-    ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
     return n_docs, avgdl
+
+
+def read_stats_partials(spark, paths: IndexPaths) -> dict[int, tuple[int, int]]:
+    """Current stats partials as {shard: (n_docs, sum_dl)} — n_shards tiny
+    rows, driver-side. Reads both the one-file layout and the short-lived
+    shard-partitioned one (the shard value then comes from the partition
+    column, transparently)."""
+    return {
+        int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"]))
+        for r in spark.read.parquet(paths.stats_shards).collect()
+    }
+
+
+def read_global_stats(spark, paths: IndexPaths) -> tuple[int, float]:
+    """(n_docs, avgdl) derived from the stats partials (n_shards tiny
+    rows). Falls back to the legacy pre-v5 single-row ``stats`` table for
+    indexes that predate the partials layout."""
+    from go_dcp_elasticsearch_spark.fsutil import exists
+
+    if exists(spark, paths.stats_shards):
+        parts = read_stats_partials(spark, paths)
+        n_docs = sum(n for n, _ in parts.values())
+        sum_dl = sum(sd for _, sd in parts.values())
+        return n_docs, (sum_dl / n_docs) if n_docs else 0.0
+    srow = spark.read.parquet(paths.stats).collect()[0]
+    return int(srow["n_docs"]), float(srow["avgdl"])
 
 
 def global_dictionary(spark, index_dir: str) -> DataFrame:
@@ -1003,12 +1037,9 @@ class IndexBuilder:
             write_stats_tables(
                 self.spark, self.paths,
                 {int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"])) for r in rows},
-                self.index_name,
             )
             self.lineage.commit("stats", 0, -1)
-        srow = self.spark.read.parquet(self.paths.stats).collect()[0]
-        avgdl = float(srow["avgdl"])
-        n_docs = int(srow["n_docs"])
+        n_docs, avgdl = read_global_stats(self.spark, self.paths)
 
         # postings: SPIMI — the persisted chunk rows (minus doc sentinels),
         # shuffled compressed (tiny), concat-merged per (term, shard)

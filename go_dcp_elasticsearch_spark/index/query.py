@@ -106,10 +106,10 @@ class BM25Query:
         spark.catalog.refreshByPath(self.paths.postings)
         spark.catalog.refreshByPath(self.paths.docs)
         spark.catalog.refreshByPath(self.paths.dictionary)
-        spark.catalog.refreshByPath(self.paths.stats)
-        srow = spark.read.parquet(self.paths.stats).collect()[0]
-        self.n_docs = int(srow["n_docs"])
-        self.avgdl = float(srow["avgdl"])
+        from go_dcp_elasticsearch_spark.index.builder import read_global_stats
+
+        spark.catalog.refreshByPath(self.paths.stats_shards)
+        self.n_docs, self.avgdl = read_global_stats(spark, self.paths)
         # shard count for the kernel partitioner (tiny pruned scan, once)
         self.n_shards = int(
             spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]

@@ -72,3 +72,14 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def tiny_df(spark: SparkSession, rows: list, schema: str):
+    """DataFrame from a SMALL driver-side row list in ONE partition.
+
+    ``spark.createDataFrame(rows)`` fans the rows across
+    defaultParallelism slices, and any job over the result then pays one
+    Python-worker roundtrip PER parent partition — measured ~3.7 s to
+    write 32 rows at local[32] vs 0.3 s with a single slice. Every tiny
+    control-plane table (stats partials, mirror meta) goes through here."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

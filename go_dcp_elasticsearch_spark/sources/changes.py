@@ -212,17 +212,17 @@ def _ensure_partials_layout(spark, b) -> None:
         )
         spark.catalog.refreshByPath(b.paths.dictionary)
     if not exists(spark, b.paths.stats_shards):
+        from go_dcp_elasticsearch_spark.index.builder import write_stats_tables
+
         rows = (
             spark.read.parquet(f"{b.paths.root}/docs")
             .groupBy("shard")
             .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
             .collect()
         )
-        spark.createDataFrame(
-            [(int(r["shard"]), int(r["n_docs"]), int(r["sum_dl"])) for r in rows],
-            "shard int, n_docs long, sum_dl long",
-        ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
-            b.paths.stats_shards
+        write_stats_tables(
+            spark, b.paths,
+            {int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"])) for r in rows},
         )
 
 
@@ -233,13 +233,21 @@ def _refresh_partials_for_shards(
 
     Dictionary partials for the rebuilt shards are re-aggregated from the
     JUST-WRITTEN postings partitions (a partition-pruned read: only the
-    rebuilt ``shard=N`` directories are scanned); stats partials likewise
-    from the rebuilt docs partitions (doc_len is stored, so no
-    re-tokenize). Emptied shards' partial partitions are deleted. The
-    global stats row is re-derived from the full partials table — one row
-    per shard, O(n_shards), never a docs scan. Returns (n_docs, avgdl).
-    Requires dynamic partition-overwrite mode to be active."""
+    rebuilt ``shard=N`` directories are scanned) and replace only those
+    shards' dictionary partitions; emptied shards' partitions are
+    deleted. Stats partials likewise come from the rebuilt docs
+    partitions (doc_len is stored, so no re-tokenize) and are folded into
+    the tiny partials table driver-side (n_shards rows, rewritten
+    wholesale — see write_stats_tables), from which the global stats row
+    derives. Returns (n_docs, avgdl). Requires dynamic
+    partition-overwrite mode to be active."""
+    from go_dcp_elasticsearch_spark.index.builder import (
+        read_stats_partials,
+        write_stats_tables,
+    )
+
     live = sorted(int(s) for s in live_rebuilt)
+    partials = read_stats_partials(spark, b.paths)
     if live:
         docs_delta = (
             spark.read.parquet(f"{b.paths.root}/docs")
@@ -248,13 +256,8 @@ def _refresh_partials_for_shards(
             .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
             .collect()
         )
-        if docs_delta:
-            spark.createDataFrame(
-                [(int(r["shard"]), int(r["n_docs"]), int(r["sum_dl"])) for r in docs_delta],
-                "shard int, n_docs long, sum_dl long",
-            ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
-                b.paths.stats_shards
-            )
+        for r in docs_delta:
+            partials[int(r["shard"])] = (int(r["n_docs"]), int(r["sum_dl"]))
         (
             spark.read.parquet(b.paths.postings)
             .filter(F.col("shard").isin(live))
@@ -265,17 +268,10 @@ def _refresh_partials_for_shards(
             .partitionBy("shard")
             .parquet(b.paths.dictionary)
         )
-    _delete_shard_partitions(spark, b.paths.stats_shards, emptied)
+    for s in emptied:
+        partials.pop(int(s), None)
     _delete_shard_partitions(spark, b.paths.dictionary, emptied)
-    rows = spark.read.parquet(b.paths.stats_shards).collect()
-    n_docs = sum(int(r["n_docs"]) for r in rows)
-    sum_dl = sum(int(r["sum_dl"]) for r in rows)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    spark.createDataFrame(
-        [(n_docs, float(avgdl), b.index_name)],
-        "n_docs long, avgdl double, index_name string",
-    ).coalesce(1).write.mode("overwrite").parquet(b.paths.stats)
-    return n_docs, avgdl
+    return write_stats_tables(spark, b.paths, partials)
 
 
 def _tail_shard_expr(n_shards: int, k_new: int, n_inserts: int) -> "F.Column":
@@ -399,10 +395,11 @@ def apply_changes_to_index(
     inserts = feed.filter(F.col("action") != "delete").join(
         existing_keys, key_cols, "left_anti"
     )
+    from go_dcp_elasticsearch_spark.index.builder import read_global_stats
+
     b = IndexBuilder(spark, index_dir, n_shards=max_label + 1)
     _ensure_partials_layout(spark, b)  # one-time pre-v4 index upgrade
-    srow = spark.read.parquet(b.paths.stats).collect()[0]
-    n_docs_before = int(srow["n_docs"])
+    n_docs_before, _ = read_global_stats(spark, b.paths)
 
     # inserts: on a routing-placed index (B5), each insert joins its
     # ROUTING shard's rebuild set — the reference puts a routed doc in its
@@ -664,21 +661,21 @@ def compact_index(
 
         # per-shard partials maintenance, O(touched): target labels'
         # dictionary partials re-aggregated from the just-rewritten
-        # postings partitions (partition-pruned); stats partials merged
-        # driver-side (one tiny row per source shard). Global stats are
-        # invariant under relabeling — not rewritten.
+        # postings partitions (partition-pruned); stats partials folded
+        # driver-side into the tiny table. Global stats are invariant
+        # under relabeling (write_stats_tables recomputes the same row).
+        from go_dcp_elasticsearch_spark.index.builder import (
+            read_stats_partials,
+            write_stats_tables,
+        )
+
         tgt = sorted(int(t) for t in targets)
-        src_stats = {
-            int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"]))
-            for r in spark.read.parquet(b.paths.stats_shards)
-            .filter(F.col("shard").isin(src_list))
-            .collect()
-        }
-        merged_stats: dict[int, tuple[int, int]] = {}
+        partials = read_stats_partials(spark, b.paths)
         for s, t in remap_pairs:
-            n, sd = src_stats.get(int(s), (0, 0))
-            cn, csd = merged_stats.get(int(t), (0, 0))
-            merged_stats[int(t)] = (cn + n, csd + sd)
+            if int(s) != int(t):
+                n, sd = partials.pop(int(s), (0, 0))
+                cn, csd = partials.get(int(t), (0, 0))
+                partials[int(t)] = (cn + n, csd + sd)
         with _dynamic_overwrite(spark):
             (
                 spark.read.parquet(b.paths.postings)
@@ -690,14 +687,8 @@ def compact_index(
                 .partitionBy("shard")
                 .parquet(b.paths.dictionary)
             )
-            spark.createDataFrame(
-                [(t, n, sd) for t, (n, sd) in sorted(merged_stats.items())],
-                "shard int, n_docs long, sum_dl long",
-            ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
-                b.paths.stats_shards
-            )
+        write_stats_tables(spark, b.paths, partials)
         _delete_shard_partitions(spark, b.paths.dictionary, dead)
-        _delete_shard_partitions(spark, b.paths.stats_shards, dead)
         summary["rewritten"] = sorted(sources)
         summary["n_shards_after"] -= len(sources) - len(targets)
 
@@ -892,10 +883,15 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
     # per-shard partials maintenance, O(split shards): every label touched
     # by the split (kept piece-0 labels + freshly minted ones) gets its
     # dictionary partial re-aggregated from the just-written postings
-    # partitions and its stats partial from the pieced docs (persisted).
-    # Global stats are invariant under re-partitioning — not rewritten.
-    # (compact_index already ran the pre-v4 layout upgrade; stat_rows was
-    # collected before the overwrite.)
+    # partitions; stats partials (collected before the overwrite) are
+    # folded into the tiny table driver-side. Global stats are invariant
+    # under re-partitioning (write_stats_tables recomputes the same row).
+    # (compact_index already ran the pre-v4 layout upgrade.)
+    from go_dcp_elasticsearch_spark.index.builder import (
+        read_stats_partials,
+        write_stats_tables,
+    )
+
     labels_all = sorted(set(label_of.values()))
     with _dynamic_overwrite(spark):
         (
@@ -908,12 +904,10 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
             .partitionBy("shard")
             .parquet(b.paths.dictionary)
         )
-        spark.createDataFrame(
-            [(int(r["shard"]), int(r["n_docs"]), int(r["sum_dl"])) for r in stat_rows],
-            "shard int, n_docs long, sum_dl long",
-        ).repartition(1).write.mode("overwrite").partitionBy("shard").parquet(
-            b.paths.stats_shards
-        )
+    partials = read_stats_partials(spark, b.paths)
+    for r in stat_rows:
+        partials[int(r["shard"])] = (int(r["n_docs"]), int(r["sum_dl"]))
+    write_stats_tables(spark, b.paths, partials)
     pieced.unpersist()
     provisional.unpersist()
     return nxt - (max_label + 1)

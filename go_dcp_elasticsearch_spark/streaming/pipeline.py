@@ -107,9 +107,11 @@ def write_corpus_mirror(
     # the bucket count is part of the mirror's layout: persist it so every
     # later consumer buckets identically (a mismatched modulus would route
     # an upsert to a different partition than the row it replaces)
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{index_dir}/_corpus_meta")
+    from go_dcp_elasticsearch_spark.session import tiny_df
+
+    tiny_df(spark, [(int(n_buckets),)], "n_buckets int").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/_corpus_meta")
 
 
 def upsert_corpus_mirror(

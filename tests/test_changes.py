@@ -175,9 +175,11 @@ def test_incremental_refresh_is_o_delta(spark, tmp_path):
     """Round-4 scale fix: the dictionary/stats refresh after an
     incremental apply must touch ONLY the rebuilt shards' partial
     partitions. Physical assertion: the parquet files of every untouched
-    shard's dictionary/stats_shards partition are bit-identical (names,
-    sizes, mtimes) across the apply — a full re-aggregation would rewrite
-    them all. Logical assertion: partials sum to the true globals."""
+    shard's dictionary partition are bit-identical (names, sizes, mtimes)
+    across the apply — a full re-aggregation would rewrite them all.
+    (stats_shards is a single tiny file of n_shards rows rewritten
+    wholesale; its O(delta) property is in the pruned INPUT reads.)
+    Logical assertion: stats partials sum to the true globals."""
     import os
 
     from go_dcp_elasticsearch_spark.corpus import synth_corpus
@@ -203,7 +205,6 @@ def test_incremental_refresh_is_o_delta(spark, tmp_path):
         return out
 
     dict_before = _listing("dictionary")
-    stats_before = _listing("stats_shards")
 
     # update ONE existing doc (affects exactly its shard; no inserts)
     victim = spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(1).collect()[0]
@@ -225,25 +226,26 @@ def test_incremental_refresh_is_o_delta(spark, tmp_path):
     assert len(touched) == 1
 
     dict_after = _listing("dictionary")
-    stats_after = _listing("stats_shards")
     for d in dict_before:
         if d not in touched:
             assert dict_after[d] == dict_before[d], f"dictionary {d} rewritten"
-            assert stats_after[d] == stats_before[d], f"stats {d} rewritten"
     for d in touched:
         assert dict_after[d] != dict_before[d], "touched shard not refreshed"
 
-    # partials sum to the true globals
-    srow = spark.read.parquet(f"{idx}/stats").collect()[0]
+    # partials sum to the true globals (stats_shards is the single
+    # source of truth; globals are derived at read time)
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths, read_global_stats
+
+    n_docs_g, avgdl_g = read_global_stats(spark, IndexPaths(idx))
     parts = spark.read.parquet(f"{idx}/stats_shards").agg(
         F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("sd")
     ).collect()[0]
-    assert int(srow["n_docs"]) == int(parts["n"]) == 200
+    assert n_docs_g == int(parts["n"]) == 200
     true_dl = int(
         spark.read.parquet(f"{idx}/docs").agg(F.sum("doc_len")).collect()[0][0]
     )
     assert int(parts["sd"]) == true_dl
-    assert abs(float(srow["avgdl"]) - true_dl / 200) < 1e-12
+    assert abs(avgdl_g - true_dl / 200) < 1e-12
     # and the updated content is queryable with correct df through the
     # aggregated dictionary view
     q = BM25Query(spark, idx)
@@ -402,8 +404,9 @@ def test_incremental_delete_whole_shard(spark, tmp_path):
     post1 = spark.read.parquet(f"{idx}/postings")
     assert post1.filter(F.col("shard") == 0).count() == 0
     # stats reflect the deletion
-    srow = spark.read.parquet(f"{idx}/stats").collect()[0]
-    assert int(srow["n_docs"]) == 200 - len(victims)
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths, read_global_stats
+
+    assert read_global_stats(spark, IndexPaths(idx))[0] == 200 - len(victims)
     # no deleted doc id ever comes back from a query
     q = BM25Query(spark, idx)
     got = {int(r["doc_id"]) for r in q.topk_pruned("getValue buffer index", 50).collect()}
