@@ -643,8 +643,10 @@ def _q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> incremental shard rebuild) and return the final QUERYABLE index
     state (docs table: key, doc_len by our tokenizer, content sha256).
     Composes A1+A7+A10+A18 with B1/B2/B6 end-to-end. seq_no is offset by
-    slice*10^7 so the per-key winner is the same under ANY micro-batch
-    split (the oracle is robust to file-source batching)."""
+    slice*10^12 so the per-key winner is the same under ANY micro-batch
+    split (the oracle is robust to file-source batching; 10^12 keeps the
+    slices' seq ranges disjoint for any event_id the sf scale can mint,
+    and 2*10^12+10^12 is far inside int64)."""
     import os
     import shutil
     import tempfile
@@ -673,7 +675,7 @@ def _q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", F.lit(None))
         .otherwise(F.col("props"))
         .alias("content"),
-        ((F.col("event_id") % 3) * 10_000_000 + F.col("event_id"))
+        ((F.col("event_id") % 3) * F.lit(1_000_000_000_000) + F.col("event_id"))
         .cast("long")
         .alias("seq_no"),
         (F.col("event_id") % 3).cast("int").alias("_slice"),
@@ -1124,7 +1126,7 @@ FROM r WHERE rn = 1
 """,
         "stream_apply": f"""
 -- final queryable index state after bootstrap(slice 0) + two streamed
--- micro-batches (slices 1, 2): seq = slice*10^7 + event_id makes the
+-- micro-batches (slices 1, 2): seq = slice*10^12 + event_id makes the
 -- per-key winner invariant under any micro-batch split, so the fold of
 -- the whole stream = argmax by seq; winner 'delete' => key absent.
 -- doc_len = our code-aware tokenizer; sha256 identical in both engines.
@@ -1132,7 +1134,7 @@ WITH ev AS (
   SELECT user_id AS doc_key,
          CASE WHEN event_type = 'error' THEN 'delete' ELSE 'index' END AS action,
          CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content,
-         CAST((event_id % 3) * 10000000 + event_id AS BIGINT) AS seq
+         CAST((event_id % 3) * 1000000000000 + event_id AS BIGINT) AS seq
   FROM events
 ),
 r AS (

@@ -282,7 +282,10 @@ def _run_control(sf_dir: str, cpus: str) -> dict:
 
     commit = os.environ.get("BENCH_CONTROL", "")
     if "--control" in sys.argv:
-        commit = sys.argv[sys.argv.index("--control") + 1]
+        idx = sys.argv.index("--control")
+        if idx + 1 >= len(sys.argv):
+            return {"control_error": "--control requires a commit argument"}
+        commit = sys.argv[idx + 1]
     if commit.lower() in ("none", "0", "off") or (
         not commit and os.environ.get("BENCH_SKIP_BIG")
     ):
@@ -317,10 +320,13 @@ def _run_control(sf_dir: str, cpus: str) -> dict:
     except Exception as e:  # noqa: BLE001 — control is best-effort evidence
         out["control_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
-        subprocess.run(
-            ["git", "worktree", "remove", "--force", wt],
-            cwd=repo, capture_output=True, timeout=60,
-        )
+        try:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo, capture_output=True, timeout=60,
+            )
+        except Exception:
+            pass  # cleanup is best-effort: never lose the measured JSON
     return out
 
 

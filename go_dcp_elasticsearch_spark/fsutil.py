@@ -49,14 +49,35 @@ def write_file(spark, path: str, data: str, overwrite: bool = False) -> None:
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
     out = fs.create(p, overwrite)
+    synced = False
     try:
         out.write(bytearray(data.encode("utf-8")))
         try:
             out.hsync()
+            synced = True
         except Exception:
-            pass  # RawLocal/S3A: close() is the durability point
+            pass  # S3A: the object becomes visible atomically on close
     finally:
         out.close()
+    if not synced:
+        # the checksummed LocalFileSystem does not support hsync, and a
+        # record left only in the page cache breaks the write-ordering
+        # guarantees callers rely on (e.g. expire_snapshots fsyncs its
+        # intent record BEFORE deleting changelog partitions — losing it
+        # to a power cut would turn a loud expired-range error into a
+        # silently incomplete range read). If the path resolves to a
+        # local file, fsync it the OS way.
+        try:
+            local = fs.pathToFile(p).getAbsolutePath()
+        except Exception:
+            return  # not a local filesystem; close() was the commit point
+        import os
+
+        fd = os.open(local, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
 
 def read_file(spark, path: str) -> str:

@@ -75,10 +75,6 @@ def shingle_poly_u64(th, shingle_n: int):
     return sh
 
 
-def shingle_hashes_u64(tokens: list[str], shingle_n: int):
-    """Single-doc convenience: token_hashes_u64 + shingle_poly_u64."""
-    return shingle_poly_u64(token_hashes_u64(tokens), shingle_n)
-
 
 def rolling_fingerprint_py(tokens: list[str], window: int = 8) -> int:
     """Winnowing-style document fingerprint: min 64-bit hash over rolling

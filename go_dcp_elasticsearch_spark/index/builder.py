@@ -373,6 +373,13 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)
         shards = np.concatenate(sh_parts)
+        if len(dids) == 0:
+            # every doc in the partition tokenized to nothing: no posting
+            # rows, but the doc sentinels (sha256 + doc_len 0) must still
+            # flow — they are the docs-table source in the fused build
+            if sents:
+                yield pd.concat(sents, ignore_index=True)
+            return
         codes, uniq_terms = pd.factorize(terms, sort=False)
         order = np.lexsort((dids, shards, codes))
         codes, dids, tfs, dls, shards = (
@@ -675,6 +682,11 @@ class IndexBuilder:
             dids = np.concatenate(did_parts)
             tfs = np.concatenate(tf_parts)
             dls = np.concatenate(dl_parts)
+            if len(dids) == 0:
+                # all-token-less partition: emit only the doc sentinels
+                if sent_frames:
+                    yield pd.concat(sent_frames, ignore_index=True)
+                return
             codes, uniq_terms = pd.factorize(terms, sort=False)
             # doc ids ascend within the partition already; stable-sort by
             # term code keeps them ascending within each term group
@@ -1014,6 +1026,12 @@ class IndexBuilder:
                 # sorted mode: corpus_ids reads the persisted shuffle output
                 meta = corpus_ids.select("doc_id", "repo", "path", "commit", "lang")
             docs = meta.join(doc_rows, "doc_id")
+            # full-table replace regardless of the session's partition
+            # overwrite mode (a dynamic-mode conf would otherwise leave
+            # stale shard dirs from a previous larger build)
+            from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
+            delete_dir(self.spark, self.paths.docs)
             # repartition on shard first: without it every input partition
             # writes a file per shard value (n_parts x n_shards tiny files)
             docs.repartition(self.n_shards, F.col("shard")).write.mode(
@@ -1048,6 +1066,9 @@ class IndexBuilder:
                 int(self.spark.conf.get("spark.sql.shuffle.partitions", "64")),
                 self.n_shards,
             )
+            from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
+            delete_dir(self.spark, self.paths.postings)  # full replace (see docs stage)
             chunks = all_rows.filter(F.col("term") != DOC_SENTINEL)
             postings = chunks.repartition(
                 n_enc_parts, F.col("term"), F.col("shard")
@@ -1073,11 +1094,16 @@ class IndexBuilder:
         # across shards for the query's terms only (global_dictionary /
         # BM25Query's cached projection).
         if "dictionary" not in done:
+            from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
             dictionary = (
                 self.spark.read.parquet(self.paths.postings)
                 .groupBy("term", "shard")
                 .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
             )
+            # full replace: also clears a legacy unpartitioned dictionary
+            # whose root-level files a partitioned overwrite would keep
+            delete_dir(self.spark, self.paths.dictionary)
             dictionary.repartition(self.n_shards, F.col("shard")).write.mode(
                 "overwrite"
             ).partitionBy("shard").parquet(self.paths.dictionary)

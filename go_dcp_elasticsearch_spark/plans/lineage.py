@@ -49,60 +49,35 @@ LINEAGE_SCHEMA = StructType(
 
 class LineageLog:
     def __init__(self, spark: SparkSession, path: str):
+        from go_dcp_elasticsearch_spark.metadata import RecordLog
+
         self.spark = spark
         self.path = path.rstrip("/")
-        self.legacy_file = f"{self.path}/lineage.jsonl"
         self.run_id = uuid.uuid4().hex[:12]
-        self._seq = 0
+        self._log = RecordLog(spark, self.path, legacy_name="lineage.jsonl")
 
     def commit(self, stage: str, partition_id: int, rows_out: int) -> None:
-        from go_dcp_elasticsearch_spark.fsutil import write_file
-
-        rec = {
+        # one immutable file per record (metadata.RecordLog): durable and
+        # visible atomically on close — the ack-gated commit point
+        # (bulk.go:320-332 parity), portable to HDFS/S3A; compacted into
+        # checkpoints so long streaming runs don't accumulate tiny files
+        self._log.append({
             "stage": stage,
             "partition_id": int(partition_id),
             "rows_out": int(rows_out),
             "run_id": self.run_id,
             "committed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-        }
-        # file name is unique per (run, seq); the record becomes durable and
-        # visible atomically when the file closes — the ack-gated commit
-        # point (bulk.go:320-332 parity), portable to HDFS/S3A
-        self._seq += 1
-        write_file(
-            self.spark,
-            f"{self.path}/rec-{self.run_id}-{self._seq:06d}.json",
-            json.dumps(rec),
-        )
+        })
 
     def _records(self) -> list[dict]:
-        from go_dcp_elasticsearch_spark.fsutil import list_root_files, read_file
-
-        recs: list[dict] = []
-        names = list_root_files(self.spark, self.path)
-        if "lineage.jsonl" in names:  # pre-round-4 appended log
-            for line in read_file(self.spark, self.legacy_file).splitlines():
-                if line.strip():
-                    recs.append(json.loads(line))
-        for name in sorted(n for n in names if n.startswith("rec-") and n.endswith(".json")):
-            recs.append(json.loads(read_file(self.spark, f"{self.path}/{name}")))
-        return recs
+        return self._log.records()
 
     def record_count(self) -> int:
         """Number of committed records — a cheap monotonic INDEX EPOCH:
         every index mutation (build stage, incremental apply, compaction)
         commits lineage, so a changed count means the layout moved. One
-        directory listing, no file reads."""
-        from go_dcp_elasticsearch_spark.fsutil import list_root_files, read_file
-
-        names = list_root_files(self.spark, self.path)
-        n = sum(1 for x in names if x.startswith("rec-") and x.endswith(".json"))
-        if "lineage.jsonl" in names:
-            n += sum(
-                1 for line in read_file(self.spark, self.legacy_file).splitlines()
-                if line.strip()
-            )
-        return n
+        directory listing (checkpoint totals ride the file names)."""
+        return self._log.count()
 
     def completed_stages(self) -> set[str]:
         return {r["stage"] for r in self._records()}

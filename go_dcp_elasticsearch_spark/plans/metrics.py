@@ -13,8 +13,6 @@ Legacy appended ``metrics.jsonl`` logs are read transparently.
 from __future__ import annotations
 
 import datetime
-import json
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,11 +21,11 @@ from go_dcp_elasticsearch_spark.plans.lineage import METRICS_SCHEMA
 
 class MetricsLog:
     def __init__(self, spark: SparkSession, path: str):
+        from go_dcp_elasticsearch_spark.metadata import RecordLog
+
         self.spark = spark
         self.path = path.rstrip("/")
-        self.legacy_file = f"{self.path}/metrics.jsonl"
-        self._tag = uuid.uuid4().hex[:12]
-        self._seq = 0
+        self._log = RecordLog(spark, self.path, legacy_name="metrics.jsonl")
 
     def record(
         self,
@@ -38,9 +36,7 @@ class MetricsLog:
         count: int,
         latency_ms: float = 0.0,
     ) -> None:
-        from go_dcp_elasticsearch_spark.fsutil import write_file
-
-        rec = {
+        self._log.append({
             "stage": stage,
             "index_name": index_name,
             "action": action,
@@ -48,13 +44,7 @@ class MetricsLog:
             "count": int(count),
             "latency_ms": float(latency_ms),
             "recorded_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-        }
-        self._seq += 1
-        write_file(
-            self.spark,
-            f"{self.path}/rec-{self._tag}-{self._seq:06d}.json",
-            json.dumps(rec),
-        )
+        })
 
     def record_counts(self, df: DataFrame, stage: str, latency_ms: float = 0.0) -> None:
         """Aggregate a (index_name, action, result) DataFrame distributedly,
@@ -64,18 +54,7 @@ class MetricsLog:
             self.record(stage, r["index_name"], r["action"], r["result"], r["count"], latency_ms)
 
     def read(self) -> DataFrame:
-        from go_dcp_elasticsearch_spark.fsutil import list_root_files, read_file
-
-        recs = []
-        names = list_root_files(self.spark, self.path)
-        if "metrics.jsonl" in names:  # pre-round-4 appended log
-            recs = [
-                json.loads(line)
-                for line in read_file(self.spark, self.legacy_file).splitlines()
-                if line.strip()
-            ]
-        for name in sorted(n for n in names if n.startswith("rec-") and n.endswith(".json")):
-            recs.append(json.loads(read_file(self.spark, f"{self.path}/{name}")))
+        recs = self._log.records()
         return self.spark.createDataFrame(
             [tuple(r[f.name] for f in METRICS_SCHEMA.fields) for r in recs],
             schema=METRICS_SCHEMA,

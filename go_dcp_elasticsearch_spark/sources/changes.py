@@ -201,14 +201,22 @@ def _ensure_partials_layout(spark, b) -> None:
     except Exception:
         legacy_dict = True
     if legacy_dict:
-        (
+        from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
+        # materialize the new partials BEFORE deleting the legacy table:
+        # the table being replaced is derived from POSTINGS, so the delete
+        # only guards against a dynamic-mode session conf leaving the old
+        # root-level files next to the new shard= directories (conflicting
+        # directory structures at read time)
+        new_dict = (
             spark.read.parquet(b.paths.postings)
             .groupBy("term", "shard")
             .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
             .repartition(max(int(b.n_shards), 1), F.col("shard"))
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(b.paths.dictionary)
+        )
+        delete_dir(spark, b.paths.dictionary)
+        new_dict.write.mode("overwrite").partitionBy("shard").parquet(
+            b.paths.dictionary
         )
         spark.catalog.refreshByPath(b.paths.dictionary)
     if not exists(spark, b.paths.stats_shards):
@@ -248,6 +256,12 @@ def _refresh_partials_for_shards(
 
     live = sorted(int(s) for s in live_rebuilt)
     partials = read_stats_partials(spark, b.paths)
+    # clear the rebuilt shards' dictionary partitions BEFORE the rewrite:
+    # the dynamic overwrite below only replaces partitions receiving rows,
+    # and a live rebuilt shard with zero postings (token-less content)
+    # would otherwise keep a stale partial (ghost df). The rewrite reads
+    # POSTINGS, not the dictionary, so delete-then-write is safe.
+    _delete_shard_partitions(spark, b.paths.dictionary, set(live) | set(emptied))
     if live:
         docs_delta = (
             spark.read.parquet(f"{b.paths.root}/docs")
@@ -270,7 +284,6 @@ def _refresh_partials_for_shards(
         )
     for s in emptied:
         partials.pop(int(s), None)
-    _delete_shard_partitions(spark, b.paths.dictionary, emptied)
     return write_stats_tables(spark, b.paths, partials)
 
 
@@ -495,22 +508,26 @@ def apply_changes_to_index(
         F.size(tokenize_expr("content")).cast("long").alias("doc_len"),
         F.col("shard"),
     )
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with _dynamic_overwrite(spark):
         new_docs.repartition(len(rebuild_shards), F.col("shard")).write.mode(
             "overwrite"
         ).partitionBy("shard").parquet(docs_path)
 
         # shards in the rebuild set that received ZERO surviving docs keep
-        # stale partition dirs under dynamic overwrite — remove explicitly
+        # stale partition dirs under dynamic overwrite — remove explicitly.
+        # Postings dirs are cleared for EVERY rebuilt shard, not just the
+        # emptied ones: dynamic overwrite only replaces partitions that
+        # RECEIVE rows, so a live rebuilt shard whose new content happens
+        # to tokenize to nothing (punctuation-only docs) would otherwise
+        # keep its stale postings and serve ghost terms. The rebuild
+        # source (shard_corpus) is persisted, so delete-then-write is safe.
         live_shards = {
             int(r["shard"])
             for r in shard_corpus.select("shard").distinct().collect()
         }
         emptied = rebuild_shards - live_shards
         _delete_shard_partitions(spark, docs_path, emptied)
-        _delete_shard_partitions(spark, b.paths.postings, emptied)
+        _delete_shard_partitions(spark, b.paths.postings, rebuild_shards)
 
         chunks = shard_corpus.select("doc_id", "content", "shard").mapInPandas(
             _chunks_with_fixed_shard(b, None), schema=CHUNK_SCHEMA
@@ -532,8 +549,6 @@ def apply_changes_to_index(
         n_docs_total, avgdl_new = _refresh_partials_for_shards(
             spark, b, rebuild_shards - emptied, emptied
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     b.lineage.commit("incremental", -1, n_changed)
     shard_corpus.unpersist()
     feed.unpersist()
@@ -644,17 +659,13 @@ def compact_index(
             .withColumnRenamed("_new_shard", "shard")
         )
 
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with _dynamic_overwrite(spark):
             new_docs.repartition(len(targets), F.col("shard")).write.mode(
                 "overwrite"
             ).partitionBy("shard").parquet(docs_path)
             new_postings.repartition(len(targets), F.col("shard")).sortWithinPartitions(
                 "term", "block_id"
             ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         dead = sources - targets
         _delete_shard_partitions(spark, docs_path, dead)
         _delete_shard_partitions(spark, b.paths.postings, dead)
@@ -676,6 +687,9 @@ def compact_index(
                 n, sd = partials.pop(int(s), (0, 0))
                 cn, csd = partials.get(int(t), (0, 0))
                 partials[int(t)] = (cn + n, csd + sd)
+        # clear target partitions first (dynamic overwrite replaces only
+        # partitions that receive rows; see _refresh_partials_for_shards)
+        _delete_shard_partitions(spark, b.paths.dictionary, set(tgt) | dead)
         with _dynamic_overwrite(spark):
             (
                 spark.read.parquet(b.paths.postings)
@@ -688,7 +702,6 @@ def compact_index(
                 .parquet(b.paths.dictionary)
             )
         write_stats_tables(spark, b.paths, partials)
-        _delete_shard_partitions(spark, b.paths.dictionary, dead)
         summary["rewritten"] = sorted(sources)
         summary["n_shards_after"] -= len(sources) - len(targets)
 
@@ -866,17 +879,13 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
         .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
         .collect()
     )
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with _dynamic_overwrite(spark):
         new_docs.repartition(n_out, F.col("shard")).write.mode(
             "overwrite"
         ).partitionBy("shard").parquet(docs_path)
         new_postings.repartition(n_out, F.col("shard")).sortWithinPartitions(
             "term", "block_id"
         ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     spark.catalog.refreshByPath(docs_path)
     spark.catalog.refreshByPath(b.paths.postings)
 
@@ -893,6 +902,7 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
     )
 
     labels_all = sorted(set(label_of.values()))
+    _delete_shard_partitions(spark, b.paths.dictionary, set(labels_all))
     with _dynamic_overwrite(spark):
         (
             spark.read.parquet(b.paths.postings)

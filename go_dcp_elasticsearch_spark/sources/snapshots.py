@@ -32,7 +32,6 @@ doc key; ``commit`` rewrites only the mirror buckets the feed touches.
 from __future__ import annotations
 
 import json
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -54,24 +53,14 @@ class SnapshotStore:
         self.order_col = order_col
         self.changelog_path = f"{self.store_dir}/_changelog"
         self.meta_dir = f"{self.store_dir}/_snapshots"
-        self.legacy_meta_file = f"{self.meta_dir}/meta.jsonl"
-        self._meta_tag = uuid.uuid4().hex[:12]
-        self._meta_seq = 0
+        from go_dcp_elasticsearch_spark.metadata import RecordLog
+
+        self._meta_log = RecordLog(spark, self.meta_dir, legacy_name="meta.jsonl")
 
     # ---------- metadata ----------
 
     def _meta_records(self) -> list[dict]:
-        from go_dcp_elasticsearch_spark.fsutil import list_root_files, read_file
-
-        recs: list[dict] = []
-        names = list_root_files(self.spark, self.meta_dir)
-        if "meta.jsonl" in names:  # pre-round-4 appended log
-            for line in read_file(self.spark, self.legacy_meta_file).splitlines():
-                if line.strip():
-                    recs.append(json.loads(line))
-        for name in sorted(n for n in names if n.startswith("rec-") and n.endswith(".json")):
-            recs.append(json.loads(read_file(self.spark, f"{self.meta_dir}/{name}")))
-        return recs
+        return self._meta_log.records()
 
     def snapshots(self) -> list[dict]:
         """Committed snapshots, oldest first: [{snapshot_id, n_changes}]."""
@@ -93,18 +82,10 @@ class SnapshotStore:
         return max((s["snapshot_id"] for s in snaps), default=0)
 
     def _append_meta(self, rec: dict) -> None:
-        # one immutable file per record (Hadoop FS): visible atomically on
-        # close, durable on HDFS via hsync — same ordering guarantees the
-        # old fsync'd local append gave (expire's intent record is on disk
-        # BEFORE any directory delete), but portable to HDFS/S3A
-        from go_dcp_elasticsearch_spark.fsutil import write_file
-
-        self._meta_seq += 1
-        write_file(
-            self.spark,
-            f"{self.meta_dir}/rec-{self._meta_tag}-{self._meta_seq:06d}.json",
-            json.dumps(rec),
-        )
+        # one immutable file per record (metadata.RecordLog): durable
+        # BEFORE the caller's next step — expire's intent record is on
+        # disk before any directory delete — portable to HDFS/S3A
+        self._meta_log.append(rec)
 
     # ---------- producer side ----------
 

@@ -214,14 +214,12 @@ def upsert_corpus_mirror(
     }
     for b in set(touched_buckets) - live:
         delete_dir(spark, f"{corpus_path}/_bucket={b}")
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from go_dcp_elasticsearch_spark.sources.changes import _dynamic_overwrite
+
+    with _dynamic_overwrite(spark):
         merged.repartition(max(len(touched_buckets), 1), F.col("_bucket")).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(corpus_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshByPath(corpus_path)
     merged.unpersist()
 

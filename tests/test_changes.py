@@ -829,3 +829,76 @@ def test_bm25query_auto_refresh_on_epoch_change(spark, tmp_path):
     compact_index(spark, idx, target_docs_per_shard=10_000)
     hits = q.with_meta(q.topk_pruned("zzqepochtoken", 5)).collect()
     assert [(r["repo"], r["path"]) for r in hits] == [(upd["repo"], upd["path"])]
+
+
+def test_tokenless_update_leaves_no_ghost_postings(spark, tmp_path):
+    """Review r4: a rebuilt LIVE shard whose new content tokenizes to
+    nothing emits zero postings rows, and dynamic overwrite alone would
+    keep its stale postings/dictionary partition — serving ghost terms
+    from the doc's pre-update content. The rebuild now clears every
+    rebuilt shard's postings and dictionary partitions explicitly."""
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths, read_global_stats
+    from go_dcp_elasticsearch_spark.index.verify import verify_index_against_source
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_ghost")
+    corpus = synth_corpus(spark, 60)
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+
+    # the review scenario needs the WHOLE rebuilt shard to emit zero
+    # postings rows: delete every doc of shard 0 except one survivor,
+    # and update that survivor to punctuation-only content in the SAME
+    # delta — the shard stays live (1 doc) but produces no postings, so
+    # dynamic overwrite alone would keep the stale partition.
+    shard0 = spark.read.parquet(f"{idx}/docs").filter(F.col("shard") == 0)         .orderBy("doc_id").collect()
+    assert len(shard0) >= 2
+    survivor = (shard0[0]["repo"], shard0[0]["path"])
+    doomed = [(r["repo"], r["path"]) for r in shard0[1:]]
+    q = BM25Query(spark, idx)
+    # sanity: shard-0 content is currently retrievable
+    assert q.topk_pruned("getValue buffer index", 50).count() > 0
+
+    keep_pred = ~(
+        (F.col("repo") == survivor[0]) & (F.col("path") == survivor[1])
+    )
+    for dk in doomed:
+        keep_pred = keep_pred & ~(
+            (F.col("repo") == dk[0]) & (F.col("path") == dk[1])
+        )
+    tokenless = corpus.filter(
+        keep_pred | ((F.col("repo") == survivor[0]) & (F.col("path") == survivor[1]))
+    ).withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == survivor[0]) & (F.col("path") == survivor[1]),
+            F.lit("}}} --- ;;; !!!"),
+        ).otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [(survivor[0], survivor[1], "index", 100)]
+        + [(dk[0], dk[1], "delete", 101 + i) for i, dk in enumerate(doomed)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, tokenless, changes)
+    assert 0 in out["affected_shards"]
+
+    # NO ghost postings: nothing from shard 0's old content resolves, and
+    # no posting row for shard 0 exists at all
+    post = spark.read.parquet(f"{idx}/postings")
+    assert post.filter(F.col("shard") == 0).count() == 0
+    from go_dcp_elasticsearch_spark.index.builder import global_dictionary
+
+    ghost_docs = {int(r["doc_id"]) for r in shard0}
+    got = {
+        int(r["doc_id"])
+        for r in q.topk_pruned("getValue buffer index", 50).collect()
+    }
+    assert not (got & ghost_docs)
+    # the survivor itself is alive with doc_len 0 and correct sha
+    vout = verify_index_against_source(spark, idx, tokenless)
+    assert vout["sha_mismatch"] == 0 and vout["missing_in_index"] == 0
+    assert vout["extra_in_index"] == 0
+    assert read_global_stats(spark, IndexPaths(idx))[0] == 60 - len(doomed)

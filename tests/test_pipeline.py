@@ -120,3 +120,40 @@ def test_build_metrics_written(spark, tmp_index_dir):
     assert any(
         fn.startswith("rec-") for fn in os.listdir(f"{tmp_index_dir}/_metrics")
     )
+
+
+def test_record_log_compaction(spark, tmp_index_dir, monkeypatch):
+    """Review r4: per-record metadata files must not grow one-file-per-
+    commit forever — past COMPACT_THRESHOLD they fold into a checkpoint
+    (total carried in the file name so count() stays one listing), with
+    records()/count() identical across the compaction and legacy lines
+    folded in."""
+    import go_dcp_elasticsearch_spark.metadata as md
+
+    monkeypatch.setattr(md, "COMPACT_THRESHOLD", 10)
+    path = f"{tmp_index_dir}/_lineage"
+    # seed a legacy appended log (pre-round-4 layout)
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/lineage.jsonl", "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"stage": f"legacy{i}", "partition_id": i,
+                                "rows_out": 1, "run_id": "old",
+                                "committed_at": "t"}) + "\n")
+    log = LineageLog(spark, path)
+    for i in range(25):
+        log.commit(f"s{i}", i, 1)
+
+    names = os.listdir(path)
+    n_rec = sum(1 for n in names if n.startswith("rec-"))
+    n_ckpt = sum(1 for n in names if n.startswith("ckpt-"))
+    assert n_ckpt >= 1 and n_rec <= 10, names
+    assert "lineage.jsonl" not in names  # folded into the checkpoint
+    stages = log.completed_stages()
+    assert {"legacy0", "legacy1", "legacy2"} <= stages
+    assert {f"s{i}" for i in range(25)} <= stages
+    assert log.record_count() == 28
+    # count stays monotone across a fresh reader and further commits
+    log2 = LineageLog(spark, path)
+    assert log2.record_count() == 28
+    log2.commit("after", 99, 1)
+    assert log2.record_count() == 29
