@@ -52,9 +52,14 @@ def write_file(spark, path: str, data: str, overwrite: bool = False) -> None:
     synced = False
     try:
         out.write(bytearray(data.encode("utf-8")))
+        # hsync() SILENTLY degrades to flush() on non-Syncable streams
+        # (verified on the local FS: the call succeeds while
+        # hasCapability('hsync') is False), so a try/except around it is
+        # dead code — gate on the capability instead
         try:
-            out.hsync()
-            synced = True
+            if bool(out.hasCapability("hsync")):
+                out.hsync()
+                synced = True
         except Exception:
             pass  # S3A: the object becomes visible atomically on close
     finally:

@@ -99,6 +99,12 @@ class BM25Query:
         + drop the dictionary cache, re-read n_docs/avgdl, re-derive the
         shard count and the perfect-partitioner salts (compaction can
         change the shard set). Safe to call between queries; returns self."""
+        # snapshot the epoch BEFORE reading any state: a maintenance
+        # commit landing mid-refresh then bumps the epoch past this value
+        # and the next query refreshes again — reading it last would
+        # absorb that mutation's count WITHOUT its data and pin the stale
+        # snapshot until a further mutation
+        self._epoch = self._current_epoch()
         if hasattr(self, "_dict_df"):
             self._dict_df.unpersist()
             del self._dict_df
@@ -115,7 +121,6 @@ class BM25Query:
             spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]
         ) + 1
         self._salts = self._shard_salts()
-        self._epoch = self._current_epoch()
         return self
 
     def _shard_salts(self) -> dict[int, int]:

@@ -47,6 +47,7 @@ class RecordLog:
         self.legacy_name = legacy_name
         self._tag = uuid.uuid4().hex[:12]
         self._seq = 0
+        self._legacy_count: int | None = None
 
     # ---------- reads ----------
 
@@ -94,8 +95,14 @@ class RecordLog:
         )
         total += sum(1 for n in names if n.startswith("rec-") and n.endswith(".json"))
         if self.legacy_name and self.legacy_name in names:
-            body = read_file(self.spark, f"{self.path}/{self.legacy_name}")
-            total += sum(1 for line in body.splitlines() if line.strip())
+            # the legacy file is immutable until compaction deletes it:
+            # count its lines once per log instance, not per call (an
+            # epoch check runs per QUERY — re-reading a 10k-line file
+            # each time would be a full object GET on S3A)
+            if self._legacy_count is None:
+                body = read_file(self.spark, f"{self.path}/{self.legacy_name}")
+                self._legacy_count = sum(1 for line in body.splitlines() if line.strip())
+            total += self._legacy_count
         return total
 
     # ---------- writes ----------

@@ -116,23 +116,33 @@ def apply_changes(
     return out.select(*cols)
 
 
-def _delete_shard_partitions(spark, table_path: str, shards: set[int]) -> None:
+def _delete_shard_partitions(
+    spark, table_path: str, shards: set[int], refresh: bool = True
+) -> None:
     """Remove ``shard=N`` partition directories explicitly.
 
     Dynamic partitionOverwriteMode only replaces partitions that RECEIVE
     rows; a shard whose documents were all deleted (or relabeled by
     compaction) would otherwise keep its stale directory and remain
     queryable. Uses the Hadoop FileSystem API so the same code works on
-    HDFS/S3A on a real cluster, not just local files."""
+    HDFS/S3A on a real cluster, not just local files.
+
+    ``refresh=False`` skips the catalog refresh: refreshByPath LAZILY
+    invalidates every cached plan referencing the path, so a persisted
+    intermediate DERIVED from this table would be recomputed from the
+    post-delete files on its next use — callers that still hold such an
+    intermediate (the split path's materialized ``provisional``) must
+    delete without refreshing and refresh once at the end."""
     from go_dcp_elasticsearch_spark.fsutil import delete_dir
 
     if not shards:
         return
     for s in shards:
         delete_dir(spark, f"{table_path}/shard={int(s)}")
-    # drop stale cached file listings for the table (readers in this
-    # session would otherwise still reference the deleted files)
-    spark.catalog.refreshByPath(table_path)
+    if refresh:
+        # drop stale cached file listings for the table (readers in this
+        # session would otherwise still reference the deleted files)
+        spark.catalog.refreshByPath(table_path)
 
 
 def _assign_insert_ranks(inserts: DataFrame, key_cols: list[str], n_parts: int) -> DataFrame:
@@ -194,12 +204,17 @@ def _ensure_partials_layout(spark, b) -> None:
     maintenance of an old index, after which every apply is O(delta)."""
     from go_dcp_elasticsearch_spark.fsutil import exists
 
-    try:
+    from go_dcp_elasticsearch_spark.fsutil import exists
+
+    if not exists(spark, b.paths.dictionary):
+        legacy_dict = True  # no dictionary at all: (re)derive from postings
+    else:
+        # IO errors here must PROPAGATE: treating a transient read failure
+        # as "legacy" would delete a healthy dictionary and trigger an
+        # O(index) rebuild on a blip
         legacy_dict = "shard" not in spark.read.parquet(
             b.paths.dictionary
         ).schema.fieldNames()
-    except Exception:
-        legacy_dict = True
     if legacy_dict:
         from go_dcp_elasticsearch_spark.fsutil import delete_dir
 
@@ -234,6 +249,33 @@ def _ensure_partials_layout(spark, b) -> None:
         )
 
 
+def _rewrite_dictionary_partials(spark, b, shards: set[int]) -> None:
+    """Re-derive the dictionary partials of exactly ``shards`` from the
+    (already rewritten) postings partitions: clear those shards'
+    dictionary partitions FIRST — dynamic overwrite replaces only
+    partitions that receive rows, and a shard whose postings came out
+    empty (token-less content) would otherwise keep a stale partial —
+    then partition-pruned read + per-shard aggregation + dynamic
+    overwrite. One implementation for the refresh/merge/split sites so
+    the delete-then-write invariant cannot drift between them."""
+    shards = {int(s) for s in shards}
+    _delete_shard_partitions(spark, b.paths.dictionary, shards)
+    if not shards:
+        return
+    live = sorted(shards)
+    with _dynamic_overwrite(spark):
+        (
+            spark.read.parquet(b.paths.postings)
+            .filter(F.col("shard").isin(live))
+            .groupBy("term", "shard")
+            .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
+            .repartition(len(live), F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(b.paths.dictionary)
+        )
+
+
 def _refresh_partials_for_shards(
     spark, b, live_rebuilt: set[int], emptied: set[int]
 ) -> tuple[int, float]:
@@ -256,12 +298,8 @@ def _refresh_partials_for_shards(
 
     live = sorted(int(s) for s in live_rebuilt)
     partials = read_stats_partials(spark, b.paths)
-    # clear the rebuilt shards' dictionary partitions BEFORE the rewrite:
-    # the dynamic overwrite below only replaces partitions receiving rows,
-    # and a live rebuilt shard with zero postings (token-less content)
-    # would otherwise keep a stale partial (ghost df). The rewrite reads
-    # POSTINGS, not the dictionary, so delete-then-write is safe.
-    _delete_shard_partitions(spark, b.paths.dictionary, set(live) | set(emptied))
+    _delete_shard_partitions(spark, b.paths.dictionary, set(emptied))
+    _rewrite_dictionary_partials(spark, b, set(live))
     if live:
         docs_delta = (
             spark.read.parquet(f"{b.paths.root}/docs")
@@ -272,16 +310,6 @@ def _refresh_partials_for_shards(
         )
         for r in docs_delta:
             partials[int(r["shard"])] = (int(r["n_docs"]), int(r["sum_dl"]))
-        (
-            spark.read.parquet(b.paths.postings)
-            .filter(F.col("shard").isin(live))
-            .groupBy("term", "shard")
-            .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
-            .repartition(len(live), F.col("shard"))
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(b.paths.dictionary)
-        )
     for s in emptied:
         partials.pop(int(s), None)
     return write_stats_tables(spark, b.paths, partials)
@@ -687,20 +715,8 @@ def compact_index(
                 n, sd = partials.pop(int(s), (0, 0))
                 cn, csd = partials.get(int(t), (0, 0))
                 partials[int(t)] = (cn + n, csd + sd)
-        # clear target partitions first (dynamic overwrite replaces only
-        # partitions that receive rows; see _refresh_partials_for_shards)
-        _delete_shard_partitions(spark, b.paths.dictionary, set(tgt) | dead)
-        with _dynamic_overwrite(spark):
-            (
-                spark.read.parquet(b.paths.postings)
-                .filter(F.col("shard").isin(tgt))
-                .groupBy("term", "shard")
-                .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
-                .repartition(len(tgt), F.col("shard"))
-                .write.mode("overwrite")
-                .partitionBy("shard")
-                .parquet(b.paths.dictionary)
-            )
+        _delete_shard_partitions(spark, b.paths.dictionary, dead)
+        _rewrite_dictionary_partials(spark, b, set(tgt))
         write_stats_tables(spark, b.paths, partials)
         summary["rewritten"] = sorted(sources)
         summary["n_shards_after"] -= len(sources) - len(targets)
@@ -879,6 +895,18 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
         .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
         .collect()
     )
+    # clear the split sources' postings partitions first: a kept label
+    # whose piece-0 content is all token-less emits no postings rows, and
+    # dynamic overwrite would leave the PRE-SPLIT partition in place —
+    # its doc ids now live in other labels, so they would score twice.
+    # refresh=False is REQUIRED: `provisional` (persisted + materialized)
+    # derives from these very files, and a refreshByPath here would
+    # lazily invalidate its cache so the write below recomputed it from
+    # the deleted partitions; the end-of-split refreshByPath covers
+    # readers.
+    _delete_shard_partitions(
+        spark, b.paths.postings, set(split_ids), refresh=False
+    )
     with _dynamic_overwrite(spark):
         new_docs.repartition(n_out, F.col("shard")).write.mode(
             "overwrite"
@@ -902,18 +930,7 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
     )
 
     labels_all = sorted(set(label_of.values()))
-    _delete_shard_partitions(spark, b.paths.dictionary, set(labels_all))
-    with _dynamic_overwrite(spark):
-        (
-            spark.read.parquet(b.paths.postings)
-            .filter(F.col("shard").isin(labels_all))
-            .groupBy("term", "shard")
-            .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
-            .repartition(len(labels_all), F.col("shard"))
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(b.paths.dictionary)
-        )
+    _rewrite_dictionary_partials(spark, b, set(labels_all))
     partials = read_stats_partials(spark, b.paths)
     for r in stat_rows:
         partials[int(r["shard"])] = (int(r["n_docs"]), int(r["sum_dl"]))

@@ -1005,3 +1005,48 @@ def test_pre_v4_index_upgrades_in_place(spark, tmp_path):
     assert read_global_stats(spark, IndexPaths(idx))[0] == 150
     hits = q.with_meta(q.topk_pruned("zzqlegacyfmt", 5)).collect()
     assert [(r["repo"], r["path"]) for r in hits] == [key]
+
+
+def test_split_tokenless_piece_leaves_no_ghost_postings(spark, tmp_path):
+    """Review r4 pass 2: splitting a shard whose piece-0 (lowest doc ids)
+    is all token-less emits ZERO postings rows for the KEPT label; dynamic
+    overwrite alone would leave the entire pre-split postings partition in
+    place, so the relabeled docs would score in TWO shards. The split now
+    clears the source labels' postings partitions first."""
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import compact_index
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_splitghost")
+    # keys sort so the token-less docs take the LOWEST doc ids (piece 0)
+    rows = [
+        (f"a/r", f"p{i:02d}.py", "c0", "python", "}}} --- ;;; !!!", i)
+        for i in range(5)
+    ] + [
+        (f"z/r", f"p{i:02d}.py", "c0", "python", "zzqsplitghost token buffer", 10 + i)
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, seq_no int",
+    )
+    IndexBuilder(spark, idx, n_shards=1).build(corpus)
+    q = BM25Query(spark, idx)
+    assert q.topk_pruned("zzqsplitghost", 10).count() == 5
+
+    s = compact_index(spark, idx, target_docs_per_shard=5, split_factor=1.5)
+    assert s["split"] == [0], s
+    # the kept label's piece is all token-less: its postings partition
+    # must be EMPTY, not the stale pre-split one
+    post = spark.read.parquet(f"{idx}/postings")
+    assert post.filter(F.col("shard") == 0).count() == 0
+    # every hit appears once (no doc scored in two shards)
+    hits = [int(r["doc_id"]) for r in q.topk_pruned("zzqsplitghost", 20).collect()]
+    assert len(hits) == len(set(hits)) == 5
+    from go_dcp_elasticsearch_spark.index.builder import global_dictionary
+
+    assert {
+        r["term"]: int(r["df"])
+        for r in global_dictionary(spark, idx)
+        .filter(F.col("term") == "zzqsplitghost").collect()
+    } == {"zzqsplitghost": 5}
