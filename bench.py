@@ -252,6 +252,31 @@ def main() -> None:
             t0 = time.time()
             timings["big_batch256_rows"] = qb.topk_batch(big256, 10).count()
             timings["big_batch256_qps"] = round(256 / (time.time() - t0), 2)
+
+            # incremental maintenance at scale (round 4, excluded from the
+            # headline): a CLUSTERED 0.1% update delta — the common CDC
+            # shape (one repo's commits land in adjacent key space) — over
+            # the 1M-doc index. The O(delta) path rebuilds only the
+            # touched shards and refreshes per-shard partials; contrast
+            # with big_build_sec for what a full rebuild would cost.
+            lo = big_n // 2
+            upd_big = big_corpus.filter(
+                (F.col("seq_no") >= lo) & (F.col("seq_no") < lo + max(big_n // 1000, 1))
+            ).withColumn("content", F.concat(F.col("content"), F.lit(" bigPatchToken")))
+            new_big = big_corpus.join(
+                upd_big.select("repo", "path"), ["repo", "path"], "left_anti"
+            ).unionByName(upd_big)
+            t0 = time.time()
+            inc_big = apply_changes_to_index(
+                spark, f"{big_dir}/idx", new_big,
+                upd_big.select(
+                    "repo", "path", F.lit("index").alias("action"),
+                    (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
+                ),
+            )
+            timings["big_incremental_apply_sec"] = round(time.time() - t0, 3)
+            timings["big_incremental_changed"] = inc_big["n_changed"]
+            timings["big_incremental_shards"] = len(inc_big["affected_shards"])
         finally:
             shutil.rmtree(big_dir, ignore_errors=True)
     spark.stop()
