@@ -213,9 +213,13 @@ class SnapshotStore:
         fields.append(StructField("snapshot_id", IntegerType(), True))
         return StructType(fields)
 
-    def corpus_at_head(self) -> DataFrame:
-        """The post-change corpus state (mirror without the bucket col)."""
-        return self.spark.read.parquet(f"{self.store_dir}/_corpus").drop("_bucket")
+    def corpus_at_head(self, with_bucket: bool = False) -> DataFrame:
+        """The post-change corpus state. ``with_bucket=True`` keeps the
+        ``_bucket`` layout column so apply_changes_to_index can prune the
+        content join to the touched buckets (O(rebuild) mirror reads
+        instead of a full scan)."""
+        df = self.spark.read.parquet(f"{self.store_dir}/_corpus")
+        return df if with_bucket else df.drop("_bucket")
 
     # ---------- retention ----------
 
@@ -310,7 +314,7 @@ def resume_apply(
                 "n_changed": 0}
     feed = store.read_changes_between(last_applied, head)
     out = apply_changes_to_index(
-        spark, index_dir, store.corpus_at_head(),
+        spark, index_dir, store.corpus_at_head(with_bucket=True),
         feed.select(*store.key_cols, "action", store.order_col),
         key_cols=store.key_cols, order_col=store.order_col,
     )

@@ -279,7 +279,8 @@ def stream_changes_to_index(
             spark, index_dir, feed, key_cols, order_col=order_col,
             n_buckets=n_buckets,
         )
-        new_corpus = spark.read.parquet(corpus_path).drop("_bucket")
+        # keep _bucket: apply prunes the content join to touched buckets
+        new_corpus = spark.read.parquet(corpus_path)
         apply_changes_to_index(
             spark, index_dir, new_corpus,
             feed.select(*key_cols, "action",
