@@ -420,22 +420,27 @@ def apply_changes_to_index(
     feed.persist()
     n_changed = feed.count()
 
-    # affected shards = shards of existing docs touched by the feed.
+    # ONE column-pruned docs-metadata pass resolves BOTH questions the
+    # feed asks of the index — which shards its existing keys live in
+    # (affected) and which keys are new (inserts = no match) — via a
+    # single left join, instead of an inner join plus a separate
+    # anti-join (two full metadata scans, measured as the dominant
+    # fixed cost of small deltas at 1M docs).
     # NO broadcast hint on the feed keys: a bulk re-ingest snapshot can
     # carry millions of keys (the same rationale that removed the hint in
     # upsert_corpus_mirror, streaming/pipeline.py) — resume_apply can hand
     # this function exactly that delta. AQE broadcasts when it fits.
-    touched = (
-        docs.join(feed.select(*key_cols), key_cols, "inner")
-        .select("shard")
-        .distinct()
-        .collect()
-    )
-    affected = {int(r["shard"]) for r in touched}
-    existing_keys = docs.select(*key_cols)
-    inserts = feed.filter(F.col("action") != "delete").join(
-        existing_keys, key_cols, "left_anti"
-    )
+    feed_shard = feed.join(
+        docs.select(*key_cols, "shard"), key_cols, "left"
+    ).persist()
+    affected = {
+        int(r["shard"])
+        for r in feed_shard.select("shard").distinct().collect()
+        if r["shard"] is not None
+    }
+    inserts = feed_shard.filter(
+        F.col("shard").isNull() & (F.col("action") != "delete")
+    ).select(*key_cols)
     from go_dcp_elasticsearch_spark.index.builder import read_global_stats
 
     b = IndexBuilder(spark, index_dir, n_shards=max_label + 1)
@@ -496,6 +501,7 @@ def apply_changes_to_index(
         ins_ids = None
     if not affected and not insert_shards:
         ranked._persisted_parent.unpersist()
+        feed_shard.unpersist()
         feed.unpersist()
         return {
             "affected_shards": [], "insert_shards": [],
@@ -504,11 +510,16 @@ def apply_changes_to_index(
 
     # no broadcast hint here either: deletes is feed-sized (unbounded)
     deletes = feed.filter(F.col("action") == "delete").select(*key_cols)
-    kept = docs.join(deletes, key_cols, "left_anti").select(
-        *key_cols, "doc_id", "shard"
+    rebuild_shards = affected | insert_shards
+    # kept is consumed ONLY filtered to the rebuild set (shard_ids below),
+    # so prune the docs read to those PARTITIONS before the anti-join —
+    # O(rebuild) metadata, not a second full scan
+    kept = (
+        docs.filter(F.col("shard").isin([int(s) for s in rebuild_shards]))
+        .join(deletes, key_cols, "left_anti")
+        .select(*key_cols, "doc_id", "shard")
     )
     id_map = kept.unionByName(ins_ids) if ins_ids is not None else kept
-    rebuild_shards = affected | insert_shards
 
     # rebuild each affected shard from the post-change corpus content.
     # persist+materialize BEFORE overwriting docs: shard_corpus derives from
@@ -552,6 +563,7 @@ def apply_changes_to_index(
     shard_corpus.count()
     # ranked output is folded into the (now materialized) shard_corpus
     ranked._persisted_parent.unpersist()
+    feed_shard.unpersist()
 
     new_docs = shard_corpus.select(
         "doc_id",
