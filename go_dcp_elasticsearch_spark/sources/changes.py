@@ -528,31 +528,17 @@ def apply_changes_to_index(
     # id range — keeps the SPIMI merge a pure concat (chunk ranges from a
     # key-hash join would interleave; see _merge_chunks' densify sort).
     shard_ids = id_map.filter(F.col("shard").isin([int(s) for s in rebuild_shards]))
-    # mirror-backed corpus (a ``_bucket`` column present): prune the
-    # content source to the hash buckets that hold the rebuild shards'
-    # keys BEFORE the join — the join's corpus side then reads O(rebuild)
-    # bucket directories instead of scanning the whole mirror, which was
-    # the last O(corpus) term in the delta path (measured: the corpus
-    # join, not the shard rebuild, dominated a 0.1% delta over 1M docs).
-    # An arbitrary caller-supplied frame (no _bucket) joins as before.
+    # a mirror-backed corpus may carry the ``_bucket`` layout column —
+    # accepted and dropped. NOTE (round-4 review): bucket-PRUNING the
+    # content join sounds attractive but is a no-op for update deltas:
+    # the rebuild needs the content of EVERY key in the rebuilt shards
+    # (~n_docs/n_shards keys), which hash to essentially all buckets at
+    # any realistic shard size — and pruning with a modulus read from
+    # this index against a FOREIGN frame's _bucket values would silently
+    # drop rebuild content. Measured: pruned and unpruned were equal
+    # (25.2 vs 25.3 s at 1M docs); the real delta-path win was folding
+    # the metadata scans above.
     if "_bucket" in new_corpus.columns:
-        from go_dcp_elasticsearch_spark.streaming.pipeline import _bucket_expr
-
-        n_buckets = None
-        try:
-            n_buckets = int(
-                spark.read.parquet(f"{index_dir}/_corpus_meta").collect()[0]["n_buckets"]
-            )
-        except Exception:
-            pass  # no layout authority: skip pruning, never guess a modulus
-        if n_buckets:
-            touched_b = [
-                int(r["_b"])
-                for r in shard_ids.select(
-                    _bucket_expr(key_cols, n_buckets).alias("_b")
-                ).distinct().collect()
-            ]
-            new_corpus = new_corpus.filter(F.col("_bucket").isin(touched_b))
         new_corpus = new_corpus.drop("_bucket")
     shard_corpus = (
         shard_ids.join(new_corpus, key_cols, "inner")

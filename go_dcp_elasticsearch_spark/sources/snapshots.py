@@ -314,7 +314,7 @@ def resume_apply(
                 "n_changed": 0}
     feed = store.read_changes_between(last_applied, head)
     out = apply_changes_to_index(
-        spark, index_dir, store.corpus_at_head(with_bucket=True),
+        spark, index_dir, store.corpus_at_head(),
         feed.select(*store.key_cols, "action", store.order_col),
         key_cols=store.key_cols, order_col=store.order_col,
     )

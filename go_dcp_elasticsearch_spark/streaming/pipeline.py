@@ -279,8 +279,7 @@ def stream_changes_to_index(
             spark, index_dir, feed, key_cols, order_col=order_col,
             n_buckets=n_buckets,
         )
-        # keep _bucket: apply prunes the content join to touched buckets
-        new_corpus = spark.read.parquet(corpus_path)
+        new_corpus = spark.read.parquet(corpus_path).drop("_bucket")
         apply_changes_to_index(
             spark, index_dir, new_corpus,
             feed.select(*key_cols, "action",

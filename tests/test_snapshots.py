@@ -424,57 +424,44 @@ def test_expire_snapshots_retention(spark, tmp_path):
         assert head[k] == f"zzqexpire{i} buffer"
 
 
-def test_apply_prunes_mirror_to_touched_buckets(spark, tmp_path):
-    """Round-4 scale fix: when apply_changes_to_index receives the
-    bucketed mirror (the resume/streaming deployment shape), the content
-    join reads ONLY the hash buckets holding the rebuild shards' keys —
-    not the whole mirror (which dominated a 0.1% delta at 1M docs).
-    Results must be identical to the unpruned caller-supplied frame."""
+def test_apply_accepts_mirror_frame_with_bucket_column(spark, tmp_path):
+    """apply_changes_to_index accepts the bucketed mirror frame (the
+    resume/streaming deployment shape) and produces results identical to
+    a plain bucket-less frame. (Round-4 review: bucket-PRUNING the
+    content join was reverted — a rebuild needs every key of the rebuilt
+    shards, whose hashes touch all buckets, and pruning with a foreign
+    modulus would silently drop content — so the contract here is
+    accept-and-drop, not prune.)"""
     from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
 
-    idx = str(tmp_path / "idx_prune")
-    corpus = synth_corpus(spark, 120)
-    store = SnapshotStore(spark, idx)
-    store.bootstrap(corpus, n_buckets=16)
-    IndexBuilder(spark, idx, n_shards=4).build(store.corpus_at_head())
+    def build_and_apply(root, corpus_frame_fn):
+        store = SnapshotStore(spark, root)
+        store.bootstrap(corpus, n_buckets=16)
+        IndexBuilder(spark, root, n_shards=4).build(store.corpus_at_head())
+        store.commit(spark.createDataFrame(
+            [_change(key, "index", "zzqprune planted buffer", 44)], CHANGE_SCHEMA
+        ))
+        apply_changes_to_index(
+            spark, root, corpus_frame_fn(store),
+            store.read_changes_between(0, 1).select("repo", "path", "action", "seq_no"),
+        )
+        return BM25Query(spark, root)
 
+    corpus = synth_corpus(spark, 120)
     key = [
         (r["repo"], r["path"])
         for r in corpus.select("repo", "path").orderBy("repo", "path").limit(1).collect()
     ][0]
-    store.commit(spark.createDataFrame(
-        [_change(key, "index", "zzqprune planted buffer", 44)], CHANGE_SCHEMA
-    ))
-    out = resume_apply(spark, idx)  # passes the mirror WITH _bucket
-    assert out["n_changed"] == 1
-    q = BM25Query(spark, idx)
-    hits = q.with_meta(q.topk_pruned("zzqprune", 5)).collect()
-    assert [(r["repo"], r["path"]) for r in hits] == [key]
-
-    # plan evidence: the mirror read pruned by _bucket reaches the scan
-    # as a partition filter (same frame shape apply builds internally)
-    mirror = store.corpus_at_head(with_bucket=True)
-    pruned = mirror.filter(F.col("_bucket").isin([1, 2]))
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:200]
-
-    # identical outcome when the caller passes a plain (bucket-less) frame
-    fresh = str(tmp_path / "idx_prune_plain")
-    store2 = SnapshotStore(spark, fresh)
-    store2.bootstrap(corpus, n_buckets=16)
-    IndexBuilder(spark, fresh, n_shards=4).build(store2.corpus_at_head())
-    store2.commit(spark.createDataFrame(
-        [_change(key, "index", "zzqprune planted buffer", 44)], CHANGE_SCHEMA
-    ))
-    apply_changes_to_index(
-        spark, fresh, store2.corpus_at_head(),  # no _bucket column
-        store2.read_changes_between(0, 1).select("repo", "path", "action", "seq_no"),
+    q1 = build_and_apply(
+        str(tmp_path / "idx_withb"), lambda s: s.corpus_at_head(with_bucket=True)
     )
-    q2 = BM25Query(spark, fresh)
+    q2 = build_and_apply(str(tmp_path / "idx_plain"), lambda s: s.corpus_at_head())
     a = [(r["repo"], r["path"], round(float(r["score"]), 9))
-         for r in q.with_meta(q.topk_pruned("zzqprune buffer", 10))
+         for r in q1.with_meta(q1.topk_pruned("zzqprune buffer", 10))
          .orderBy(F.col("score").desc(), "repo", "path").collect()]
     b = [(r["repo"], r["path"], round(float(r["score"]), 9))
          for r in q2.with_meta(q2.topk_pruned("zzqprune buffer", 10))
          .orderBy(F.col("score").desc(), "repo", "path").collect()]
     assert a == b
+    assert [(r["repo"], r["path"]) for r in
+            q1.with_meta(q1.topk_pruned("zzqprune", 5)).collect()] == [key]
