@@ -74,6 +74,37 @@ def main(argv: list[str] | None = None) -> int:
 
     from go_dcp_elasticsearch_spark.session import get_spark
 
+    def _load_corpus(spark, path: str):
+        """Corpus table loader with a clear contract error instead of a
+        late Spark analysis failure; the driver's documents-table shape
+        (doc_id, text, lang, ...) is auto-mapped via the same shim as
+        corpus.load_documents_corpus."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        cols = set(df.columns)
+        if {"repo", "path", "content"} <= cols:
+            return df
+        if {"doc_id", "text"} <= cols:
+            print(
+                f"note: {path} is a documents-shaped table; mapping "
+                "(doc_id, text, lang) -> (repo, path, commit, lang, content)",
+                file=sys.stderr,
+            )
+            return df.select(
+                F.lit("corpus").alias("repo"),
+                F.format_string("doc/%012d", F.col("doc_id")).alias("path"),
+                F.sha2(F.col("text"), 256).substr(1, 12).alias("commit"),
+                (F.col("lang") if "lang" in cols else F.lit("text")).alias("lang"),
+                F.col("text").alias("content"),
+                F.col("doc_id").cast("int").alias("seq_no"),
+            )
+        raise SystemExit(
+            f"--corpus {path}: expected columns (repo, path, content[, commit, "
+            f"lang, seq_no]) or the documents shape (doc_id, text, ...); "
+            f"found {sorted(cols)}"
+        )
+
     extra_conf = None
     if getattr(args, "config", None):
         from go_dcp_elasticsearch_spark.config import engine_conf, load_config
@@ -86,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "build":
             from go_dcp_elasticsearch_spark.index import IndexBuilder
 
-            corpus = spark.read.parquet(args.corpus)
+            corpus = _load_corpus(spark, args.corpus)
             summary = IndexBuilder(
                 spark, args.index, n_shards=args.shards, id_mode=args.id_mode,
                 routing_col=args.routing_col,
@@ -97,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
 
             out = apply_changes_to_index(
                 spark, args.index,
-                spark.read.parquet(args.corpus),
+                _load_corpus(spark, args.corpus),
                 spark.read.parquet(args.changes),
             )
             print(json.dumps(out))
@@ -105,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
             from go_dcp_elasticsearch_spark.index import verify_index_against_source
 
             out = verify_index_against_source(
-                spark, args.index, spark.read.parquet(args.corpus)
+                spark, args.index, _load_corpus(spark, args.corpus)
             )
             print(json.dumps(out))
             bad = out["missing_in_index"] + out["extra_in_index"] + out["sha_mismatch"]
