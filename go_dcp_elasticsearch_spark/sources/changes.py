@@ -460,10 +460,18 @@ def apply_changes_to_index(
     meta = read_index_meta(spark, index_dir)
     routing_col = meta.get("routing_col")
     routing_mod = int(meta.get("routing_n_shards") or 0)
-    ranked = _assign_insert_ranks(
-        inserts, key_cols, n_parts=max(1, int(n_live))
-    )
-    n_inserts = ranked._n_rows
+    # update/delete-only deltas (the common CDC case) skip the whole
+    # insert-rank machinery — its range-partition sampling + counts jobs
+    # are pure fixed overhead when the feed holds no new keys (the probe
+    # is a limit(1) over the already-persisted feed_shard frame)
+    if inserts.limit(1).count() == 0:
+        ranked = None
+        n_inserts = 0
+    else:
+        ranked = _assign_insert_ranks(
+            inserts, key_cols, n_parts=max(1, int(n_live))
+        )
+        n_inserts = ranked._n_rows
     insert_shards: set[int] = set()
     if n_inserts:
         ids = (F.col("_rank") + F.lit(int(max_id) + 1)).alias("doc_id")
@@ -500,7 +508,8 @@ def apply_changes_to_index(
     else:
         ins_ids = None
     if not affected and not insert_shards:
-        ranked._persisted_parent.unpersist()
+        if ranked is not None:
+            ranked._persisted_parent.unpersist()
         feed_shard.unpersist()
         feed.unpersist()
         return {
@@ -548,7 +557,8 @@ def apply_changes_to_index(
     )
     shard_corpus.count()
     # ranked output is folded into the (now materialized) shard_corpus
-    ranked._persisted_parent.unpersist()
+    if ranked is not None:
+        ranked._persisted_parent.unpersist()
     feed_shard.unpersist()
 
     new_docs = shard_corpus.select(
