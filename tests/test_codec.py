@@ -78,3 +78,74 @@ def test_encode_blocks_bulk_matches_per_block():
         assert tf_sum == int(tfs[s : s + cnt].sum())
         assert varbyte_decode(dls_vb).tolist() == dls[s : s + cnt].tolist()
     assert encode_blocks_bulk(np.array([]), np.array([]), np.array([])) == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**50),   # id gap
+            st.integers(min_value=1, max_value=2**20),   # tf
+            st.integers(min_value=0, max_value=2**20),   # dl extra over tf
+        ),
+        min_size=1, max_size=400,
+    )
+)
+def test_encode_blocks_bulk_property(rows):
+    """Fuzz the block encoder end-to-end: decode every block back and
+    verify the payloads AND the block-max metadata the WAND pruner trusts
+    (count, max_doc_id, max_tf, tf_sum) plus the _first_varint fast path
+    the shard splitter uses to place blocks without decoding."""
+    from go_dcp_elasticsearch_spark.functions.codec import encode_blocks_bulk
+    from go_dcp_elasticsearch_spark.sources.changes import _first_varint
+
+    gaps = np.array([r[0] for r in rows], dtype=np.uint64)
+    ids = (np.cumsum(gaps + 1) - 1).astype(np.uint64)  # strictly increasing
+    tfs = np.array([r[1] for r in rows], dtype=np.uint64)
+    dls = tfs + np.array([r[2] for r in rows], dtype=np.uint64)
+
+    got_ids, got_tfs, got_dls = [], [], []
+    off = 0
+    for ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum in encode_blocks_bulk(
+        ids, tfs, dls
+    ):
+        b_ids = np.cumsum(varbyte_decode(ids_vb), dtype=np.uint64)
+        b_tfs = varbyte_decode(tfs_vb)
+        b_dls = varbyte_decode(dls_vb)
+        assert len(b_ids) == len(b_tfs) == len(b_dls) == cnt <= BLOCK_SIZE
+        assert int(b_ids[-1]) == int(max_id)
+        assert int(b_tfs.max()) == int(max_tf)
+        assert int(b_tfs.sum()) == int(tf_sum)
+        assert _first_varint(ids_vb) == int(b_ids[0])
+        got_ids.append(b_ids); got_tfs.append(b_tfs); got_dls.append(b_dls)
+        off += cnt
+    assert off == len(ids)
+    assert np.concatenate(got_ids).tolist() == ids.tolist()
+    assert np.concatenate(got_tfs).tolist() == tfs.tolist()
+    assert np.concatenate(got_dls).tolist() == dls.tolist()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1000),    # tf
+            st.integers(min_value=0, max_value=5000),    # dl extra over tf
+        ),
+        min_size=1, max_size=BLOCK_SIZE,
+    ),
+    st.floats(min_value=0.5, max_value=5000.0),          # avgdl
+)
+def test_block_ub_is_sound_property(rows, avgdl):
+    """WAND soundness invariant: the per-block upper bound computed from
+    (max_tf, min_dl) under ANY query-time avgdl must dominate the true
+    tf-normalization of every posting in the block — an unsound bound
+    silently drops true top-k docs."""
+    from go_dcp_elasticsearch_spark.functions.bm25 import B, K1
+    from go_dcp_elasticsearch_spark.index.query import _block_ub
+
+    tfs = np.array([r[0] for r in rows], dtype=np.float64)
+    dls = tfs + np.array([r[1] for r in rows], dtype=np.float64)
+    ub = _block_ub(float(tfs.max()), float(dls.min()), avgdl)
+    tfn = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    assert (tfn <= ub + 1e-12).all()
