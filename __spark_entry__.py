@@ -715,6 +715,204 @@ def _q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-SEGMENT incremental apply (round 5, index.segments) under the
+    gate: bootstrap an index from the slice-0 fold of events, then apply
+    slices 1+2 as ONE change feed through strategy='delta' — no base
+    shard is rewritten; the changed docs land in a tiny segment with
+    tombstones for superseded ids (the Lucene update model the
+    reference's sink runs on). Returned state is the LIVE docs view
+    (base ∪ segment, tombstones dropped) WITHOUT folding — proving
+    segment visibility, tombstone filtering and the new-id contract.
+    Mirror: fold of the whole stream (same SQL as stream_apply — the
+    physical write path differs, the state contract does not)."""
+    import shutil
+    import tempfile
+
+    from go_dcp_elasticsearch_spark.index import IndexBuilder
+    from go_dcp_elasticsearch_spark.index.segments import read_docs
+    from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    idx = f"{tempfile.gettempdir()}/spark_entry_deltaapply_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("ev").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("user_id")).alias("path"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("index"))
+        .alias("action"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("content"),
+        ((F.col("event_id") % 3) * F.lit(1_000_000_000_000) + F.col("event_id"))
+        .cast("long")
+        .alias("seq_no"),
+        (F.col("event_id") % 3).cast("int").alias("_slice"),
+    )
+    boot = (
+        last_write_wins(ev.filter(F.col("_slice") == 0), ["repo", "path"], "seq_no")
+        .filter(F.col("action") == "index")
+        .drop("_slice", "action")
+    )
+    IndexBuilder(spark, idx, n_shards=2).build(boot)
+    changes = ev.filter(F.col("_slice") != 0).drop("_slice")
+    # post-change corpus = fold winners of the WHOLE stream (slice offsets
+    # keep the per-key winner identical to the oracle's argmax by seq)
+    new_corpus = (
+        last_write_wins(ev, ["repo", "path"], "seq_no")
+        .filter(F.col("action") == "index")
+        .drop("_slice", "action")
+    )
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    return read_docs(spark, idx).select(
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_key"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.col("content_sha256"),
+    )
+
+
+DELTA_TOPK_TERMS = ["spark", "filter", "join", "zzdeltatoken"]
+
+
+def _q_delta_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segments end-to-end under the NUMERIC gate: build the base index
+    WITHOUT the insert slice, apply one delta-strategy feed carrying
+    inserts (doc_id%7=3), content updates (+' zzdeltatoken', doc_id%11=5)
+    and deletes (doc_id%13=4), fold_segments (the Lucene merge analogue —
+    restores exact df), then block-max-pruned BM25 top-k. Updated and
+    inserted docs carry NEW internal ids, so the public tie-break is
+    (rounded score, doc_key): the engine takes a k+64 candidate margin
+    and re-ranks exactly like the oracle's ORDER BY."""
+    import shutil
+    import tempfile
+
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.index.segments import fold_segments
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    idx = f"{tempfile.gettempdir()}/spark_entry_deltafold_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    corpus = load_documents_corpus(spark, sf_dir)
+    key = F.regexp_replace("path", "^doc/", "").cast("long")
+    ins_m = (key % 7) == 3
+    upd_m = ((key % 11) == 5) & ~ins_m
+    del_m = ((key % 13) == 4) & ~ins_m & ~upd_m
+    IndexBuilder(spark, idx, n_shards=4).build(corpus.filter(~ins_m))
+    new_corpus = corpus.filter(~del_m).withColumn(
+        "content",
+        F.when(upd_m, F.concat(F.col("content"), F.lit(" zzdeltatoken")))
+        .otherwise(F.col("content")),
+    )
+    changes = corpus.filter(ins_m | upd_m | del_m).select(
+        "repo", "path",
+        F.when(del_m, F.lit("delete")).otherwise(F.lit("index")).alias("action"),
+        (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    assert out["strategy"] == "delta" and out["segment"] is not None
+    fold_segments(spark, idx)
+    q = BM25Query(spark, idx)
+    hits = q.topk_pruned(" ".join(DELTA_TOPK_TERMS), BM25_K + 64)
+    docs = spark.read.parquet(f"{idx}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+ROUTED_INSERTS = [
+    ("corpus", "doc/999000000001", "cz1", "python",
+     "zzroutedinsert spark filter alpha"),
+    ("corpus", "doc/999000000002", "cz2", "go",
+     "zzroutedinsert join filter beta beta"),
+]
+
+
+def _q_routed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+B11 under the gate: routing-placed build + routed incremental
+    INSERT + query, all through the IndexCatalog namespace (the
+    reference's ClusterKey+IndexName routing, config.go:40 +
+    connector.go:257-276; routing per action, document.go:16 +
+    bulk.go:246-249). Placement is asserted IN-LINE (a misrouted insert
+    raises, failing the gate loudly); scores are placement-invariant, so
+    the oracle is plain BM25 over the post-insert corpus with the public
+    (rounded score, doc_key) tie-break."""
+    import shutil
+    import tempfile
+
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
+    from go_dcp_elasticsearch_spark.index.catalog import IndexCatalog
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    root = f"{tempfile.gettempdir()}/spark_entry_catalog_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    cat = IndexCatalog(spark, root)
+    corpus = load_documents_corpus(spark, sf_dir)
+    cat.builder("code", n_shards=4, routing_col="lang").build(corpus)
+    idx_dir = cat._dir("code")
+
+    ins = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], 90_000_000 + i) for i, r in enumerate(ROUTED_INSERTS)],
+        "repo string, path string, commit string, lang string, content string, seq_no long",
+    )
+    changes = ins.select(
+        "repo", "path", F.lit("index").alias("action"), F.col("seq_no")
+    )
+    apply_changes_to_index(spark, idx_dir, corpus.unionByName(ins), changes)
+
+    # routed-placement invariant: every inserted doc sits in
+    # pmod(hash(routing), routing_n_shards) — the ingest-time co-location
+    # contract; violated placement fails the gate as an error
+    want = {
+        r["lang"]: int(r["s"])
+        for r in spark.createDataFrame(
+            [(x[3],) for x in ROUTED_INSERTS], "lang string"
+        ).select("lang", F.pmod(F.hash("lang"), F.lit(4)).alias("s")).collect()
+    }
+    got = (
+        spark.read.parquet(f"{idx_dir}/docs")
+        .filter(F.col("path").startswith("doc/9990000000"))
+        .select("lang", "shard")
+        .collect()
+    )
+    for r in got:
+        if int(r["shard"]) != want[r["lang"]]:
+            raise AssertionError(
+                f"routed insert misplaced: lang={r['lang']} shard={r['shard']} "
+                f"want={want[r['lang']]}"
+            )
+
+    q = cat.query("code")
+    hits = q.topk_pruned("zzroutedinsert spark filter join", BM25_K + 64)
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_dcp_elasticsearch_spark.operators.dedup import simhash64
 
@@ -785,6 +983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_verify": _q_index_verify,
         "snapshot_range_read": _q_snapshot_range_read,
         "stream_apply": _q_stream_apply,
+        "delta_apply": _q_delta_apply,
+        "delta_fold_topk": _q_delta_fold_topk,
+        "routed_catalog": _q_routed_catalog,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -837,9 +1038,39 @@ def oracle_sql() -> dict[str, str]:
         for b in range(n_bands)
     )
 
-    return {
+    # delta_fold_topk: BM25 over the POST-CHANGE corpus (inserts doc_id%7=3
+    # restored, updates doc_id%11=5 carry ' zzdeltatoken', deletes
+    # doc_id%13=4 removed; del excludes keys claimed by ins/upd)
+    delta_fold_src = (
+        "(SELECT doc_id, CASE WHEN doc_id % 11 = 5 AND doc_id % 7 <> 3 "
+        "THEN text || ' zzdeltatoken' ELSE text END AS text FROM documents "
+        "WHERE NOT (doc_id % 13 = 4 AND doc_id % 7 <> 3 AND doc_id % 11 <> 5)"
+        ") final"
+    )
+    delta_fold = bm25_duckdb_sql(
+        _TOKS_SQL, delta_fold_src, "doc_id", DELTA_TOPK_TERMS, BM25_K
+    )
+    # routed_catalog: scores are placement-invariant, so the oracle is
+    # plain BM25 over documents + the two routed-insert literals
+    routed_src = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        + " UNION ALL ".join(
+            f"SELECT CAST({int(r[1].split('/')[1])} AS BIGINT) AS doc_id, "
+            f"'{r[4]}' AS text"
+            for r in ROUTED_INSERTS
+        )
+        + ") src"
+    )
+    routed = bm25_duckdb_sql(
+        _TOKS_SQL, routed_src, "doc_id",
+        ["zzroutedinsert", "spark", "filter", "join"], BM25_K,
+    )
+
+    sqls = {
         "bm25_topk": bm25,
         "bm25_topk_indexed": bm25,
+        "delta_fold_topk": delta_fold,
+        "routed_catalog": routed,
         "term_df_topn": f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents),
 d AS (SELECT t.term, count(*) AS df FROM toks,
@@ -1271,3 +1502,8 @@ SELECT m.doc_id,
 FROM mh m LEFT JOIN parts p USING (doc_id)
 """,
     }
+    # delta_apply: the physical write path (delta segments + tombstones)
+    # differs from stream_apply's shard rebuild, the STATE CONTRACT does
+    # not — both fold the whole stream, newest action per key
+    sqls["delta_apply"] = sqls["stream_apply"]
+    return sqls

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # the previous round's final commit — update each round after the driver
 # records BENCH_r{N}.json so round N+1's comparison is mechanical
-DEFAULT_CONTROL_COMMIT = "a6fe9bc"
+DEFAULT_CONTROL_COMMIT = "ef2105f"
 
 QUERY_SET = [
     "spark filter join",
@@ -277,6 +277,45 @@ def main() -> None:
             timings["big_incremental_apply_sec"] = round(time.time() - t0, 3)
             timings["big_incremental_changed"] = inc_big["n_changed"]
             timings["big_incremental_shards"] = len(inc_big["affected_shards"])
+
+            # SCATTERED delta via delta segments (round 5): 1,000 docs
+            # spread across the whole key space — the shape whose shard
+            # rebuild degenerates to a full-build cost (measured 55.6 s
+            # in round 4) — through the O(changed docs) segment path.
+            upd_sc = big_corpus.filter(F.col("seq_no") % (big_n // 1000) == 7).withColumn(
+                "content", F.concat(F.col("content"), F.lit(" scatterPatchToken"))
+            )
+            new_sc = new_big.join(
+                upd_sc.select("repo", "path"), ["repo", "path"], "left_anti"
+            ).unionByName(upd_sc)
+            ch_sc = upd_sc.select(
+                "repo", "path", F.lit("index").alias("action"),
+                (F.col("seq_no") + F.lit(20_000_000)).cast("long").alias("seq_no"),
+            )
+            t0 = time.time()
+            inc_sc = apply_changes_to_index(
+                spark, f"{big_dir}/idx", new_sc, ch_sc, strategy="delta"
+            )
+            timings["big_inc_scattered_delta_sec"] = round(time.time() - t0, 3)
+            timings["big_inc_scattered_changed"] = inc_sc["n_changed"]
+
+            # serving latency with pending segments + tombstones (the
+            # between-folds state a CDC consumer queries constantly)
+            qb.refresh()
+            lat = []
+            for qtext in BIG_QUERY_SET[:4]:
+                t0 = time.time()
+                qb.topk_pruned(qtext, 10).collect()
+                lat.append(time.time() - t0)
+            timings["big_topk_postdelta_mean_sec"] = round(sum(lat) / len(lat), 4)
+
+            # fold cost: merge the segment into the base (Lucene merge
+            # analogue; restores exact df + block-max pruning)
+            from go_dcp_elasticsearch_spark.index.segments import fold_segments
+
+            t0 = time.time()
+            fold_segments(spark, f"{big_dir}/idx")
+            timings["big_fold_segments_sec"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(big_dir, ignore_errors=True)
     spark.stop()

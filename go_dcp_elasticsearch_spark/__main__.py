@@ -41,12 +41,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--master", default=None)
 
     a = sub.add_parser("apply", help="apply a change feed to an existing index "
-                                     "(incremental shard-scoped rebuild)")
+                                     "(incremental shard-scoped rebuild or "
+                                     "delta segments)")
     a.add_argument("--index", required=True)
     a.add_argument("--corpus", required=True,
                    help="post-change corpus snapshot (parquet)")
     a.add_argument("--changes", required=True,
                    help="parquet of (repo, path, action, seq_no)")
+    a.add_argument("--strategy", default="rebuild",
+                   choices=("rebuild", "delta", "auto"),
+                   help="rebuild: exact shard rebuild; delta: O(changed docs) "
+                        "segment + tombstones (fold via `compact`); auto: "
+                        "delta when the feed scatters across most shards")
     a.add_argument("--master", default=None)
 
     c = sub.add_parser("compact", help="merge small tail shards (metadata-only)")
@@ -97,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
                 F.sha2(F.col("text"), 256).substr(1, 12).alias("commit"),
                 (F.col("lang") if "lang" in cols else F.lit("text")).alias("lang"),
                 F.col("text").alias("content"),
-                F.col("doc_id").cast("int").alias("seq_no"),
+                F.col("doc_id").cast("long").alias("seq_no"),
             )
         raise SystemExit(
             f"--corpus {path}: expected columns (repo, path, content[, commit, "
@@ -130,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index,
                 _load_corpus(spark, args.corpus),
                 spark.read.parquet(args.changes),
+                strategy=args.strategy,
             )
             print(json.dumps(out))
         elif args.cmd == "verify":

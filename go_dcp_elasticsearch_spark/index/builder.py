@@ -156,6 +156,21 @@ class IndexPaths:
         return f"{self.root}/stats_shards"
 
     @property
+    def delta_root(self) -> str:
+        """Delta-segment area (Lucene-style small segments + tombstones
+        appended by O(changed-docs) incremental applies; folded into the
+        base layout by compact_index). See index.segments."""
+        return f"{self.root}/delta"
+
+    @property
+    def delta_postings(self) -> str:
+        return f"{self.root}/delta/postings"
+
+    @property
+    def delta_docs(self) -> str:
+        return f"{self.root}/delta/docs"
+
+    @property
     def meta(self) -> str:
         return f"{self.root}/_meta/index.json"
 
@@ -1032,6 +1047,9 @@ class IndexBuilder:
             from go_dcp_elasticsearch_spark.fsutil import delete_dir
 
             delete_dir(self.spark, self.paths.docs)
+            # a fresh build supersedes any pending delta segments (their
+            # doc_ids are minted against the OLD docs table)
+            delete_dir(self.spark, self.paths.delta_root)
             # repartition on shard first: without it every input partition
             # writes a file per shard value (n_parts x n_shards tiny files)
             docs.repartition(self.n_shards, F.col("shard")).write.mode(

@@ -72,18 +72,40 @@ class BM25Query:
     ``apply_changes_to_index``, ``compact_index``) commits a lineage
     record, so the lineage record count is a monotonic INDEX EPOCH; each
     query does one cheap directory listing and calls :meth:`refresh`
-    itself when the epoch moved — a held handle can no longer serve stale
-    idf/stats or hit FileNotFound on overwritten parquet (Elasticsearch
-    likewise serves always-fresh results after every bulk,
-    bulk.go:284-318 -> searchable on refresh). Manual :meth:`refresh`
-    remains available for callers that mutate the index out of band."""
+    itself when the epoch moved — a held handle cannot serve stale
+    idf/stats or hit FileNotFound on overwritten parquet across COMPLETED
+    maintenance operations (Elasticsearch likewise serves always-fresh
+    results after every bulk, bulk.go:284-318 -> searchable on refresh).
+    This is freshness, not isolation: the epoch bumps only when a
+    maintenance commit lands, so a query racing an IN-FLIGHT apply or
+    compact from another session can still observe partially-overwritten
+    parquet — single-writer-at-a-time is the supported maintenance model.
+    Manual :meth:`refresh` remains available for callers that mutate the
+    index out of band."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    # above this many distinct terms the global (term -> df) map stays in
+    # executor memory (persisted DataFrame, filter+collect per query)
+    # instead of a driver-side dict — bounds driver memory for huge
+    # vocabularies while keeping the common case at ZERO dictionary jobs
+    # per warm query (~2M terms ~= 150 MB of dict, well under driver heap)
+    DRIVER_DICT_MAX_TERMS = 2_000_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        driver_dict_max_terms: int | None = None,
+    ):
         from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
 
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self._lineage_log = LineageLog(spark, self.paths.lineage)
+        self.driver_dict_max_terms = (
+            self.DRIVER_DICT_MAX_TERMS
+            if driver_dict_max_terms is None
+            else int(driver_dict_max_terms)
+        )
         self.refresh()
 
     def _current_epoch(self) -> int:
@@ -108,18 +130,35 @@ class BM25Query:
         if hasattr(self, "_dict_df"):
             self._dict_df.unpersist()
             del self._dict_df
+        if hasattr(self, "_df_map"):
+            del self._df_map
         spark = self.spark
         spark.catalog.refreshByPath(self.paths.postings)
         spark.catalog.refreshByPath(self.paths.docs)
         spark.catalog.refreshByPath(self.paths.dictionary)
         from go_dcp_elasticsearch_spark.index.builder import read_global_stats
+        from go_dcp_elasticsearch_spark.index.segments import (
+            list_segments,
+            read_delta_docs,
+            tombstone_ids,
+        )
 
         spark.catalog.refreshByPath(self.paths.stats_shards)
         self.n_docs, self.avgdl = read_global_stats(spark, self.paths)
-        # shard count for the kernel partitioner (tiny pruned scan, once)
-        self.n_shards = int(
-            spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]
-        ) + 1
+        # delta-segment snapshot: the committed segment list and the
+        # tombstoned doc_ids are pinned HERE so every query this handle
+        # serves sees one consistent (segments, tombstones) pair — a
+        # segment committed after this refresh becomes visible on the
+        # next epoch bump, never half-visible mid-query
+        self._segs = list_segments(spark, self.paths)
+        self._tomb = tombstone_ids(spark, self.paths) if self._segs else None
+        # shard count for the kernel partitioner (tiny pruned scan, once);
+        # delta docs can carry labels the base has not materialized yet
+        shards = spark.read.parquet(self.paths.docs).select("shard")
+        delta = read_delta_docs(spark, self.paths)
+        if delta is not None:
+            shards = shards.unionByName(delta.select("shard"))
+        self.n_shards = int(shards.agg(F.max("shard")).collect()[0][0]) + 1
         self._salts = self._shard_salts()
         return self
 
@@ -158,39 +197,70 @@ class BM25Query:
         """Query text -> unique canonical terms (same analyzer as indexing)."""
         return sorted(set(tokenize_py(query)))
 
-    def _term_stats(self, terms: list[str]) -> dict[str, float]:
-        """idf per query term from the dictionary (tiny, driver-side).
+    def _global_df_frame(self) -> DataFrame:
+        """Global (term, df) over the shard-partitioned dictionary
+        partials (v4 layout: one (term, df, cf) row per shard containing
+        the term — what makes incremental refresh O(delta)), plus the
+        pending delta segments' contributions (exact for inserted docs;
+        dead docs stay counted in the base partials until fold — the
+        Lucene docFreq semantics). Legacy single-table dictionaries
+        aggregate to themselves."""
+        from go_dcp_elasticsearch_spark.index.segments import delta_df_frame
 
-        The dictionary is stored as shard-partitioned PARTIALS (v4 layout:
-        one (term, df, cf) row per shard containing the term — what makes
-        incremental refresh O(delta)); the global (term, df) projection is
-        aggregated once and cached in executor memory on first use — a
-        serving session hits the dictionary once per query, and re-reading
-        parquet cost ~0.1-0.3 s of every query's latency. Spark evicts the
-        cache under memory pressure, so this is safe for large
-        dictionaries too (falls back to scan + re-aggregate). Legacy
-        single-table dictionaries aggregate to themselves."""
-        if not hasattr(self, "_dict_df"):
-            self._dict_df = (
-                self.spark.read.parquet(self.paths.dictionary)
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"))
-                .persist()
-            )
+        base = self.spark.read.parquet(self.paths.dictionary).select("term", "df")
+        extra = delta_df_frame(self.spark, self.paths, self._segs) if self._segs else None
+        if extra is not None:
+            base = base.unionByName(extra)
+        return base.groupBy("term").agg(F.sum("df").alias("df"))
+
+    def _term_stats(self, terms: list[str]) -> dict[str, float]:
+        """idf per query term from the dictionary.
+
+        The global (term -> df) map is cached DRIVER-side under the index
+        epoch on first use: a warm single query then runs exactly ONE
+        Spark job (the score kernel) — the previous executor-cached
+        filter+collect was a second per-query job whose fixed scheduling
+        cost (~0.1-0.3 s) dominated single-query latency. Vocabularies
+        above ``driver_dict_max_terms`` fall back to the executor-cache
+        path (persisted frame, filter+collect per query) so driver memory
+        stays bounded; the overflow probe is the same single aggregation
+        job either way (limit(bound+1) detects overflow)."""
+        if not hasattr(self, "_df_map"):
+            agg = self._global_df_frame()
+            rows = agg.limit(self.driver_dict_max_terms + 1).collect()
+            if len(rows) <= self.driver_dict_max_terms:
+                self._df_map: dict[str, int] | None = {
+                    r["term"]: int(r["df"]) for r in rows
+                }
+            else:
+                self._df_map = None
+                self._dict_df = agg.persist()
+        if self._df_map is not None:
+            return {
+                t: idf_py(self.n_docs, self._df_map[t])
+                for t in terms
+                if t in self._df_map
+            }
         d = self._dict_df.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: idf_py(self.n_docs, int(r["df"])) for r in d}
 
     def _candidate_blocks(self, terms: list[str]) -> DataFrame:
-        """Postings scan with the term predicate pushed into Parquet."""
-        return self.spark.read.parquet(self.paths.postings).filter(
-            F.col("term").isin(terms)
-        )
+        """Postings scan (base + committed delta segments, ``seg`` column,
+        base = -1) with the term predicate pushed into Parquet."""
+        from go_dcp_elasticsearch_spark.index.segments import candidate_blocks
+
+        return candidate_blocks(self.spark, self.paths, terms, self._segs)
 
     # ---------- strategy 1: exact declarative ----------
 
     def decoded_postings(self, terms: list[str]) -> DataFrame:
-        """Candidate blocks -> (term, doc_id, tf, dl) rows via Arrow decode."""
+        """Candidate blocks -> (term, doc_id, tf, dl) rows via Arrow
+        decode; tombstoned doc_ids (delta-segment updates/deletes) are
+        dropped inside the decode kernel (vectorized sorted-membership)."""
+        from go_dcp_elasticsearch_spark.index.segments import drop_tombstoned
+
         blocks = self._candidate_blocks(terms)
+        tomb = self._tomb
 
         def decode(iterator):
             for pdf in iterator:
@@ -202,6 +272,9 @@ class BM25Query:
                     ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
                     tfs = varbyte_decode(bytes(tfs_vb)).astype(np.int64)
                     dls = varbyte_decode(bytes(dls_vb)).astype(np.int64)
+                    if tomb is not None and len(tomb):
+                        keep = drop_tombstoned(ids, tomb)
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                     outs.append(
                         pd.DataFrame(
                             {"term": term, "doc_id": ids, "tf": tfs, "dl": dls}
@@ -279,9 +352,10 @@ class BM25Query:
         idfs = self._term_stats(terms)
         if not idfs:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
-        kernel = _make_shard_kernel(idfs, self.avgdl, k)
+        kernel = _make_shard_kernel(idfs, self.avgdl, k, self._tomb)
         blocks = self._candidate_blocks(list(idfs)).select(
-            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "max_tf", "min_dl"
+            "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
+            "max_tf", "min_dl"
         )
         local = self._per_shard(blocks, kernel, "doc_id long, score double")
         return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
@@ -290,8 +364,11 @@ class BM25Query:
         """Join top-k hits back to the forward store: the engine's doc_id
         is internal; callers get the reference's identity (repo, path)
         plus commit/lang/sha. Broadcast the (tiny) hits side so the docs
-        scan stays partition-pruned and shuffle-free."""
-        docs = self.spark.read.parquet(self.paths.docs).select(
+        scan stays partition-pruned and shuffle-free. Reads the LIVE docs
+        view (base + delta segments) so delta-ingested docs resolve."""
+        from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+        docs = read_docs(self.spark, self.paths).select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256"
         )
         return docs.join(F.broadcast(hits), "doc_id").select(
@@ -323,9 +400,12 @@ class BM25Query:
         live = {qid: ts for qid, ts in live.items() if ts}
         if not live:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        kernel = _make_batch_shard_kernel(live, idfs, self.avgdl, k, chunk_size)
+        kernel = _make_batch_shard_kernel(
+            live, idfs, self.avgdl, k, chunk_size, self._tomb
+        )
         blocks = self._candidate_blocks(sorted({t for ts in live.values() for t in ts})).select(
-            "shard", "term", "block_id", "ids_vb", "tfs_vb", "dls_vb", "max_tf", "min_dl"
+            "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
+            "max_tf", "min_dl"
         )
         local = self._per_shard(blocks, kernel, "query_id long, doc_id long, score double")
         w = Window.partitionBy("query_id").orderBy(
@@ -347,7 +427,7 @@ def _block_ub(max_tf: float, min_dl: float, avgdl: float) -> float:
 
 def _make_batch_shard_kernel(
     qterms: dict[int, list[str]], idfs: dict[str, float], avgdl: float, k: int,
-    chunk_size: int = 128,
+    chunk_size: int = 128, tomb: "np.ndarray | None" = None,
 ):
     """Multi-query per-shard kernel: decode each (term, block) id stream
     ONCE per chunk, then run the two-phase UB/exact pruning per query over
@@ -370,14 +450,14 @@ def _make_batch_shard_kernel(
         payload: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
 
         def ids_of(t, row):
-            key = (t, row.block_id)
+            key = (t, row.seg, row.block_id)
             if key not in decoded_ids:
                 gaps = varbyte_decode(bytes(row.ids_vb))
                 decoded_ids[key] = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
             return decoded_ids[key]
 
         def tfs_dls_of(t, row):
-            key = (t, row.block_id)
+            key = (t, row.seg, row.block_id)
             if key not in payload:
                 payload[key] = (
                     varbyte_decode(bytes(row.tfs_vb)).astype(np.float64),
@@ -397,6 +477,7 @@ def _make_batch_shard_kernel(
             _run_chunk(
                 qids[chunk_start : chunk_start + chunk_size], qterms, idfs,
                 avgdl, k, per_term, ids_of, tfs_dls_of, out_q, out_d, out_s,
+                tomb,
             )
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
@@ -404,10 +485,14 @@ def _make_batch_shard_kernel(
 
 
 def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
-               tfs_dls_of, out_q, out_d, out_s):
+               tfs_dls_of, out_q, out_d, out_s, tomb=None):
     """Score one chunk of queries against a shard's blocks (shared decode
-    caches via ids_of/tfs_dls_of)."""
+    caches via ids_of/tfs_dls_of). ``tomb``: sorted tombstoned doc_ids
+    (delta segments) excluded from candidates BEFORE threshold selection
+    — a dead doc must neither surface nor consume a top-k-by-UB slot."""
     import numpy as np  # noqa: F811 (kernel runs on executors)
+
+    from go_dcp_elasticsearch_spark.index.segments import drop_tombstoned
 
     for qid in chunk_qids:
         terms_all = qterms[qid]
@@ -428,6 +513,11 @@ def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
         uniq, inv = np.unique(ids_cat, return_inverse=True)
         ub = np.zeros(len(uniq))
         np.add.at(ub, inv, ubs_cat)
+        if tomb is not None and len(tomb):
+            keep = drop_tombstoned(uniq, tomb)
+            uniq, ub = uniq[keep], ub[keep]
+            if not len(uniq):
+                continue
 
         def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
             scores = np.zeros(len(doc_subset))
@@ -466,7 +556,10 @@ def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
         out_s.extend(sc[order].tolist())
 
 
-def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
+def _make_shard_kernel(
+    idfs: dict[str, float], avgdl: float, k: int,
+    tomb: "np.ndarray | None" = None,
+):
     """Build the per-shard numpy kernel (runs inside applyInPandas).
 
     Phase A: decode doc-id streams only; per-doc UB = sum_t idf_t *
@@ -475,7 +568,13 @@ def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
     largest exact score among the top-k docs by UB; candidates = UB >=
     lambda; exact-score candidates from tf/dl payloads (decoded lazily only
     for blocks that contain a candidate).
+
+    ``tomb``: sorted tombstoned doc_ids from pending delta segments,
+    removed from the candidate universe before threshold selection (a
+    dead doc must neither surface nor consume a top-k-by-UB slot).
     """
+    from go_dcp_elasticsearch_spark.index.segments import drop_tombstoned
+
     terms_sorted = sorted(idfs)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -486,7 +585,7 @@ def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
         # Phase A: ids + per-posting UB
         all_ids = []
         all_ubs = []
-        decoded = {}  # (term, block_id) -> (ids, tfs?, dls?) lazily for tf
+        decoded = {}  # (term, seg, block_id) -> (ids, row); tf/dl lazy
         for t in terms_sorted:
             if t not in per_term:
                 continue
@@ -494,7 +593,7 @@ def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
             for row in per_term[t]:
                 gaps = varbyte_decode(bytes(row.ids_vb))
                 ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
-                decoded[(t, row.block_id)] = (ids, row)
+                decoded[(t, row.seg, row.block_id)] = (ids, row)
                 all_ids.append(ids)
                 all_ubs.append(
                     np.full(len(ids), w * _block_ub(row.max_tf, row.min_dl, avgdl))
@@ -506,6 +605,11 @@ def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
         uniq, inv = np.unique(ids_cat, return_inverse=True)
         ub = np.zeros(len(uniq))
         np.add.at(ub, inv, ubs_cat)
+        if tomb is not None and len(tomb):
+            keep = drop_tombstoned(uniq, tomb)
+            uniq, ub = uniq[keep], ub[keep]
+            if not len(uniq):
+                return pd.DataFrame({"doc_id": [], "score": []})
 
         def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
             """Exact BM25 for a sorted doc_id subset (term-lex accumulation)."""
@@ -515,7 +619,7 @@ def _make_shard_kernel(idfs: dict[str, float], avgdl: float, k: int):
                     continue
                 w = idfs[t]
                 for row in per_term[t]:
-                    ids, r = decoded[(t, row.block_id)]
+                    ids, r = decoded[(t, row.seg, row.block_id)]
                     # skip block if no candidate overlaps its range
                     lo = np.searchsorted(doc_subset, ids[0])
                     hi = np.searchsorted(doc_subset, ids[-1], side="right")

@@ -1,0 +1,424 @@
+"""Delta segments + tombstones: O(changed-docs) incremental index writes.
+
+The reference's sink (Elasticsearch/Lucene) absorbs each bulk flush as a
+handful of tiny NEW segments plus a tombstone ("liveDocs") set over the
+old ones, and folds them into bigger segments later — that segment model
+is the contract behind its sustained CDC rate (continuous bulk.go flushes,
+README.md:29-31; an update is delete-by-id + add-with-new-docid, never an
+in-place rewrite). This module is the Spark-native analogue for our
+parquet index layout:
+
+  {index}/delta/postings/seg=K/   POSTINGS_SCHEMA rows for segment K —
+                                  the changed docs' postings only, same
+                                  block encoding as the base.
+  {index}/delta/docs/seg=K/       docs-table rows for segment K plus an
+                                  ``_alive`` flag: alive rows are the
+                                  changed docs' new forward entries (with
+                                  NEW doc_ids — the Lucene update model);
+                                  dead rows are tombstones carrying the
+                                  superseded/deleted doc_id.
+
+Readers merge base + segments and drop tombstoned doc_ids:
+
+- ``read_docs`` is the live forward-store view (base ∪ alive-delta,
+  anti-join tombstones).
+- ``BM25Query`` unions base posting blocks (seg = -1) with segment blocks
+  and filters tombstoned ids inside the score kernels.
+
+Statistics semantics (documented trade, identical to Lucene/ES):
+``n_docs``/``avgdl`` stay EXACT across delta applies (tombstoned docs'
+doc_len is known from the docs table and subtracted from the stats
+partials); per-term ``df`` is exact for INSERTED docs (their postings are
+in the segment) but still counts dead docs' contributions until
+compaction — Lucene likewise keeps deleted docs in docFreq until segment
+merge, and Elasticsearch inherits that. ``fold_segments`` (run by
+``compact_index`` and by rebuild-mode applies that find pending segments)
+restores fully exact statistics: it decodes only the base/segment blocks
+that actually contain a tombstoned id, drops those ids, merges segment
+blocks into the base partitions, and re-derives the touched shards'
+dictionary/stats partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.index.builder import POSTINGS_SCHEMA, IndexPaths
+
+# seg value used for base posting blocks when unioned with segment blocks
+# (segment ids are >= 0; kernels key decode caches by (term, seg, block_id))
+BASE_SEG = -1
+
+
+def list_segments(spark, paths: IndexPaths) -> list[int]:
+    """Sorted segment ids present under the delta area (directory listing
+    of ``delta/docs`` — every apply writes the docs part, postings may be
+    legitimately empty for a delete-only or token-less delta)."""
+    from go_dcp_elasticsearch_spark.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, paths.delta_docs)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("seg="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def has_segments(spark, paths: IndexPaths) -> bool:
+    return bool(list_segments(spark, paths))
+
+
+def next_segment_id(spark, paths: IndexPaths) -> int:
+    segs = list_segments(spark, paths)
+    return (segs[-1] + 1) if segs else 0
+
+
+def read_delta_docs(spark, paths: IndexPaths) -> DataFrame | None:
+    """All segment docs rows (alive + tombstones), with the ``seg``
+    partition column. None when no segments exist."""
+    if not has_segments(spark, paths):
+        return None
+    return spark.read.parquet(paths.delta_docs)
+
+
+def read_docs(spark, index_dir: str | IndexPaths) -> DataFrame:
+    """The LIVE forward-store view: base docs ∪ alive segment rows, minus
+    tombstoned doc_ids. Identical to ``read.parquet({index}/docs)`` when
+    no segments are pending — every docs consumer (metadata joins,
+    with_meta, verify) reads this so delta applies are immediately
+    visible. Doc_ids are never reused, so the anti-join on doc_id alone
+    is sufficient (an id dies at most once)."""
+    paths = index_dir if isinstance(index_dir, IndexPaths) else IndexPaths(index_dir)
+    base = spark.read.parquet(paths.docs)
+    delta = read_delta_docs(spark, paths)
+    if delta is None:
+        return base
+    alive = delta.filter(F.col("_alive")).select(*base.columns)
+    tombs = delta.filter(~F.col("_alive")).select("doc_id")
+    return base.unionByName(alive).join(tombs, "doc_id", "left_anti")
+
+
+def read_tombstones(spark, paths: IndexPaths) -> DataFrame | None:
+    """(doc_id, shard) of every tombstoned doc across segments (None when
+    no segments)."""
+    delta = read_delta_docs(spark, paths)
+    if delta is None:
+        return None
+    return delta.filter(~F.col("_alive")).select("doc_id", "shard")
+
+
+def tombstone_ids(spark, paths: IndexPaths) -> np.ndarray:
+    """Sorted int64 array of all tombstoned doc_ids — collected driver-
+    side once per index epoch by BM25Query.refresh and closed over by the
+    score kernels. Bounded by the compaction policy: fold_segments clears
+    it, and apply_changes_to_index recommends compaction once the delta
+    area outgrows ``COMPACT_RECOMMEND_FRACTION`` of the corpus."""
+    tombs = read_tombstones(spark, paths)
+    if tombs is None:
+        return np.empty(0, dtype=np.int64)
+    ids = [int(r["doc_id"]) for r in tombs.select("doc_id").collect()]
+    return np.array(sorted(ids), dtype=np.int64)
+
+
+def read_delta_postings(
+    spark, paths: IndexPaths, segs: list[int] | None = None
+) -> DataFrame | None:
+    """Segment posting blocks, restricted to COMMITTED segments (those
+    whose docs dir exists — the commit point). An orphan postings dir
+    left by a crash between the two segment writes is thereby invisible:
+    its seg id is absent from the docs listing, and the ``seg``-partition
+    ``isin`` filter prunes the directory. None when nothing committed."""
+    if segs is None:
+        segs = list_segments(spark, paths)
+    if not segs:
+        return None
+    from go_dcp_elasticsearch_spark.fsutil import exists
+
+    if not exists(spark, paths.delta_postings):
+        return None
+    return (
+        spark.read.parquet(paths.delta_postings)
+        .filter(F.col("seg").isin([int(s) for s in segs]))
+        .select(*[f.name for f in POSTINGS_SCHEMA.fields], F.col("seg").cast("int"))
+    )
+
+
+def candidate_blocks(
+    spark, paths: IndexPaths, terms: list[str], segs: list[int] | None = None
+) -> DataFrame:
+    """Posting blocks for ``terms`` across base + committed segments, with
+    a ``seg`` column (base = BASE_SEG). The term predicate is pushed into
+    both parquet scans; segment scans are tiny by construction. Pass the
+    ``segs`` snapshotted at refresh time so a held query handle stays
+    consistent with its tombstone snapshot."""
+    base = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("term").isin(terms))
+        .withColumn("seg", F.lit(BASE_SEG))
+    )
+    delta = read_delta_postings(spark, paths, segs)
+    if delta is None:
+        return base
+    return base.unionByName(delta.filter(F.col("term").isin(terms)))
+
+
+def delta_df_frame(
+    spark, paths: IndexPaths, segs: list[int] | None = None
+) -> DataFrame | None:
+    """(term, df) contributions of the committed segments, derived from
+    the segment postings blocks (sum of block ``count``). Folded into the
+    global dictionary projection by BM25Query._global_df_frame — exact
+    for inserted docs; dead docs' df remains counted in the BASE
+    dictionary until fold_segments (the Lucene docFreq semantics)."""
+    delta = read_delta_postings(spark, paths, segs)
+    if delta is None:
+        return None
+    return delta.groupBy("term").agg(F.sum("count").alias("df"))
+
+
+def drop_tombstoned(uniq: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask over sorted-unique ``uniq`` ids: False where the
+    id is tombstoned. Vectorized sorted-membership (searchsorted), no
+    Python loop."""
+    if len(tomb) == 0:
+        return np.ones(len(uniq), dtype=bool)
+    pos = np.searchsorted(tomb, uniq)
+    hit = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == uniq)
+    return ~hit
+
+
+def fold_segments(spark, index_dir: str) -> dict:
+    """Fold pending delta segments into the base layout (the Lucene
+    segment merge): for every DIRTY shard (one holding a tombstoned doc
+    or segment rows), drop tombstoned doc_ids from its posting blocks
+    (decoding ONLY blocks whose id range contains a tombstone), append
+    the segment blocks, renumber block_ids per (term, shard), rewrite the
+    shard's docs partition from the live view, and re-derive its
+    dictionary/stats partials. Untouched shards are never read or
+    written. After the fold all statistics are exact again.
+
+    Returns {"n_segments", "dirty_shards", "n_tombstones"}; no-op dict
+    when no segments are pending. Called by compact_index before its
+    merge/split phases and by rebuild-mode apply_changes_to_index.
+    """
+    from pyspark.sql import Window
+
+    from go_dcp_elasticsearch_spark.functions.codec import (
+        BLOCK_SIZE,
+        encode_blocks_bulk,
+        varbyte_decode,
+    )
+    from go_dcp_elasticsearch_spark.fsutil import delete_dir
+    from go_dcp_elasticsearch_spark.index.builder import IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        _delete_shard_partitions,
+        _dynamic_overwrite,
+        _rewrite_dictionary_partials,
+    )
+
+    paths = IndexPaths(index_dir)
+    segs = list_segments(spark, paths)
+    if not segs:
+        return {"n_segments": 0, "dirty_shards": [], "n_tombstones": 0}
+
+    delta = spark.read.parquet(paths.delta_docs)
+    # tombstones per shard, driver-side (bounded by the un-compacted delta)
+    tomb_rows = delta.filter(~F.col("_alive")).select("doc_id", "shard").collect()
+    tomb_by_shard: dict[int, list[int]] = {}
+    for r in tomb_rows:
+        tomb_by_shard.setdefault(int(r["shard"]), []).append(int(r["doc_id"]))
+    tomb_arrays = {
+        s: np.array(sorted(ids), dtype=np.int64) for s, ids in tomb_by_shard.items()
+    }
+
+    seg_shards = {
+        int(r["shard"])
+        for r in delta.select("shard").distinct().collect()
+    }
+    dirty = sorted(seg_shards)  # tombstone shards ⊆ delta docs shards
+
+    # ---- docs fold: rewrite dirty shards' partitions from the live view
+    live = read_docs(spark, paths)
+    base_cols = [f.name for f in spark.read.parquet(paths.docs).schema.fields]
+    new_docs = live.filter(F.col("shard").isin(dirty)).select(*base_cols)
+    # materialize BEFORE overwriting: the view reads the very partitions
+    # the write below replaces (read-under-overwrite hazard — same
+    # invariant as apply/compact/split)
+    new_docs = new_docs.persist()
+    live_shards = {
+        int(r["shard"]) for r in new_docs.select("shard").distinct().collect()
+    }
+    emptied = set(dirty) - live_shards
+
+    # ---- postings fold kernel: per block, decode only if its id range
+    # overlaps the shard's tombstone set; segment blocks are treated
+    # uniformly with base blocks (a doc inserted by seg J and updated by
+    # seg K > J has its dead postings in SEG J, not in the base).
+    base_blocks = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("shard").isin(dirty))
+        .withColumn("seg", F.lit(BASE_SEG))
+    )
+    # committed segments only: an orphan postings dir (crash between the
+    # two segment writes) has ids that never entered the docs table and
+    # must not be folded into the base — delete_dir(delta_root) below
+    # clears the orphan bytes
+    seg_blocks = read_delta_postings(spark, paths, segs)
+    blocks = (
+        base_blocks if seg_blocks is None else base_blocks.unionByName(seg_blocks)
+    )
+
+    pcols = [f.name for f in POSTINGS_SCHEMA.fields] + ["_seg_ord"]
+    out_schema = (
+        "term string, shard int, block_id int, ids_vb binary, tfs_vb binary, "
+        "dls_vb binary, count int, max_doc_id long, max_tf long, tf_sum long, "
+        "min_dl long, _seg_ord int"
+    )
+
+    def fold_kernel(iterator):
+        from go_dcp_elasticsearch_spark.sources.changes import _first_varint
+
+        for pdf in iterator:
+            out = {c: [] for c in pcols}
+
+            def emit(term, shard, ids_vb, tfs_vb, dls_vb, cnt, max_id,
+                     max_tf, tf_sum, min_dl, seg_ord, blk):
+                out["term"].append(term)
+                out["shard"].append(shard)
+                out["block_id"].append(blk)
+                out["ids_vb"].append(ids_vb)
+                out["tfs_vb"].append(tfs_vb)
+                out["dls_vb"].append(dls_vb)
+                out["count"].append(cnt)
+                out["max_doc_id"].append(max_id)
+                out["max_tf"].append(max_tf)
+                out["tf_sum"].append(tf_sum)
+                out["min_dl"].append(min_dl)
+                out["_seg_ord"].append(seg_ord)
+
+            for row in pdf.itertuples(index=False):
+                sh = int(row.shard)
+                tomb = tomb_arrays.get(sh)
+                seg_ord = int(row.seg)
+                if tomb is None or len(tomb) == 0:
+                    emit(row.term, sh, row.ids_vb, row.tfs_vb, row.dls_vb,
+                         int(row.count), int(row.max_doc_id), int(row.max_tf),
+                         int(row.tf_sum), int(row.min_dl), seg_ord,
+                         int(row.block_id))
+                    continue
+                first_id = _first_varint(bytes(row.ids_vb))
+                lo = np.searchsorted(tomb, first_id)
+                hi = np.searchsorted(tomb, int(row.max_doc_id), side="right")
+                if lo == hi:
+                    # no tombstone in this block's id range: metadata move
+                    emit(row.term, sh, row.ids_vb, row.tfs_vb, row.dls_vb,
+                         int(row.count), int(row.max_doc_id), int(row.max_tf),
+                         int(row.tf_sum), int(row.min_dl), seg_ord,
+                         int(row.block_id))
+                    continue
+                gaps = varbyte_decode(bytes(row.ids_vb))
+                ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                keep = drop_tombstoned(ids, tomb)
+                if keep.all():
+                    emit(row.term, sh, row.ids_vb, row.tfs_vb, row.dls_vb,
+                         int(row.count), int(row.max_doc_id), int(row.max_tf),
+                         int(row.tf_sum), int(row.min_dl), seg_ord,
+                         int(row.block_id))
+                    continue
+                if not keep.any():
+                    continue  # block entirely dead
+                tfs = varbyte_decode(bytes(row.tfs_vb)).astype(np.int64)
+                dls = varbyte_decode(bytes(row.dls_vb)).astype(np.int64)
+                ids_k, tfs_k, dls_k = ids[keep], tfs[keep], dls[keep]
+                for i, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
+                        tf_sum) in enumerate(
+                    encode_blocks_bulk(ids_k, tfs_k, dls_k)
+                ):
+                    start = i * BLOCK_SIZE
+                    emit(row.term, sh, ids_vb, tfs_vb, dls_vb, cnt, max_id,
+                         max_tf, tf_sum,
+                         int(dls_k[start : start + cnt].min()), seg_ord,
+                         int(row.block_id))
+            yield pd.DataFrame(out)
+
+    provisional = blocks.mapInPandas(fold_kernel, schema=out_schema).persist()
+    provisional.count()  # materialize before overwriting source partitions
+    wb = Window.partitionBy("term", "shard").orderBy("_seg_ord", "block_id")
+    new_postings = (
+        provisional.withColumn("_bid", F.row_number().over(wb) - F.lit(1))
+        .drop("block_id", "_seg_ord")
+        .withColumnRenamed("_bid", "block_id")
+        .select(*[f.name for f in POSTINGS_SCHEMA.fields])
+    )
+
+    n_out = max(len(dirty), 1)
+    # delete-then-write: dynamic overwrite only replaces partitions that
+    # receive rows; a dirty shard folding to zero postings (all docs dead
+    # or token-less) must not keep stale blocks. refresh=False while the
+    # persisted provisional/new_docs still derive from these paths.
+    _delete_shard_partitions(spark, paths.postings, set(dirty), refresh=False)
+    _delete_shard_partitions(spark, paths.docs, set(dirty), refresh=False)
+    with _dynamic_overwrite(spark):
+        new_docs.repartition(n_out, F.col("shard")).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(paths.docs)
+        new_postings.repartition(n_out, F.col("shard")).sortWithinPartitions(
+            "term", "block_id"
+        ).write.mode("overwrite").partitionBy("shard").parquet(paths.postings)
+
+        # partials: dictionary re-aggregated from the folded postings of
+        # the surviving dirty shards; stats recomputed from the folded
+        # docs partitions (partition-pruned) — both O(dirty), and both
+        # exact from here on.
+        from go_dcp_elasticsearch_spark.index.builder import (
+            read_stats_partials,
+            write_stats_tables,
+        )
+
+        _delete_shard_partitions(spark, paths.dictionary, emptied)
+        _rewrite_dictionary_partials(
+            spark, _PathsShim(paths, n_out), live_shards
+        )
+        partials = read_stats_partials(spark, paths)
+        if live_shards:
+            stat_rows = (
+                spark.read.parquet(paths.docs)
+                .filter(F.col("shard").isin(sorted(live_shards)))
+                .groupBy("shard")
+                .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+                .collect()
+            )
+            for r in stat_rows:
+                partials[int(r["shard"])] = (int(r["n_docs"]), int(r["sum_dl"]))
+        for s in emptied:
+            partials.pop(int(s), None)
+        write_stats_tables(spark, paths, partials)
+
+    provisional.unpersist()
+    new_docs.unpersist()
+    delete_dir(spark, paths.delta_root)
+    spark.catalog.refreshByPath(paths.docs)
+    spark.catalog.refreshByPath(paths.postings)
+
+    b = IndexBuilder(spark, index_dir, n_shards=max(n_out, 1))
+    b.lineage.commit("fold", -1, len(tomb_rows))
+    return {
+        "n_segments": len(segs),
+        "dirty_shards": dirty,
+        "n_tombstones": len(tomb_rows),
+    }
+
+
+class _PathsShim:
+    """Minimal builder-shaped object for _rewrite_dictionary_partials
+    (which wants ``.paths`` and ``.n_shards``)."""
+
+    def __init__(self, paths: IndexPaths, n_shards: int):
+        self.paths = paths
+        self.n_shards = n_shards

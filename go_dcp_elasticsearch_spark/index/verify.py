@@ -38,7 +38,12 @@ def verify_index_against_source(
     # explicit presence markers, NOT sha nullity: a row present on both
     # sides with NULL content (sha2(NULL) = NULL) must compare as ok, not
     # masquerade as missing/extra
-    docs = spark.read.parquet(f"{index_dir}/docs").select(
+    from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+    # LIVE docs view (base + delta segments, tombstones dropped): an
+    # index with pending delta applies verifies against the post-change
+    # source without requiring a fold first
+    docs = read_docs(spark, index_dir).select(
         *key_cols,
         F.col("content_sha256").alias("_idx_sha"),
         F.lit(True).alias("_in_idx"),

@@ -204,8 +204,6 @@ def _ensure_partials_layout(spark, b) -> None:
     maintenance of an old index, after which every apply is O(delta)."""
     from go_dcp_elasticsearch_spark.fsutil import exists
 
-    from go_dcp_elasticsearch_spark.fsutil import exists
-
     if not exists(spark, b.paths.dictionary):
         legacy_dict = True  # no dictionary at all: (re)derive from postings
     else:
@@ -336,6 +334,18 @@ def _tail_shard_expr(n_shards: int, k_new: int, n_inserts: int) -> "F.Column":
     )
 
 
+# auto-strategy threshold: a delta touching at least this fraction of the
+# live shards routes to the delta-segment path (a scattered delta's shard
+# rebuild degenerates toward a full build — measured 55.6 s ≈ full-build
+# cost for a 1,000-doc scattered delta at 1M docs)
+AUTO_DELTA_SHARD_FRACTION = 0.5
+
+# recommend compaction once the un-folded delta area (alive + tombstoned
+# rows) exceeds this fraction of the corpus: tombstone arrays ride along
+# with every query kernel and segment blocks skip block-max pruning
+COMPACT_RECOMMEND_FRACTION = 0.2
+
+
 def apply_changes_to_index(
     spark,
     index_dir: str,
@@ -343,6 +353,7 @@ def apply_changes_to_index(
     changes: DataFrame,
     key_cols: list[str] = ("repo", "path"),
     order_col: str = "seq_no",
+    strategy: str = "rebuild",
 ) -> dict:
     """Incremental index maintenance (B1-B4 end-to-end): given the
     post-change corpus snapshot and the change feed, rebuild ONLY the
@@ -383,15 +394,67 @@ def apply_changes_to_index(
     reference's routing contract, document.go:16, bulk.go:246-249).
     Compaction relabeling weakens co-location for pre-existing group
     members (documented trade); a routed fresh build restores it fully.
+
+    ``strategy`` picks the physical write path:
+      "rebuild" (default) — the exact shard-granular rebuild above; cost
+        O(touched shards), statistics exact after every apply, doc_ids of
+        surviving docs preserved. Pending delta segments (from earlier
+        "delta" applies) are folded into the base first.
+      "delta" — O(changed docs): the changed docs' postings are written
+        as a new delta SEGMENT plus tombstones for the superseded
+        doc_ids; no base shard is rewritten (the Lucene/Elasticsearch
+        segment model the reference's sink relies on — an update is
+        delete-by-id + add-with-NEW-doc_id). n_docs/avgdl stay exact;
+        per-term df keeps counting dead docs until ``compact_index``
+        folds the segments (Lucene's docFreq semantics). See
+        index.segments for the full contract.
+      "auto" — probe the live view and route: a delta touching >=
+        AUTO_DELTA_SHARD_FRACTION of the live shards (the scattered-CDC
+        case whose shard rebuild degenerates toward a full build) goes
+        through "delta"; a clustered delta keeps the exact rebuild.
     """
     from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_expr
     from go_dcp_elasticsearch_spark.index.builder import (
         CHUNK_SCHEMA,
         POSTINGS_SCHEMA,
         IndexBuilder,
+        IndexPaths,
+    )
+    from go_dcp_elasticsearch_spark.index.segments import (
+        fold_segments,
+        has_segments,
+        read_docs,
     )
 
+    if strategy not in ("rebuild", "delta", "auto"):
+        raise ValueError(f"apply_changes_to_index: unknown strategy {strategy!r}")
     key_cols = list(key_cols)
+    if strategy == "delta":
+        return _apply_changes_delta(
+            spark, index_dir, new_corpus, changes, key_cols, order_col
+        )
+    if strategy == "auto":
+        # scatter probe over the LIVE view (works with pending segments;
+        # folding is only required once the rebuild path is chosen)
+        view = read_docs(spark, index_dir)
+        probe_feed = last_write_wins(changes, key_cols, order_col).select(*key_cols)
+        touched = (
+            probe_feed.join(view.select(*key_cols, "shard"), key_cols, "inner")
+            .agg(F.count_distinct("shard").alias("t"))
+            .collect()[0]["t"]
+        )
+        n_live_probe = (
+            view.agg(F.count_distinct("shard").alias("n")).collect()[0]["n"]
+        )
+        if n_live_probe and touched / n_live_probe >= AUTO_DELTA_SHARD_FRACTION:
+            return _apply_changes_delta(
+                spark, index_dir, new_corpus, changes, key_cols, order_col
+            )
+    # rebuild path: base-only invariants below (the docs table is the id
+    # authority and every changed shard is rewritten wholesale), so any
+    # pending delta segments are folded into the base first
+    if has_segments(spark, IndexPaths(index_dir)):
+        fold_segments(spark, index_dir)
     docs_path = f"{index_dir}/docs"
     docs = spark.read.parquet(docs_path)
     # one metadata-only job for all three bounds (each agg is its own
@@ -588,7 +651,14 @@ def apply_changes_to_index(
             for r in shard_corpus.select("shard").distinct().collect()
         }
         emptied = rebuild_shards - live_shards
-        _delete_shard_partitions(spark, docs_path, emptied)
+        # refresh=False: shard_corpus (persisted + materialized above)
+        # DERIVES from docs_path, and refreshByPath lazily invalidates
+        # cached plans referencing the path — a recompute (lost executor
+        # cache blocks) would then re-read the already-overwritten docs
+        # table and double-count inserted docs in postings. Mirror the
+        # split path: delete without refreshing, refresh once after
+        # shard_corpus is fully consumed (below, post partials refresh).
+        _delete_shard_partitions(spark, docs_path, emptied, refresh=False)
         _delete_shard_partitions(spark, b.paths.postings, rebuild_shards)
 
         chunks = shard_corpus.select("doc_id", "content", "shard").mapInPandas(
@@ -611,6 +681,10 @@ def apply_changes_to_index(
         n_docs_total, avgdl_new = _refresh_partials_for_shards(
             spark, b, rebuild_shards - emptied, emptied
         )
+    # deferred from the emptied-partition delete above: shard_corpus is
+    # now fully consumed, so dropping cached plans that reference
+    # docs_path is safe (readers in this session get fresh listings)
+    spark.catalog.refreshByPath(docs_path)
     b.lineage.commit("incremental", -1, n_changed)
     shard_corpus.unpersist()
     feed.unpersist()
@@ -619,6 +693,262 @@ def apply_changes_to_index(
         "insert_shards": sorted(insert_shards),
         "n_changed": n_changed,
         "n_docs": n_docs_total,
+    }
+
+
+def _apply_changes_delta(
+    spark,
+    index_dir: str,
+    new_corpus: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str = "seq_no",
+) -> dict:
+    """O(changed-docs) incremental apply: write ONE delta segment + the
+    superseded doc_ids as tombstones — no base shard is read or written.
+
+    Semantics (the Lucene update model the reference's sink runs on —
+    delete-by-id + add-with-new-docid, folded by a later segment merge):
+      * every surviving changed key gets a NEW doc_id (max existing id +
+        1 + dense rank of the key within the delta);
+      * updates/deletes tombstone the key's previous doc_id; the query
+        kernels drop tombstoned ids, so the old postings are dead
+        immediately even though their bytes remain until fold_segments;
+      * updated docs KEEP their shard label (co-location preserved);
+        inserts are hash-placed into the EXISTING label space (routed
+        indexes: pmod(hash(routing), routing_n_shards) — the reference's
+        routing contract) so the shard set, and with it the query
+        partitioner, stays stable across delta applies;
+      * n_docs/avgdl stats stay EXACT (tombstoned docs' doc_len is read
+        from the docs view and subtracted); per-term df counts dead docs
+        until compaction (Lucene docFreq semantics — documented trade).
+
+    Crash contract: the segment's postings dir is written FIRST, the docs
+    dir SECOND (the commit point readers discover segments by), stats and
+    lineage last. An orphan postings dir (crash between the writes) is
+    invisible — readers intersect postings segs with committed docs segs
+    — and a crash before the stats write self-heals at fold time (fold
+    recomputes every dirty shard's partials).
+
+    Returns the rebuild-path dict plus {"segment", "strategy": "delta",
+    "compact_recommended"}.
+    """
+    from go_dcp_elasticsearch_spark.index.builder import (
+        CHUNK_SCHEMA,
+        DOC_SENTINEL,
+        POSTINGS_SCHEMA,
+        IndexBuilder,
+        IndexPaths,
+        posting_chunks_fixed_shard_with_sentinels,
+        read_index_meta,
+        read_stats_partials,
+        write_stats_tables,
+    )
+    from go_dcp_elasticsearch_spark.index.segments import (
+        next_segment_id,
+        read_delta_docs,
+        read_docs,
+    )
+
+    paths = IndexPaths(index_dir)
+    base = spark.read.parquet(paths.docs)
+    base_cols = base.columns
+    delta_existing = read_delta_docs(spark, paths)
+    # id authority must cover DEAD delta ids too (ids are never reused)
+    ids_frame = base.select("doc_id", "shard")
+    if delta_existing is not None:
+        ids_frame = ids_frame.unionByName(
+            delta_existing.select("doc_id", "shard")
+        )
+    bounds = ids_frame.agg(
+        F.max("doc_id").alias("mi"), F.max("shard").alias("ms")
+    ).collect()[0]
+    if bounds["mi"] is None:
+        raise ValueError(
+            "apply_changes_to_index(strategy='delta'): the index's docs "
+            "table is empty — run a fresh IndexBuilder(...).build instead"
+        )
+    max_id, max_label = int(bounds["mi"]), int(bounds["ms"])
+    b = IndexBuilder(spark, index_dir, n_shards=max_label + 1)
+    _ensure_partials_layout(spark, b)
+
+    feed = last_write_wins(changes, key_cols, order_col).select(
+        *key_cols, "action"
+    )
+    # ONE metadata join over the live view answers everything: old doc_id
+    # + shard + doc_len for tombstones/stats, null doc_id = insert
+    joined = feed.join(
+        read_docs(spark, paths).select(*key_cols, "doc_id", "shard", "doc_len"),
+        key_cols,
+        "left",
+    ).persist()
+    n_changed = joined.count()
+    if n_changed == 0:
+        joined.unpersist()
+        return {
+            "affected_shards": [], "insert_shards": [], "n_changed": 0,
+            "n_docs": None, "segment": None, "strategy": "delta",
+            "compact_recommended": False,
+        }
+
+    alive_keys = joined.filter(F.col("action") != "delete").select(*key_cols)
+    if alive_keys.limit(1).count() == 0:
+        ranked, n_alive = None, 0
+    else:
+        n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        ranked = _assign_insert_ranks(alive_keys, key_cols, n_parts=n_parts)
+        n_alive = ranked._n_rows
+
+    meta = read_index_meta(spark, index_dir)
+    routing_col = meta.get("routing_col")
+    routing_mod = int(meta.get("routing_n_shards") or 0)
+    seg = next_segment_id(spark, paths)
+    seg_postings_dir = f"{paths.delta_postings}/seg={seg}"
+    seg_docs_dir = f"{paths.delta_docs}/seg={seg}"
+
+    all_rows = None
+    alive_docs = None
+    if n_alive:
+        ids = (F.col("_rank") + F.lit(max_id + 1)).alias("doc_id")
+        with_old = ranked.join(
+            joined.select(*key_cols, F.col("shard").alias("_old_shard")),
+            key_cols,
+            "left",
+        )
+        if "_bucket" in new_corpus.columns:
+            new_corpus = new_corpus.drop("_bucket")
+        joined_corpus = with_old.join(new_corpus, key_cols, "inner")
+        if routing_col and routing_mod:
+            ins_shard = F.pmod(F.hash(F.col(routing_col)), F.lit(routing_mod))
+        else:
+            # non-routed inserts: hash into the EXISTING label space so no
+            # new tail shard is minted per apply (delta applies can be
+            # frequent; a stable shard set keeps the query partitioner
+            # and salt probe stable). Tail-shard sizing remains the
+            # rebuild path's policy.
+            ins_shard = F.pmod(
+                F.hash(F.concat_ws("\x00", *[F.col(k) for k in key_cols])),
+                F.lit(max_label + 1),
+            )
+        shard_col = F.coalesce(F.col("_old_shard"), ins_shard).cast("int")
+        meta_cols = [
+            c for c in base_cols
+            if c not in ("doc_id", "content_sha256", "doc_len", "shard")
+        ]
+        delta_corpus = joined_corpus.select(
+            ids, *[F.col(c) for c in meta_cols], F.col("content"),
+            shard_col.alias("shard"),
+        )
+        # one tokenize pass emits the posting chunks AND the per-doc
+        # sentinels (sha256 + doc_len) — the fused-build shape; persisted
+        # content-free so the docs part reuses it without re-tokenizing
+        all_rows = (
+            delta_corpus.select("doc_id", "content", "shard")
+            .mapInPandas(
+                posting_chunks_fixed_shard_with_sentinels(), schema=CHUNK_SCHEMA
+            )
+            .persist()
+        )
+        chunks = all_rows.filter(F.col("term") != DOC_SENTINEL)
+        n_merge = max(4, min(n_parts, 32))
+        postings = chunks.repartition(
+            n_merge, F.col("term"), F.col("shard")
+        ).mapInPandas(b._merge_chunks(None), schema=POSTINGS_SCHEMA)
+        # segment postings FIRST (invisible until the docs dir commits)
+        postings.write.mode("overwrite").parquet(seg_postings_dir)
+        doc_rows = all_rows.filter(F.col("term") == DOC_SENTINEL).select(
+            F.col("first_doc_id").alias("doc_id"),
+            F.col("ids_vb").cast("string").alias("content_sha256"),
+            F.col("count").cast("long").alias("doc_len"),
+            F.col("shard"),
+        )
+        alive_docs = (
+            delta_corpus.select("doc_id", *meta_cols)
+            .join(doc_rows, "doc_id")
+            .withColumn("_alive", F.lit(True))
+            .select(*base_cols, "_alive")
+        )
+
+    # tombstones: every matched previous row (update or delete)
+    by_name = {f.name: f for f in base.schema.fields}
+    tomb_cols = []
+    for c in base_cols:
+        if c in ("doc_id", "doc_len", "shard") or c in key_cols:
+            tomb_cols.append(F.col(c))
+        else:
+            tomb_cols.append(F.lit(None).cast(by_name[c].dataType).alias(c))
+    tombs = joined.filter(F.col("doc_id").isNotNull()).select(
+        *tomb_cols, F.lit(False).alias("_alive")
+    )
+    seg_docs = tombs if alive_docs is None else alive_docs.unionByName(tombs)
+    # the COMMIT POINT: segment becomes discoverable on this write
+    seg_docs.coalesce(4).write.mode("overwrite").parquet(seg_docs_dir)
+
+    # exact stats fold (driver-side, tiny): + new docs, − tombstoned docs
+    partials = read_stats_partials(spark, paths)
+    dead_agg = (
+        joined.filter(F.col("doc_id").isNotNull())
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("sd"))
+        .collect()
+    )
+    touched_shards = set()
+    for r in dead_agg:
+        s = int(r["shard"])
+        n0, sd0 = partials.get(s, (0, 0))
+        partials[s] = (n0 - int(r["n"]), sd0 - int(r["sd"]))
+        touched_shards.add(s)
+    insert_shards: set[int] = set()
+    if all_rows is not None:
+        new_agg = (
+            all_rows.filter(F.col("term") == DOC_SENTINEL)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"), F.sum(F.col("count").cast("long")).alias("sd"))
+            .collect()
+        )
+        for r in new_agg:
+            s = int(r["shard"])
+            n0, sd0 = partials.get(s, (0, 0))
+            partials[s] = (n0 + int(r["n"]), sd0 + int(r["sd"]))
+            touched_shards.add(s)
+            insert_shards.add(s)
+    # a shard whose live count folded to zero keeps a (0, 0) partial until
+    # fold_segments removes the emptied partition — harmless (adds zero)
+    n_docs_total, _ = write_stats_tables(spark, paths, partials)
+
+    # compaction pressure: total un-folded delta rows vs corpus size
+    delta_rows = n_changed
+    if delta_existing is not None:
+        delta_rows += delta_existing.count()
+    recommended = bool(
+        n_docs_total and delta_rows / max(n_docs_total, 1) >= COMPACT_RECOMMEND_FRACTION
+    )
+    if recommended:
+        import warnings
+
+        warnings.warn(
+            f"index {index_dir}: un-folded delta area is "
+            f"{delta_rows}/{n_docs_total} rows "
+            f">= {COMPACT_RECOMMEND_FRACTION:.0%} of the corpus — run "
+            "compact_index to fold segments (restores exact df and "
+            "block-max pruning for the delta'd docs)",
+            stacklevel=2,
+        )
+
+    b.lineage.commit("delta", seg, n_changed)
+    if ranked is not None:
+        ranked._persisted_parent.unpersist()
+    if all_rows is not None:
+        all_rows.unpersist()
+    joined.unpersist()
+    return {
+        "affected_shards": sorted(touched_shards),
+        "insert_shards": sorted(insert_shards),
+        "n_changed": n_changed,
+        "n_docs": n_docs_total,
+        "segment": seg,
+        "strategy": "delta",
+        "compact_recommended": recommended,
     }
 
 
@@ -657,8 +987,14 @@ def compact_index(
     """
     from pyspark.sql import Window
 
-    from go_dcp_elasticsearch_spark.index.builder import IndexBuilder
+    from go_dcp_elasticsearch_spark.index.builder import IndexBuilder, IndexPaths
+    from go_dcp_elasticsearch_spark.index.segments import fold_segments, has_segments
 
+    # fold pending delta segments into the base first: the merge/split
+    # phases below relabel docs partitions wholesale and assume the base
+    # layout is the complete live state
+    if has_segments(spark, IndexPaths(index_dir)):
+        fold_segments(spark, index_dir)
     docs_path = f"{index_dir}/docs"
     docs = spark.read.parquet(docs_path)
     counts = sorted(
@@ -1001,7 +1337,9 @@ def incremental_index_delta(
     posting blocks are immutable, so delete/update = rebuild of the
     affected doc partitions, not in-place mutation.
     """
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+    docs = read_docs(spark, index_dir)
     feed = last_write_wins(changes, key_cols, order_col)
     affected = (
         docs.join(feed.select(*key_cols).distinct(), key_cols, "inner")

@@ -215,9 +215,13 @@ class SnapshotStore:
 
     def corpus_at_head(self, with_bucket: bool = False) -> DataFrame:
         """The post-change corpus state. ``with_bucket=True`` keeps the
-        ``_bucket`` layout column so apply_changes_to_index can prune the
-        content join to the touched buckets (O(rebuild) mirror reads
-        instead of a full scan)."""
+        ``_bucket`` LAYOUT column for callers that care about the mirror's
+        physical layout; consumers like apply_changes_to_index accept and
+        drop it. (Bucket-PRUNING the rebuild content join was measured a
+        no-op for update deltas and reverted — the rebuild needs every key
+        of the rebuilt shards, whose hashes touch all buckets, and pruning
+        with a foreign modulus would silently drop rebuild content; see
+        the rationale comment in changes.apply_changes_to_index.)"""
         df = self.spark.read.parquet(f"{self.store_dir}/_corpus")
         return df if with_bucket else df.drop("_bucket")
 

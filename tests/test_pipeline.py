@@ -157,3 +157,69 @@ def test_record_log_compaction(spark, tmp_index_dir, monkeypatch):
     assert log2.record_count() == 28
     log2.commit("after", 99, 1)
     assert log2.record_count() == 29
+
+
+def test_record_log_crash_between_ckpt_and_deletes(spark, tmp_index_dir, monkeypatch):
+    """Compaction crash window (round-5, VERDICT item 6): the checkpoint
+    is durable but the superseded rec files were NOT deleted. Contract
+    (metadata.py docstring): reads de-duplicate by record name — no
+    duplicate records ever surface; count() may briefly OVER-count
+    (ckpt total + leftover rec files) but stays monotonic, and the next
+    compaction heals it to exact."""
+    import go_dcp_elasticsearch_spark.fsutil as fsutil
+    import go_dcp_elasticsearch_spark.metadata as md
+
+    monkeypatch.setattr(md, "COMPACT_THRESHOLD", 10)
+    path = f"{tmp_index_dir}/_log"
+    log = md.RecordLog(spark, path)
+    for i in range(10):
+        log.append({"v": i})
+    # crash simulation: checkpoint lands, every delete is lost
+    real_delete = fsutil.delete_dir
+    monkeypatch.setattr(fsutil, "delete_dir", lambda *a, **k: True)
+    log.append({"v": 10})  # 11 > threshold -> compaction with deletes lost
+    names = os.listdir(path)
+    assert sum(1 for n in names if n.startswith("ckpt-")) == 1
+    assert sum(1 for n in names if n.startswith("rec-")) == 11  # leftovers
+
+    # reads: exactly the 11 records, no duplicates, from ANY reader
+    fresh = md.RecordLog(spark, path)
+    recs = fresh.records()
+    assert sorted(r["v"] for r in recs) == list(range(11))
+    # count over-counts (11 ckpt + 11 leftover) but NEVER under-counts —
+    # an epoch consumer just sees one extra refresh
+    over = fresh.count()
+    assert over == 22
+    # heal: with deletes working again, the next compaction de-duplicates
+    monkeypatch.setattr(fsutil, "delete_dir", real_delete)
+    log.append({"v": 11})  # 12 rec files > threshold -> compact + delete
+    healed = md.RecordLog(spark, path)
+    assert sorted(r["v"] for r in healed.records()) == list(range(12))
+    assert healed.count() == 12
+    assert sum(1 for n in os.listdir(path) if n.startswith("rec-")) == 0
+
+
+def test_record_log_two_concurrent_writers(spark, tmp_index_dir, monkeypatch):
+    """Two writers appending to one log (distinct instance tags) never
+    collide on names; either writer's compaction folds BOTH writers'
+    records; counts agree across readers and stay monotonic through
+    every append and compaction."""
+    import go_dcp_elasticsearch_spark.metadata as md
+
+    monkeypatch.setattr(md, "COMPACT_THRESHOLD", 5)
+    path = f"{tmp_index_dir}/_log2"
+    a = md.RecordLog(spark, path)
+    b = md.RecordLog(spark, path)
+    last = 0
+    for i in range(8):  # interleaved appends; compactions fire mid-stream
+        a.append({"w": "a", "i": i})
+        b.append({"w": "b", "i": i})
+        c = md.RecordLog(spark, path).count()
+        assert c >= last  # epoch monotonicity across compactions
+        last = c
+    recs = md.RecordLog(spark, path).records()
+    assert len(recs) == 16
+    assert sorted((r["w"], r["i"]) for r in recs) == sorted(
+        [("a", i) for i in range(8)] + [("b", i) for i in range(8)]
+    )
+    assert a.count() == b.count() == 16

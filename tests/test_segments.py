@@ -1,0 +1,339 @@
+"""Delta-segment incremental writes (index.segments): O(changed docs)
+apply, tombstone semantics, fold-at-compact, strategy dispatch.
+
+The contract under test mirrors the Lucene segment model the reference's
+sink (Elasticsearch) runs on: an update is delete-by-id + add-with-new-
+doc_id into a tiny new segment; deleted docs stop surfacing immediately
+but keep contributing to df until the segments are folded (Lucene
+docFreq semantics); a fold restores bit-exact statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.corpus import synth_corpus
+from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+from go_dcp_elasticsearch_spark.index.segments import (
+    fold_segments,
+    has_segments,
+    list_segments,
+    read_docs,
+)
+from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+from go_dcp_elasticsearch_spark.sources.changes import (
+    apply_changes_to_index,
+    compact_index,
+)
+
+NEW_CONTENT = "quasarflux quasarflux freshlyupdated buffer"
+INSERT_CONTENT = "brandnewdocument zzkraken parser"
+
+
+def _setup(spark, tmp_path, n=200, n_shards=4):
+    """Base index + (new_corpus, changes) for update+delete+insert."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, n)
+    IndexBuilder(spark, idx, n_shards=n_shards).build(corpus)
+    docs0 = spark.read.parquet(f"{idx}/docs")
+    victims = docs0.orderBy("doc_id").limit(2).collect()
+    upd_key = (victims[0]["repo"], victims[0]["path"])
+    del_key = (victims[1]["repo"], victims[1]["path"])
+    changed = (
+        corpus.filter(
+            ~((F.col("repo") == del_key[0]) & (F.col("path") == del_key[1]))
+        ).withColumn(
+            "content",
+            F.when(
+                (F.col("repo") == upd_key[0]) & (F.col("path") == upd_key[1]),
+                F.lit(NEW_CONTENT),
+            ).otherwise(F.col("content")),
+        )
+    )
+    insert_row = spark.createDataFrame(
+        [("orgZ/newrepo", "src/new.py", "c0ffee", "python", INSERT_CONTENT, 999)],
+        "repo string, path string, commit string, lang string, content string, seq_no int",
+    )
+    new_corpus = changed.unionByName(insert_row)
+    changes = spark.createDataFrame(
+        [
+            (upd_key[0], upd_key[1], "index", 10),
+            (del_key[0], del_key[1], "delete", 11),
+            ("orgZ/newrepo", "src/new.py", "index", 12),
+        ],
+        "repo string, path string, action string, seq_no long",
+    )
+    return idx, new_corpus, changes, upd_key, del_key, victims
+
+
+def _rank_check(spark, idx, new_corpus, queries):
+    """topk_pruned == python oracle over the post-change state, using the
+    index's own id mapping (valid only when df is exact)."""
+    id_rows = (
+        read_docs(spark, idx)
+        .select("doc_id", "repo", "path")
+        .join(new_corpus.select("repo", "path", "content"), ["repo", "path"])
+        .collect()
+    )
+    docs_tokens = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
+    q = BM25Query(spark, idx)
+    for qtext in queries:
+        want = bm25_oracle(docs_tokens, tokenize_py(qtext), 10)
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in q.topk_pruned(qtext, 10).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], qtext
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, qtext
+
+
+def _snapshot_files(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_delta_apply_leaves_base_untouched(spark, tmp_path):
+    """strategy='delta' writes ONE segment and never touches a base
+    docs/postings partition file — the O(changed docs) property, asserted
+    physically (file names+sizes+mtimes identical across the apply)."""
+    idx, new_corpus, changes, upd_key, del_key, _ = _setup(spark, tmp_path)
+    before_docs = _snapshot_files(f"{idx}/docs")
+    before_post = _snapshot_files(f"{idx}/postings")
+
+    out = apply_changes_to_index(
+        spark, idx, new_corpus, changes, strategy="delta"
+    )
+    assert out["strategy"] == "delta"
+    assert out["segment"] == 0
+    assert out["n_changed"] == 3
+    assert out["n_docs"] == 200  # 200 - 1 delete + 1 insert
+
+    assert _snapshot_files(f"{idx}/docs") == before_docs
+    assert _snapshot_files(f"{idx}/postings") == before_post
+    assert list_segments(spark, IndexPaths(idx)) == [0]
+
+    # live view: delete gone, insert present, update has a NEW doc_id
+    view = read_docs(spark, idx)
+    assert view.count() == 200
+    assert view.filter(
+        (F.col("repo") == del_key[0]) & (F.col("path") == del_key[1])
+    ).count() == 0
+    ins = view.filter(F.col("repo") == "orgZ/newrepo").collect()
+    assert len(ins) == 1
+
+
+def test_delta_query_semantics(spark, tmp_path):
+    """Tombstoned content stops matching immediately; new content matches
+    with meta resolution; exact and pruned strategies agree."""
+    idx, new_corpus, changes, upd_key, del_key, victims = _setup(spark, tmp_path)
+    # a token unique to the deleted doc (synth content has shared vocab;
+    # use the doc's whole content as the query and check its id is gone)
+    del_id = int(victims[1]["doc_id"])
+    upd_id = int(victims[0]["doc_id"])
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+
+    q = BM25Query(spark, idx)
+    hits = q.topk_pruned(NEW_CONTENT, 20)
+    ids = [int(r["doc_id"]) for r in hits.collect()]
+    assert del_id not in ids and upd_id not in ids
+    top = q.with_meta(q.topk_pruned("brandnewdocument zzkraken", 5)).collect()
+    assert top and top[0]["repo"] == "orgZ/newrepo"
+
+    # exact vs pruned rank identity (same stats, same tombstones)
+    for qtext in [NEW_CONTENT, "zzkraken parser", "getvalue buffer"]:
+        a = [(int(r["doc_id"]), round(float(r["score"]), 9))
+             for r in q.topk_pruned(qtext, 10).collect()]
+        b = [(int(r["doc_id"]), round(float(r["score"]), 9))
+             for r in q.topk_exact(qtext, 10).collect()]
+        assert a == b, qtext
+
+
+def test_insert_only_delta_is_fully_exact(spark, tmp_path):
+    """Insert-only segments leave NO stale statistic (no tombstones, df
+    of new terms tracked in the segment): full rank identity vs the
+    python oracle without a fold."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 150)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    inserts = spark.createDataFrame(
+        [
+            ("orgZ/a", "x.py", "c1", "python", "zzalpha shared buffer", 1),
+            ("orgZ/b", "y.py", "c2", "python", "zzbeta shared parser", 2),
+        ],
+        "repo string, path string, commit string, lang string, content string, seq_no int",
+    )
+    new_corpus = corpus.unionByName(inserts)
+    changes = spark.createDataFrame(
+        [("orgZ/a", "x.py", "index", 1), ("orgZ/b", "y.py", "index", 2)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    assert out["n_docs"] == 152
+    _rank_check(
+        spark, idx, new_corpus,
+        ["zzalpha shared", "zzbeta", "shared buffer parser", "getvalue"],
+    )
+
+
+def test_fold_restores_exact_stats_and_ranks(spark, tmp_path):
+    """apply(delta) -> fold_segments == exact index: delta dir gone, df
+    exact again (full oracle rank identity incl. the update/delete), and
+    a verify pass over the folded index is clean."""
+    from go_dcp_elasticsearch_spark.index.verify import verify_index_against_source
+
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    summary = fold_segments(spark, idx)
+    assert summary["n_segments"] == 1
+    assert summary["n_tombstones"] == 2  # update + delete
+    assert not has_segments(spark, IndexPaths(idx))
+    _rank_check(
+        spark, idx, new_corpus,
+        [NEW_CONTENT, "zzkraken", "getvalue buffer", "brandnewdocument"],
+    )
+    rep = verify_index_against_source(spark, idx, new_corpus)
+    assert rep["missing_in_index"] == 0
+    assert rep["extra_in_index"] == 0
+    assert rep["sha_mismatch"] == 0
+
+
+def test_compact_folds_segments_first(spark, tmp_path):
+    """compact_index on an index with pending segments folds them before
+    merging/splitting (and the result still answers correctly)."""
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    compact_index(spark, idx, target_docs_per_shard=100)
+    assert not has_segments(spark, IndexPaths(idx))
+    _rank_check(spark, idx, new_corpus, [NEW_CONTENT, "zzkraken", "getvalue"])
+
+
+def test_rebuild_apply_folds_pending_segments(spark, tmp_path):
+    """A rebuild-strategy apply on an index with pending segments folds
+    them first, then applies exactly."""
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    # second wave: update the inserted doc through the REBUILD path
+    newer = new_corpus.withColumn(
+        "content",
+        F.when(
+            F.col("repo") == "orgZ/newrepo", F.lit("zzkraken overwritten body")
+        ).otherwise(F.col("content")),
+    )
+    changes2 = spark.createDataFrame(
+        [("orgZ/newrepo", "src/new.py", "index", 20)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, newer, changes2, strategy="rebuild")
+    assert not has_segments(spark, IndexPaths(idx))
+    assert out["n_docs"] == 200
+    _rank_check(spark, idx, newer, ["zzkraken overwritten", "getvalue buffer"])
+
+
+def test_replay_idempotent_delta(spark, tmp_path):
+    """At-least-once: replaying the same feed through the delta path
+    converges to the same live state (extra segment rows are folded away
+    harmlessly; stats stay exact)."""
+    from go_dcp_elasticsearch_spark.index.builder import read_global_stats
+
+    idx, new_corpus, changes, _, del_key, _ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    view = read_docs(spark, idx)
+    assert view.count() == 200
+    assert view.select("doc_id").distinct().count() == 200
+    n_docs, avgdl = read_global_stats(spark, IndexPaths(idx))
+    assert n_docs == 200
+    # fold after replay still yields an exact index
+    fold_segments(spark, idx)
+    _rank_check(spark, idx, new_corpus, [NEW_CONTENT, "zzkraken"])
+
+
+def test_auto_strategy_routes_by_scatter(spark, tmp_path):
+    """auto: a delta touching most live shards goes delta; a clustered
+    single-doc delta keeps the exact rebuild."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 200)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    docs0 = spark.read.parquet(f"{idx}/docs").select("repo", "path", "shard")
+
+    # scattered: one victim per shard
+    scattered = docs0.groupBy("shard").agg(
+        F.min_by(F.struct("repo", "path"), F.struct("repo", "path")).alias("v")
+    ).select("v.repo", "v.path").collect()
+    feed = spark.createDataFrame(
+        [(r["repo"], r["path"], "index", 50) for r in scattered],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, corpus, feed, strategy="auto")
+    assert out["strategy"] == "delta"
+
+    # clustered: one doc -> rebuild path (folds the segment first)
+    one = docs0.limit(1).collect()[0]
+    feed1 = spark.createDataFrame(
+        [(one["repo"], one["path"], "index", 60)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out1 = apply_changes_to_index(spark, idx, corpus, feed1, strategy="auto")
+    assert "strategy" not in out1 or out1.get("strategy") != "delta"
+    assert not has_segments(spark, IndexPaths(idx))
+
+
+def test_routed_delta_insert_placement(spark, tmp_path):
+    """On a routing-placed index, a delta INSERT lands in
+    pmod(hash(routing), routing_n_shards) — the reference's routing
+    contract held by the segment path too."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 120)
+    IndexBuilder(spark, idx, n_shards=4, routing_col="repo").build(corpus)
+    ins = spark.createDataFrame(
+        [("orgR/routed", "r.py", "c9", "python", "zzrouted payload", 7)],
+        "repo string, path string, commit string, lang string, content string, seq_no int",
+    )
+    changes = spark.createDataFrame(
+        [("orgR/routed", "r.py", "index", 7)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(
+        spark, idx, corpus.unionByName(ins), changes, strategy="delta"
+    )
+    want = spark.range(1).select(
+        F.pmod(F.hash(F.lit("orgR/routed")), F.lit(4)).alias("s")
+    ).collect()[0]["s"]
+    got = read_docs(spark, idx).filter(F.col("repo") == "orgR/routed").collect()
+    assert len(got) == 1 and int(got[0]["shard"]) == int(want)
+    assert out["insert_shards"] == [int(want)]
+
+
+def test_delete_only_delta(spark, tmp_path):
+    """A delete-only delta writes a docs-only segment (no postings dir)
+    and queries drop the victim immediately."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 100)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    victim = spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(1).collect()[0]
+    changes = spark.createDataFrame(
+        [(victim["repo"], victim["path"], "delete", 5)],
+        "repo string, path string, action string, seq_no long",
+    )
+    new_corpus = corpus.filter(
+        ~((F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"]))
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    assert out["n_docs"] == 99
+    q = BM25Query(spark, idx)
+    # score every doc via a broad scan: victim id must never surface
+    allhits = q.topk_pruned("getvalue buffer parser import", 99)
+    assert int(victim["doc_id"]) not in {int(r["doc_id"]) for r in allhits.collect()}
+    fold_segments(spark, idx)
+    _rank_check(spark, idx, new_corpus, ["getvalue buffer", "parser import"])

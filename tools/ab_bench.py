@@ -1,0 +1,98 @@
+"""Interleaved A/B benchmark (round-5 standing practice).
+
+The sequential drift control cannot arbitrate a round-over-round headline
+under this host's external contention ramps (loadavg 6-12 arriving from
+outside the VM mid-measurement): whichever run happens to land on the
+ramp loses. This tool runs TWO commits' bench.py ABAB-interleaved — fresh
+subprocess JVMs per rep, BENCH_SKIP_BIG=1, no control recursion — so both
+sides sample the same conditions, then prints the per-rep headlines, the
+medians, and the pairwise win count.
+
+Usage:
+  python tools/ab_bench.py <commitA> <commitB> [reps=3] [sf_dir] [cpus]
+
+A commit can be "WORKTREE" to run the current working tree in place.
+Output: one JSON line {"a": ..., "b": ..., "a_runs": [...], "b_runs":
+[...], "a_median": ..., "b_median": ..., "ratio_b_over_a": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _checkout(commit: str) -> str:
+    if commit == "WORKTREE":
+        return REPO
+    wt = f"{tempfile.gettempdir()}/ab_bench_{commit}"
+    if not os.path.isdir(wt):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            cwd=REPO, check=True, capture_output=True, timeout=120,
+        )
+    return wt
+
+
+def _run_once(wt: str, sf_dir: str, cpus: str) -> dict:
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_CPUS": cpus,
+        "BENCH_SKIP_BIG": "1",
+        "BENCH_CONTROL": "none",
+        "PYTHONPATH": wt,
+    })
+    proc = subprocess.run(
+        [sys.executable, f"{wt}/bench.py"],
+        cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    line = next(ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{"))
+    return json.loads(line)
+
+
+def main() -> None:
+    a, b = sys.argv[1], sys.argv[2]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    sf_dir = sys.argv[4] if len(sys.argv) > 4 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = sys.argv[5] if len(sys.argv) > 5 else os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"
+    )
+    wa, wb = _checkout(a), _checkout(b)
+    a_runs, b_runs, details = [], [], []
+    for i in range(reps):
+        for label, wt, runs in (("a", wa, a_runs), ("b", wb, b_runs)):
+            res = _run_once(wt, sf_dir, cpus)
+            runs.append(float(res["value"]))
+            details.append({
+                "rep": i, "side": label, "headline": res["value"],
+                "topk_mean": res["queries"].get("topk_mean_sec"),
+                "topk_p95": res["queries"].get("topk_p95_sec"),
+                "build": res["queries"].get("build_sec"),
+            })
+            print(f"rep {i} {label}: {res['value']}s", file=sys.stderr)
+    wins_b = sum(1 for x, y in zip(a_runs, b_runs) if y < x)
+    out = {
+        "a": a, "b": b, "reps": reps,
+        "a_runs": a_runs, "b_runs": b_runs,
+        "a_median": statistics.median(a_runs),
+        "b_median": statistics.median(b_runs),
+        "ratio_b_over_a": round(
+            statistics.median(b_runs) / statistics.median(a_runs), 4
+        ),
+        "pairwise_wins_b": wins_b,
+        "details": details,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

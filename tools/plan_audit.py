@@ -125,6 +125,53 @@ def main() -> None:
         explain_str(refresh_dict) + "\n--- stats partials read ---\n" + explain_str(refresh_docs),
     ))
 
+    # ---- round-5 evidence: delta-segment query + fold paths ----
+    from go_dcp_elasticsearch_spark.index.segments import read_docs
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    base_docs = spark.read.parquet(f"{idx}/docs")
+    victims = base_docs.orderBy("doc_id").limit(2).collect()
+    keys = [(r["repo"], r["path"]) for r in victims]
+    corpus2 = synth_corpus(spark, 2000).withColumn(
+        "content",
+        F.when(
+            F.concat_ws("|", "repo", "path").isin(
+                [f"{r}|{p}" for r, p in keys]
+            ),
+            F.lit("deltaAuditToken buffer"),
+        ).otherwise(F.col("content")),
+    )
+    feed = spark.createDataFrame(
+        [(r, p, "index", 99) for r, p in keys],
+        "repo string, path string, action string, seq_no long",
+    )
+    apply_changes_to_index(spark, idx, corpus2, feed, strategy="delta")
+    q.refresh()
+    blocks = q._candidate_blocks(["buffer"])
+    sections.append((
+        "Delta-segment candidate blocks (round-5: base ∪ committed segments)",
+        "The post-delta query path unions the base postings scan with the "
+        "segment scan. Checks: `PushedFilters: [In(term, ...)]` reaches BOTH "
+        "parquet scans (the term predicate is pushed into the segment files "
+        "too); the segment scan carries `PartitionFilters` on `seg` — only "
+        "COMMITTED segment directories are listed (orphan postings dirs from "
+        "a crashed apply are invisible); no shuffle is introduced by the "
+        "union (both sides flow straight into the per-shard kernel "
+        "repartition).",
+        explain_str(blocks),
+    ))
+    live_view = read_docs(spark, idx)
+    sections.append((
+        "Live docs view (round-5: base ∪ alive segment rows, anti-join tombstones)",
+        "Checks: the tombstone side of the anti-join is segment-sized (tiny "
+        "by the compaction contract) — the planner picks "
+        "BroadcastHashJoin(LeftAnti) with the DELTA side broadcast, so the "
+        "base docs scan streams through without a shuffle; no hint forces "
+        "this (scattered-at-scale segment sets degrade gracefully to a "
+        "shuffle join).",
+        explain_str(live_view),
+    ))
+
     out = [
         "# BENCH/PLANS.md — physical-plan audit (generated by tools/plan_audit.py)",
         "",
