@@ -95,6 +95,7 @@ class BM25Query:
         spark: SparkSession,
         index_dir: str,
         driver_dict_max_terms: int | None = None,
+        epoch_check_interval_sec: float = 0.0,
     ):
         from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
 
@@ -106,13 +107,29 @@ class BM25Query:
             if driver_dict_max_terms is None
             else int(driver_dict_max_terms)
         )
+        # > 0 rate-limits the per-query epoch listing: freshness is then
+        # bounded by this window instead of exact-per-query. The default
+        # (0 = check every query) is right locally and on HDFS; on S3A at
+        # high QPS one LIST per query is real money and latency, and the
+        # reference's own sink serves bounded-staleness reads too (ES
+        # refresh_interval, default 1 s)
+        self.epoch_check_interval_sec = float(epoch_check_interval_sec)
+        self._last_epoch_check = 0.0
         self.refresh()
 
     def _current_epoch(self) -> int:
         return self._lineage_log.record_count()
 
     def _ensure_fresh(self) -> None:
-        """Re-snapshot if the index epoch moved (one FS listing, ~ms)."""
+        """Re-snapshot if the index epoch moved (one FS listing, ~ms;
+        rate-limited to ``epoch_check_interval_sec`` when configured)."""
+        if self.epoch_check_interval_sec > 0:
+            import time
+
+            now = time.monotonic()
+            if now - self._last_epoch_check < self.epoch_check_interval_sec:
+                return
+            self._last_epoch_check = now
         if self._current_epoch() != self._epoch:
             self.refresh()
 
@@ -160,6 +177,12 @@ class BM25Query:
             shards = shards.unionByName(delta.select("shard"))
         self.n_shards = int(shards.agg(F.max("shard")).collect()[0][0]) + 1
         self._salts = self._shard_salts()
+        # warm the dictionary projection EAGERLY: serving handles refresh
+        # once per epoch, and loading the (term -> df) map here means
+        # EVERY query — including the first after a refresh — runs exactly
+        # one Spark job (the score kernel); lazily loading it made the
+        # first query absorb the aggregation job and dominate p95
+        self._load_dictionary()
         return self
 
     def _shard_salts(self) -> dict[int, int]:
@@ -213,28 +236,31 @@ class BM25Query:
             base = base.unionByName(extra)
         return base.groupBy("term").agg(F.sum("df").alias("df"))
 
-    def _term_stats(self, terms: list[str]) -> dict[str, float]:
-        """idf per query term from the dictionary.
+    def _load_dictionary(self) -> None:
+        """Cache the global (term -> df) map DRIVER-side under the index
+        epoch: a query then runs exactly ONE Spark job (the score kernel)
+        — the previous executor-cached filter+collect was a second
+        per-query job whose fixed scheduling cost (~0.1-0.3 s) dominated
+        single-query latency. Vocabularies above ``driver_dict_max_terms``
+        fall back to the executor-cache path (persisted frame,
+        filter+collect per query) so driver memory stays bounded; the
+        overflow probe is the same single aggregation job either way
+        (limit(bound+1) detects overflow)."""
+        agg = self._global_df_frame()
+        rows = agg.limit(self.driver_dict_max_terms + 1).collect()
+        if len(rows) <= self.driver_dict_max_terms:
+            self._df_map: dict[str, int] | None = {
+                r["term"]: int(r["df"]) for r in rows
+            }
+        else:
+            self._df_map = None
+            self._dict_df = agg.persist()
 
-        The global (term -> df) map is cached DRIVER-side under the index
-        epoch on first use: a warm single query then runs exactly ONE
-        Spark job (the score kernel) — the previous executor-cached
-        filter+collect was a second per-query job whose fixed scheduling
-        cost (~0.1-0.3 s) dominated single-query latency. Vocabularies
-        above ``driver_dict_max_terms`` fall back to the executor-cache
-        path (persisted frame, filter+collect per query) so driver memory
-        stays bounded; the overflow probe is the same single aggregation
-        job either way (limit(bound+1) detects overflow)."""
+    def _term_stats(self, terms: list[str]) -> dict[str, float]:
+        """idf per query term from the epoch-cached dictionary map (see
+        _load_dictionary)."""
         if not hasattr(self, "_df_map"):
-            agg = self._global_df_frame()
-            rows = agg.limit(self.driver_dict_max_terms + 1).collect()
-            if len(rows) <= self.driver_dict_max_terms:
-                self._df_map: dict[str, int] | None = {
-                    r["term"]: int(r["df"]) for r in rows
-                }
-            else:
-                self._df_map = None
-                self._dict_df = agg.persist()
+            self._load_dictionary()
         if self._df_map is not None:
             return {
                 t: idf_py(self.n_docs, self._df_map[t])

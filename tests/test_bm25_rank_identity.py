@@ -94,3 +94,47 @@ def test_with_meta_roundtrip(spark, tmp_path):
     assert len(out) == 5
     assert all(r["repo"] and r["path"] and len(r["content_sha256"]) == 64 for r in out)
     assert {r["doc_id"] for r in out} == {r["doc_id"] for r in hits.collect()}
+
+
+def test_epoch_check_ttl(spark, tmp_path):
+    """epoch_check_interval_sec rate-limits the per-query staleness probe:
+    within the window a mutation is NOT picked up (bounded staleness, the
+    ES refresh_interval analogue); after the window expires — or via
+    manual refresh() — the handle re-snapshots."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 60)
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+    q = BM25Query(spark, idx, epoch_check_interval_sec=300.0)
+    q.topk_pruned("getvalue", 3).collect()  # consume the first probe slot
+    epoch0 = q._epoch
+
+    victim = corpus.limit(1).collect()[0]
+    new_corpus = corpus.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"]),
+            F.lit("zzttltoken fresh"),
+        ).otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [(victim["repo"], victim["path"], "index", 99)],
+        "repo string, path string, action string, seq_no long",
+    )
+    apply_changes_to_index(spark, idx, new_corpus, changes)
+
+    # inside the TTL window: the handle must NOT refresh (epoch pinned)
+    q.topk_pruned("zzttltoken", 3).collect()
+    assert q._epoch == epoch0
+    # expire the window: next query refreshes and sees the mutation
+    q._last_epoch_check = _time.monotonic() - 301.0
+    hits = q.topk_pruned("zzttltoken", 3).collect()
+    assert q._epoch != epoch0
+    assert len(hits) == 1
