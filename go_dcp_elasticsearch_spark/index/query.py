@@ -122,8 +122,19 @@ class BM25Query:
 
     def _ensure_fresh(self) -> None:
         """Re-snapshot if the index epoch moved (one FS listing, ~ms;
-        rate-limited to ``epoch_check_interval_sec`` when configured)."""
-        if self.epoch_check_interval_sec > 0:
+        rate-limited to ``epoch_check_interval_sec`` when configured).
+
+        The TTL shortcut is DISABLED while the dictionary is served from
+        the executor-cache fallback (huge vocabularies): a maintenance op
+        completing inside the window rewrites the dictionary partitions,
+        and an evicted-then-recomputed persisted frame would read the
+        deleted files — exactly the FileNotFound hole the per-query
+        epoch check closes. The driver-side map has no such hazard (it
+        holds plain values), so bounded staleness there is safe."""
+        if (
+            self.epoch_check_interval_sec > 0
+            and getattr(self, "_df_map", None) is not None
+        ):
             import time
 
             now = time.monotonic()
@@ -258,17 +269,28 @@ class BM25Query:
 
     def _term_stats(self, terms: list[str]) -> dict[str, float]:
         """idf per query term from the epoch-cached dictionary map (see
-        _load_dictionary)."""
+        _load_dictionary).
+
+        df is CLAMPED to n_docs: with pending delta segments, df keeps
+        counting dead docs (Lucene docFreq semantics) while n_docs is
+        exact, so a term every doc contains could report df > n_docs —
+        and idf = ln(1 + (N - df + 0.5)/(df + 0.5)) would go NEGATIVE,
+        silently turning the block-max w*ub into a LOWER bound and
+        breaking topk_pruned's soundness. min(df, n_docs) keeps idf > 0
+        (Lucene pairs its idf with a docCount that also includes deleted
+        docs; our exact n_docs needs the clamp instead). Applied in BOTH
+        code paths so pruned and exact stay rank-identical."""
+        n = self.n_docs
         if not hasattr(self, "_df_map"):
             self._load_dictionary()
         if self._df_map is not None:
             return {
-                t: idf_py(self.n_docs, self._df_map[t])
+                t: idf_py(n, min(self._df_map[t], n))
                 for t in terms
                 if t in self._df_map
             }
         d = self._dict_df.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: idf_py(self.n_docs, int(r["df"])) for r in d}
+        return {r["term"]: idf_py(n, min(int(r["df"]), n)) for r in d}
 
     def _candidate_blocks(self, terms: list[str]) -> DataFrame:
         """Postings scan (base + committed delta segments, ``seg`` column,

@@ -799,6 +799,26 @@ def _apply_changes_delta(
         ranked = _assign_insert_ranks(alive_keys, key_cols, n_parts=n_parts)
         n_alive = ranked._n_rows
 
+    # tombstone aggregate (needed for stats later anyway), computed early:
+    # a feed that nets to NOTHING — e.g. an at-least-once replay of
+    # delete-only changes whose keys are already gone — must not commit an
+    # EMPTY segment (it would flip every reader onto the delta path and
+    # force a no-op fold)
+    dead_agg = (
+        joined.filter(F.col("doc_id").isNotNull())
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("sd"))
+        .collect()
+    )
+    n_dead = sum(int(r["n"]) for r in dead_agg)
+    if n_alive == 0 and n_dead == 0:
+        joined.unpersist()
+        return {
+            "affected_shards": [], "insert_shards": [], "n_changed": n_changed,
+            "n_docs": None, "segment": None, "strategy": "delta",
+            "compact_recommended": False,
+        }
+
     meta = read_index_meta(spark, index_dir)
     routing_col = meta.get("routing_col")
     routing_mod = int(meta.get("routing_n_shards") or 0)
@@ -886,12 +906,6 @@ def _apply_changes_delta(
 
     # exact stats fold (driver-side, tiny): + new docs, − tombstoned docs
     partials = read_stats_partials(spark, paths)
-    dead_agg = (
-        joined.filter(F.col("doc_id").isNotNull())
-        .groupBy("shard")
-        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("sd"))
-        .collect()
-    )
     touched_shards = set()
     for r in dead_agg:
         s = int(r["shard"])
@@ -916,8 +930,11 @@ def _apply_changes_delta(
     # fold_segments removes the emptied partition — harmless (adds zero)
     n_docs_total, _ = write_stats_tables(spark, paths, partials)
 
-    # compaction pressure: total un-folded delta rows vs corpus size
-    delta_rows = n_changed
+    # compaction pressure: total un-folded delta rows vs corpus size —
+    # PHYSICAL rows in both terms (this segment wrote n_alive live rows +
+    # n_dead tombstones; counting feed rows would under-state an update
+    # delta by 2x and fire the recommendation late)
+    delta_rows = n_alive + n_dead
     if delta_existing is not None:
         delta_rows += delta_existing.count()
     recommended = bool(

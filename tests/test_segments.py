@@ -337,3 +337,57 @@ def test_delete_only_delta(spark, tmp_path):
     assert int(victim["doc_id"]) not in {int(r["doc_id"]) for r in allhits.collect()}
     fold_segments(spark, idx)
     _rank_check(spark, idx, new_corpus, ["getvalue buffer", "parser import"])
+
+
+def test_stale_df_never_negates_idf(spark, tmp_path):
+    """Review round-5: with pending segments, df (which still counts dead
+    docs — Lucene semantics) can exceed the exact n_docs; unclamped, the
+    idf of a term every doc contains goes NEGATIVE and flips the
+    block-max upper bound into a lower bound (unsound pruning). Assert
+    idf stays positive and pruned == exact on exactly that shape."""
+    idx = str(tmp_path / "idx")
+    rows = [
+        ("r", f"doc/{i:04d}", "c0", "py", f"zzcommon filler{i} body text", i)
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string, seq_no long",
+    )
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+    # update half the docs; every version (old and new) contains zzcommon
+    upd = [r[1] for r in rows[:5]]
+    new_corpus = corpus.withColumn(
+        "content",
+        F.when(F.col("path").isin(upd), F.concat(F.col("content"), F.lit(" updated")))
+        .otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [("r", p, "index", 100 + i) for i, p in enumerate(upd)],
+        "repo string, path string, action string, seq_no long",
+    )
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    q = BM25Query(spark, idx)
+    idfs = q._term_stats(["zzcommon"])
+    assert idfs["zzcommon"] > 0  # clamped: df=15 raw vs n_docs=10
+    a = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_pruned("zzcommon updated", 10).collect()]
+    b = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_exact("zzcommon updated", 10).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_noop_delta_feed_writes_no_segment(spark, tmp_path):
+    """A feed that nets to nothing (replayed deletes of already-gone
+    keys) must not commit an empty segment — the index stays on the
+    segment-free fast path."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 50)
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+    changes = spark.createDataFrame(
+        [("no/such", "ghost.py", "delete", 1)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, corpus, changes, strategy="delta")
+    assert out["segment"] is None and out["n_changed"] == 1
+    assert not has_segments(spark, IndexPaths(idx))

@@ -31,10 +31,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _checkout(commit: str) -> str:
     if commit == "WORKTREE":
         return REPO
-    wt = f"{tempfile.gettempdir()}/ab_bench_{commit}"
+    # cache by RESOLVED sha, not ref name: a branch/tag that moved since a
+    # previous run would otherwise silently bench the stale checkout
+    sha = subprocess.run(
+        ["git", "rev-parse", commit], cwd=REPO, check=True,
+        capture_output=True, text=True, timeout=30,
+    ).stdout.strip()
+    wt = f"{tempfile.gettempdir()}/ab_bench_{sha[:12]}"
     if not os.path.isdir(wt):
         subprocess.run(
-            ["git", "worktree", "add", "--detach", wt, commit],
+            ["git", "worktree", "add", "--detach", wt, sha],
             cwd=REPO, check=True, capture_output=True, timeout=120,
         )
     return wt
@@ -53,7 +59,15 @@ def _run_once(wt: str, sf_dir: str, cpus: str) -> dict:
         [sys.executable, f"{wt}/bench.py"],
         cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
     )
-    line = next(ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{"))
+    line = next(
+        (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        raise RuntimeError(
+            f"bench.py in {wt} failed (rc={proc.returncode}); stderr tail:\n"
+            + "\n".join(proc.stderr.splitlines()[-15:])
+        )
     return json.loads(line)
 
 
