@@ -89,3 +89,38 @@ def rolling_fingerprint_py(tokens: list[str], window: int = 8) -> int:
             for i in range(len(tokens) - window + 1)
         )
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def murmur3_int32(values, seed: int = 42):
+    """Spark's ``F.hash()`` for a single INT column, vectorized in numpy.
+
+    Spark hashes an IntegerType column with Murmur3_x86_32.hashInt(seed=42)
+    (the public MurmurHash3 algorithm; Spark's variant processes the int as
+    one 4-byte block and finalizes with len=4). Returns signed int32, bit-
+    exact with the JVM — verified against ``F.hash`` in
+    tests/test_tokenizer.py::test_murmur3_int32_matches_spark.
+
+    Used by BM25Query._shard_salts to probe the perfect shard partitioner
+    WITHOUT a Spark job: the old driver probe collected 64*n_shards rows
+    per refresh, which is fine at 1k shards and real money at 100k.
+    """
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64).astype(np.uint32)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    with np.errstate(over="ignore"):
+        k1 = (v * c1).astype(np.uint32)
+        k1 = ((k1 << np.uint32(15)) | (k1 >> np.uint32(17))).astype(np.uint32)
+        k1 = (k1 * c2).astype(np.uint32)
+        h1 = np.uint32(seed) ^ k1
+        h1 = ((h1 << np.uint32(13)) | (h1 >> np.uint32(19))).astype(np.uint32)
+        h1 = (h1 * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+        # finalization: fmix(h1 ^ len), len = 4 bytes
+        h1 = h1 ^ np.uint32(4)
+        h1 = h1 ^ (h1 >> np.uint32(16))
+        h1 = (h1 * np.uint32(0x85EBCA6B)).astype(np.uint32)
+        h1 = h1 ^ (h1 >> np.uint32(13))
+        h1 = (h1 * np.uint32(0xC2B2AE35)).astype(np.uint32)
+        h1 = h1 ^ (h1 >> np.uint32(16))
+    return h1.astype(np.int32)

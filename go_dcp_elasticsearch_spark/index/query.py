@@ -172,7 +172,6 @@ class BM25Query:
         )
 
         spark.catalog.refreshByPath(self.paths.stats_shards)
-        self.n_docs, self.avgdl = read_global_stats(spark, self.paths)
         # delta-segment snapshot: the committed segment list and the
         # tombstoned doc_ids are pinned HERE so every query this handle
         # serves sees one consistent (segments, tombstones) pair — a
@@ -180,13 +179,33 @@ class BM25Query:
         # next epoch bump, never half-visible mid-query
         self._segs = list_segments(spark, self.paths)
         self._tomb = tombstone_ids(spark, self.paths) if self._segs else None
-        # shard count for the kernel partitioner (tiny pruned scan, once);
-        # delta docs can carry labels the base has not materialized yet
-        shards = spark.read.parquet(self.paths.docs).select("shard")
+        # stats AND the shard-label bound come from ONE read of the tiny
+        # stats partials (every maintenance path keeps a partial per live
+        # label, including delta-minted ones) — the old per-refresh docs
+        # metadata scan for max(shard) is gone. Legacy pre-v5 indexes
+        # fall back to the docs scan. Delta docs can carry labels whose
+        # stats write was lost to a crash (heals at fold) — their max is
+        # folded in from the (small) segment read when segments exist.
+        from go_dcp_elasticsearch_spark.fsutil import exists as _exists
+        from go_dcp_elasticsearch_spark.index.builder import read_stats_partials
+
+        if _exists(spark, self.paths.stats_shards):
+            parts = read_stats_partials(spark, self.paths)
+            self.n_docs = sum(n for n, _ in parts.values())
+            sum_dl = sum(sd for _, sd in parts.values())
+            self.avgdl = (sum_dl / self.n_docs) if self.n_docs else 0.0
+            max_label = max(parts, default=0)
+        else:
+            self.n_docs, self.avgdl = read_global_stats(spark, self.paths)
+            max_label = int(
+                spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]
+            )
         delta = read_delta_docs(spark, self.paths)
         if delta is not None:
-            shards = shards.unionByName(delta.select("shard"))
-        self.n_shards = int(shards.agg(F.max("shard")).collect()[0][0]) + 1
+            dmax = delta.agg(F.max("shard")).collect()[0][0]
+            if dmax is not None:
+                max_label = max(max_label, int(dmax))
+        self.n_shards = int(max_label) + 1
         self._salts = self._shard_salts()
         # warm the dictionary projection EAGERLY: serving handles refresh
         # once per epoch, and loading the (term -> df) map here means
@@ -199,26 +218,34 @@ class BM25Query:
     def _shard_salts(self) -> dict[int, int]:
         """shard -> integer salt with pmod(hash(salt), n_shards) == shard.
 
-        Probing Spark's own murmur3 once at init buys a PERFECT
-        1-shard-per-task partitioner for every later query: plain
-        repartition(n, "shard") hashes n keys into n buckets and birthday
-        collisions make one task do two shards' work (the straggler sets
-        query wall time), while repartitionByRange adds a sampling pass
-        per query. One tiny driver job; no per-query cost."""
+        The salt map buys a PERFECT 1-shard-per-task partitioner for every
+        later query: plain repartition(n, "shard") hashes n keys into n
+        buckets and birthday collisions make one task do two shards' work
+        (the straggler sets query wall time), while repartitionByRange
+        adds a sampling pass per query. Computed LOCALLY with the numpy
+        murmur3 mirror of Spark's int hash (bit-exactness pytest-asserted)
+        — zero Spark jobs at refresh, and O(n) numpy work that stays cheap
+        at 100k shards where the old 64*n-row driver probe job did not.
+        A salt mismatch would only merge two shards into one task (the
+        kernel runs per shard group within a partition), never corrupt
+        results."""
+        import numpy as np
+
+        from go_dcp_elasticsearch_spark.functions.hashing import murmur3_int32
+
         n = self.n_shards
         best: dict[int, int] = {}
+        lo = 0
         span = 64 * n
         while len(best) < n:
-            probe = (
-                self.spark.range(0, span)
-                .select(
-                    F.col("id").cast("int").alias("salt"),
-                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
-                )
-                .collect()
-            )
-            for r in probe:
-                best.setdefault(int(r["p"]), int(r["salt"]))
+            salts = np.arange(lo, lo + span, dtype=np.int64)
+            p = np.mod(murmur3_int32(salts).astype(np.int64), n)
+            # first occurrence per bucket (np.unique returns first index
+            # in sorted-unique order)
+            uniq, idx = np.unique(p, return_index=True)
+            for b, i in zip(uniq.tolist(), idx.tolist()):
+                best.setdefault(int(b), int(salts[i]))
+            lo += span
             span *= 4
         return {shard: best[shard] for shard in range(n)}
         # Block-max metadata is (max_tf, min_dl); the per-block tf_norm

@@ -235,6 +235,8 @@ def stream_changes_to_index(
     n_buckets: int = 64,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    apply_strategy: str = "rebuild",
+    auto_fold: bool = True,
 ) -> StreamingQuery:
     """The full reference loop end-to-end: stream change events ->
     incrementally maintain the QUERYABLE index (go-dcp delivers events,
@@ -246,10 +248,20 @@ def stream_changes_to_index(
       1. LWW-dedup the batch (A7).
       2. Merge upserts/deletes into the touched ``_corpus`` buckets only
          (dynamic partition overwrite on the key-hash bucket).
-      3. ``apply_changes_to_index`` — rebuild ONLY affected shards,
-         refresh dictionary/stats, commit lineage.
+      3. ``apply_changes_to_index`` — per ``apply_strategy``: "rebuild"
+         (default; exact shard-scoped rebuild), "delta" (O(changed docs)
+         segment + tombstones — the Elasticsearch model, where every
+         bulk flush becomes tiny new Lucene segments; the right strategy
+         for high-frequency micro-batches whose keys scatter), or
+         "auto".
     The source offset commits after the batch returns (ack-gated manual
     checkpointing, connector.go:186 + bulk.go:320-332).
+
+    ``auto_fold``: when a delta-strategy apply reports
+    ``compact_recommended`` (un-folded segments past the pressure
+    threshold), fold them into the base inside the same micro-batch —
+    the streaming analogue of Lucene's background segment merges; keeps
+    an unbounded stream's tombstone set and segment count bounded.
 
     Stream schema: key_cols..., action ('index'|'delete'), commit, lang,
     content (null for deletes), ``order_col``.
@@ -280,12 +292,17 @@ def stream_changes_to_index(
             n_buckets=n_buckets,
         )
         new_corpus = spark.read.parquet(corpus_path).drop("_bucket")
-        apply_changes_to_index(
+        result = apply_changes_to_index(
             spark, index_dir, new_corpus,
             feed.select(*key_cols, "action",
                         F.col(order_col).cast("long").alias(order_col)),
             key_cols=key_cols, order_col=order_col,
+            strategy=apply_strategy,
         )
+        if auto_fold and result.get("compact_recommended"):
+            from go_dcp_elasticsearch_spark.index.segments import fold_segments
+
+            fold_segments(spark, index_dir)
         feed.unpersist()
 
     writer = (

@@ -118,3 +118,90 @@ def test_stream_changes_to_index_end_to_end(spark, tmp_path):
         assert [g[0] for g in got] == [w[0] for w in want], qtext
         for (gd, gs), (wd, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9
+
+
+def test_stream_changes_to_index_delta_strategy(spark, tmp_path):
+    """Round 5: the streaming loop with apply_strategy='delta' — each
+    micro-batch lands as a delta segment (no base shard rewritten), the
+    live view reflects the stream, and auto_fold keeps the delta area
+    bounded. Final check folds and asserts full rank identity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+    from go_dcp_elasticsearch_spark.index.segments import (
+        fold_segments,
+        has_segments,
+        read_docs,
+    )
+    from go_dcp_elasticsearch_spark.streaming.pipeline import (
+        stream_changes_to_index,
+        write_corpus_mirror,
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "changes_src")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = synth_corpus(spark, 150)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    write_corpus_mirror(spark, idx, corpus, n_buckets=8)
+
+    docs0 = spark.read.parquet(f"{idx}/docs")
+    victims = docs0.orderBy("doc_id").limit(2).collect()
+    upd_key = (victims[0]["repo"], victims[0]["path"])
+    del_key = (victims[1]["repo"], victims[1]["path"])
+
+    schema = StructType([
+        StructField("repo", StringType()), StructField("path", StringType()),
+        StructField("action", StringType()), StructField("commit", StringType()),
+        StructField("lang", StringType()), StructField("content", StringType()),
+        StructField("seq_no", IntegerType()),
+    ])
+    new_content = "streameddelta zzpulsedelta zzpulsedelta buffer"
+    batch1 = [(upd_key[0], upd_key[1], "index", "c1", "python", new_content, 2001),
+              (del_key[0], del_key[1], "delete", None, None, None, 2002)]
+    batch2 = [("orgD/deltarepo", "src/d.py", "index", "c2", "go",
+               "deltainserted zzvortexdelta parser", 2003)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = stream_changes_to_index(
+        spark, src, schema, idx, ckpt, available_now=True,
+        apply_strategy="delta", auto_fold=False,
+    )
+    q.awaitTermination(120)
+    assert has_segments(spark, IndexPaths(idx))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_changes_to_index(
+        spark, src, schema, idx, ckpt, available_now=True,
+        apply_strategy="delta", auto_fold=False,
+    )
+    q2.awaitTermination(120)
+
+    view = read_docs(spark, idx)
+    assert view.filter(
+        (F.col("repo") == del_key[0]) & (F.col("path") == del_key[1])
+    ).count() == 0
+    assert view.filter(F.col("repo") == "orgD/deltarepo").count() == 1
+    assert view.count() == 150
+
+    # pre-fold: the streamed tokens are queryable through the segments
+    bq = BM25Query(spark, idx)
+    assert bq.topk_pruned("zzpulsedelta", 5).count() > 0
+    assert bq.topk_pruned("zzvortexdelta", 5).count() > 0
+
+    # fold and assert full rank identity vs the python oracle
+    fold_segments(spark, idx)
+    mirror = spark.read.parquet(f"{idx}/_corpus")
+    id_rows = read_docs(spark, idx).select("doc_id", "repo", "path").join(
+        mirror.select("repo", "path", "content"), ["repo", "path"]
+    ).collect()
+    assert len(id_rows) == 150
+    toks = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
+    for qtext in ["zzpulsedelta buffer", "zzvortexdelta", "getvalue index"]:
+        want = bm25_oracle(toks, tokenize_py(qtext), 10)
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in bq.topk_pruned(qtext, 10).collect()]
+        assert [g[0] for g in got] == [w[0] for w in want], qtext

@@ -52,3 +52,25 @@ def test_mirrors_agree(spark):
             f"select {tokenize_duckdb_sql('?')} as toks", params=[r["text"]]
         ).fetchone()[0]
         assert list(got) == want, r["text"]
+
+
+def test_murmur3_int32_matches_spark(spark):
+    """The numpy murmur3 mirror must be BIT-EXACT with Spark's F.hash over
+    an int column (negatives, extremes included) — BM25Query._shard_salts
+    computes the perfect-partitioner salt map locally with it."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_elasticsearch_spark.functions.hashing import murmur3_int32
+
+    vals = (
+        list(range(-1000, 1000))
+        + [2**31 - 1, -(2**31), 123456789, -987654321, 42]
+    )
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    want = {r["v"]: int(r["h"]) for r in rows}
+    mine = murmur3_int32(vals)
+    assert all(int(m) == want[v] for v, m in zip(vals, mine))
