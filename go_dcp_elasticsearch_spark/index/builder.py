@@ -464,10 +464,16 @@ def write_stats_tables(
     tiny_df(spark, rows, "shard int, n_docs long, sum_dl long").write.mode(
         "overwrite"
     ).parquet(paths.stats_shards)
-    n_docs = sum(n for _, n, _ in rows)
-    sum_dl = sum(sd for _, _, sd in rows)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    return n_docs, avgdl
+    return stats_from_partials(partials)
+
+
+def stats_from_partials(parts: dict[int, tuple[int, int]]) -> tuple[int, float]:
+    """(n_docs, avgdl) from a partials dict — the ONE place the global
+    stats derivation lives (write_stats_tables, read_global_stats and
+    BM25Query.refresh all fold through here)."""
+    n_docs = sum(n for n, _ in parts.values())
+    sum_dl = sum(sd for _, sd in parts.values())
+    return n_docs, (sum_dl / n_docs) if n_docs else 0.0
 
 
 def read_stats_partials(spark, paths: IndexPaths) -> dict[int, tuple[int, int]]:
@@ -488,10 +494,7 @@ def read_global_stats(spark, paths: IndexPaths) -> tuple[int, float]:
     from go_dcp_elasticsearch_spark.fsutil import exists
 
     if exists(spark, paths.stats_shards):
-        parts = read_stats_partials(spark, paths)
-        n_docs = sum(n for n, _ in parts.values())
-        sum_dl = sum(sd for _, sd in parts.values())
-        return n_docs, (sum_dl / n_docs) if n_docs else 0.0
+        return stats_from_partials(read_stats_partials(spark, paths))
     srow = spark.read.parquet(paths.stats).collect()[0]
     return int(srow["n_docs"]), float(srow["avgdl"])
 

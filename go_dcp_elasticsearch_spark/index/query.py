@@ -167,7 +167,6 @@ class BM25Query:
         from go_dcp_elasticsearch_spark.index.builder import read_global_stats
         from go_dcp_elasticsearch_spark.index.segments import (
             list_segments,
-            read_delta_docs,
             tombstone_ids,
         )
 
@@ -187,24 +186,26 @@ class BM25Query:
         # stats write was lost to a crash (heals at fold) — their max is
         # folded in from the (small) segment read when segments exist.
         from go_dcp_elasticsearch_spark.fsutil import exists as _exists
-        from go_dcp_elasticsearch_spark.index.builder import read_stats_partials
+        from go_dcp_elasticsearch_spark.index.builder import (
+            read_stats_partials,
+            stats_from_partials,
+        )
 
         if _exists(spark, self.paths.stats_shards):
             parts = read_stats_partials(spark, self.paths)
-            self.n_docs = sum(n for n, _ in parts.values())
-            sum_dl = sum(sd for _, sd in parts.values())
-            self.avgdl = (sum_dl / self.n_docs) if self.n_docs else 0.0
+            self.n_docs, self.avgdl = stats_from_partials(parts)
             max_label = max(parts, default=0)
         else:
             self.n_docs, self.avgdl = read_global_stats(spark, self.paths)
             max_label = int(
                 spark.read.parquet(self.paths.docs).agg(F.max("shard")).collect()[0][0]
             )
-        delta = read_delta_docs(spark, self.paths)
-        if delta is not None:
-            dmax = delta.agg(F.max("shard")).collect()[0][0]
-            if dmax is not None:
-                max_label = max(max_label, int(dmax))
+        # the partials already cover every DELTA-minted label in every
+        # non-crash state (each delta apply writes a partial per insert
+        # shard), so no per-refresh segment scan for max(shard) is needed;
+        # the crash window between a segment's docs and stats writes could
+        # hide a label, which only merges that shard into another task
+        # (kernels group by shard within a partition) and heals at fold
         self.n_shards = int(max_label) + 1
         self._salts = self._shard_salts()
         # warm the dictionary projection EAGERLY: serving handles refresh
@@ -229,8 +230,6 @@ class BM25Query:
         A salt mismatch would only merge two shards into one task (the
         kernel runs per shard group within a partition), never corrupt
         results."""
-        import numpy as np
-
         from go_dcp_elasticsearch_spark.functions.hashing import murmur3_int32
 
         n = self.n_shards

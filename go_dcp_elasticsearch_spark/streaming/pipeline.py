@@ -268,6 +268,13 @@ def stream_changes_to_index(
     """
     from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
 
+    # fail fast at the CALL SITE: an invalid strategy raising inside
+    # foreachBatch would surface asynchronously at the first non-empty
+    # micro-batch, after that batch's mirror merge already applied
+    if apply_strategy not in ("rebuild", "delta", "auto"):
+        raise ValueError(
+            f"stream_changes_to_index: unknown apply_strategy {apply_strategy!r}"
+        )
     key_cols = list(key_cols)
     corpus_path = f"{index_dir}/_corpus"
     # layout authority: the modulus the mirror was written with wins over

@@ -391,3 +391,114 @@ def test_noop_delta_feed_writes_no_segment(spark, tmp_path):
     out = apply_changes_to_index(spark, idx, corpus, changes, strategy="delta")
     assert out["segment"] is None and out["n_changed"] == 1
     assert not has_segments(spark, IndexPaths(idx))
+
+
+def test_batch_queries_respect_tombstones(spark, tmp_path):
+    """topk_batch over an index with pending segments: per-query results
+    equal the single-query pruned path (the batch kernel shares the
+    tombstone filter and the (term, seg, block_id) decode-cache keys)."""
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    q = BM25Query(spark, idx)
+    queries = [(0, NEW_CONTENT), (1, "zzkraken parser"), (2, "getvalue buffer")]
+    batch = q.topk_batch(queries, 10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+        )
+    for qid, qtext in queries:
+        single = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                  for r in q.topk_pruned(qtext, 10).collect()]
+        assert by_q.get(qid, []) == single, qtext
+
+
+def test_delta_fold_equals_rebuild(spark, tmp_path):
+    """Equivalence invariant: apply(delta) + fold ≡ apply(rebuild) on the
+    same base and feed — identical live key→sha state and identical query
+    scores (doc_ids may differ: the delta path mints new ids for changed
+    docs; scores and ranks must not)."""
+    import shutil
+
+    idx_a, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    idx_b = str(tmp_path / "idx_b")
+    shutil.copytree(idx_a, idx_b)
+
+    apply_changes_to_index(spark, idx_a, new_corpus, changes, strategy="rebuild")
+    apply_changes_to_index(spark, idx_b, new_corpus, changes, strategy="delta")
+    fold_segments(spark, idx_b)
+
+    state_a = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in spark.read.parquet(f"{idx_a}/docs").collect()
+    }
+    state_b = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in spark.read.parquet(f"{idx_b}/docs").collect()
+    }
+    assert state_a == state_b
+
+    qa, qb = BM25Query(spark, idx_a), BM25Query(spark, idx_b)
+    assert (qa.n_docs, round(qa.avgdl, 9)) == (qb.n_docs, round(qb.avgdl, 9))
+    for qtext in [NEW_CONTENT, "zzkraken", "getvalue buffer parser"]:
+        sa = sorted(round(float(r["score"]), 9) for r in qa.topk_pruned(qtext, 10).collect())
+        sb = sorted(round(float(r["score"]), 9) for r in qb.topk_pruned(qtext, 10).collect())
+        assert sa == sb, qtext
+
+
+def test_tokenless_update_and_shard_emptying_fold(spark, tmp_path):
+    """Two edges through the segment path: (a) a delta update whose new
+    content tokenizes to NOTHING (doc survives with doc_len 0, never
+    scores, old tokens dead); (b) a delta that deletes EVERY doc of one
+    shard — after fold the shard's partitions and partials are gone."""
+    from go_dcp_elasticsearch_spark.index.builder import read_stats_partials
+
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 80)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    docs0 = spark.read.parquet(f"{idx}/docs")
+    # victim shard: empty it entirely; plus one token-less update elsewhere
+    sh0 = docs0.filter(F.col("shard") == 0).select("repo", "path").collect()
+    other = docs0.filter(F.col("shard") != 0).orderBy("doc_id").limit(1).collect()[0]
+    upd_key = (other["repo"], other["path"])
+
+    new_corpus = corpus.join(
+        spark.createDataFrame(sh0, "repo string, path string"),
+        ["repo", "path"], "left_anti",
+    ).withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == upd_key[0]) & (F.col("path") == upd_key[1]),
+            F.lit("!!! --- ..."),  # tokenizes to nothing
+        ).otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [(r["repo"], r["path"], "delete", 500 + i) for i, r in enumerate(sh0)]
+        + [(upd_key[0], upd_key[1], "index", 999)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    assert out["n_docs"] == 80 - len(sh0)
+
+    view = read_docs(spark, idx)
+    urow = view.filter(
+        (F.col("repo") == upd_key[0]) & (F.col("path") == upd_key[1])
+    ).collect()
+    assert len(urow) == 1 and int(urow[0]["doc_len"]) == 0
+    assert view.filter(F.col("shard") == 0).count() == 0
+    q = BM25Query(spark, idx)
+    # the updated doc's OLD tokens are dead; its new content has none
+    old_content = corpus.filter(
+        (F.col("repo") == upd_key[0]) & (F.col("path") == upd_key[1])
+    ).collect()[0]["content"]
+    hits = {int(r["doc_id"]) for r in q.topk_pruned(old_content, 80).collect()}
+    assert int(other["doc_id"]) not in hits
+
+    fold_segments(spark, idx)
+    import os as _os
+
+    assert not _os.path.exists(f"{idx}/docs/shard=0")
+    assert not _os.path.exists(f"{idx}/postings/shard=0")
+    parts = read_stats_partials(spark, IndexPaths(idx))
+    assert 0 not in parts
+    _rank_check(spark, idx, new_corpus, ["getvalue buffer", "parser import"])

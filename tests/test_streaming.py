@@ -205,3 +205,64 @@ def test_stream_changes_to_index_delta_strategy(spark, tmp_path):
         got = [(int(r["doc_id"]), float(r["score"]))
                for r in bq.topk_pruned(qtext, 10).collect()]
         assert [g[0] for g in got] == [w[0] for w in want], qtext
+
+
+def test_stream_auto_fold_triggers(spark, tmp_path):
+    """auto_fold (default) must actually FOLD inside the micro-batch when
+    the delta area passes the compaction-pressure threshold: a batch
+    updating >20% of a small corpus leaves NO pending segments after the
+    drain, and the folded index answers exactly."""
+    import warnings
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+    from go_dcp_elasticsearch_spark.index.segments import has_segments
+    from go_dcp_elasticsearch_spark.streaming.pipeline import (
+        stream_changes_to_index,
+        write_corpus_mirror,
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "changes_src")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = synth_corpus(spark, 60)
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+    write_corpus_mirror(spark, idx, corpus, n_buckets=4)
+
+    schema = StructType([
+        StructField("repo", StringType()), StructField("path", StringType()),
+        StructField("action", StringType()), StructField("commit", StringType()),
+        StructField("lang", StringType()), StructField("content", StringType()),
+        StructField("seq_no", IntegerType()),
+    ])
+    # update 20 of 60 docs in one micro-batch: the segment writes 20 alive
+    # + 20 tombstone rows = 40/60 > COMPACT_RECOMMEND_FRACTION
+    victims = spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(20).collect()
+    batch = [
+        (r["repo"], r["path"], "index", "c9", "python",
+         f"zzautofold body {i}", 3000 + i)
+        for i, r in enumerate(victims)
+    ]
+    spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the pressure warning is expected
+        q = stream_changes_to_index(
+            spark, src, schema, idx, ckpt, available_now=True,
+            apply_strategy="delta",  # auto_fold defaults True
+        )
+        q.awaitTermination(120)
+    assert not has_segments(spark, IndexPaths(idx))  # folded in-batch
+    bq = BM25Query(spark, idx)
+    assert bq.topk_pruned("zzautofold", 25).count() == 20
+
+    # invalid strategy fails fast at the call site, not inside the stream
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="apply_strategy"):
+        stream_changes_to_index(
+            spark, src, schema, idx, ckpt, apply_strategy="Delta"
+        )
