@@ -502,3 +502,102 @@ def test_tokenless_update_and_shard_emptying_fold(spark, tmp_path):
     parts = read_stats_partials(spark, IndexPaths(idx))
     assert 0 not in parts
     _rank_check(spark, idx, new_corpus, ["getvalue buffer", "parser import"])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+def test_delta_fold_equals_rebuild_property(spark, tmp_path_factory, seed, data):
+    """Property fuzz of the round-5 core invariant: for a RANDOM feed of
+    updates/deletes/inserts (random subset sizes, random key overlap,
+    including token-less new content), apply(delta)+fold and
+    apply(rebuild) produce the same live key→sha state, the same global
+    stats, and the same query scores."""
+    import random
+    import shutil
+
+    rng = random.Random(seed)
+    n = rng.choice([40, 80])
+    n_upd = data.draw(st.integers(min_value=0, max_value=8), label="n_upd")
+    n_del = data.draw(st.integers(min_value=0, max_value=8), label="n_del")
+    n_ins = data.draw(st.integers(min_value=0, max_value=4), label="n_ins")
+    tokenless = data.draw(st.booleans(), label="tokenless_update")
+    if n_upd + n_del + n_ins == 0:
+        n_ins = 1
+
+    base = tmp_path_factory.mktemp(f"prop{seed % 10000}")
+    idx_a, idx_b = str(base / "a"), str(base / "b")
+    corpus = synth_corpus(spark, n)
+    IndexBuilder(spark, idx_a, n_shards=4).build(corpus)
+    shutil.copytree(idx_a, idx_b)
+
+    keys = [
+        (r["repo"], r["path"])
+        for r in spark.read.parquet(f"{idx_a}/docs")
+        .select("repo", "path").orderBy("repo", "path").collect()
+    ]
+    rng.shuffle(keys)
+    upd = keys[:n_upd]
+    dele = keys[n_upd : n_upd + n_del]
+    ins = [("orgP/prop", f"new{i}.py") for i in range(n_ins)]
+
+    upd_content = "..." if tokenless else "zzpropupdated shared body"
+    ins_rows = [
+        (r, p, f"c{i}", "python", f"zzpropinserted item{i} parser", 7000 + i)
+        for i, (r, p) in enumerate(ins)
+    ]
+    del_set = {f"{r}|{p}" for r, p in dele}
+    upd_set = {f"{r}|{p}" for r, p in upd}
+    tagged = F.concat_ws("|", "repo", "path")
+    new_corpus = (
+        corpus.filter(~tagged.isin(list(del_set)) if del_set else F.lit(True))
+        .withColumn(
+            "content",
+            F.when(tagged.isin(list(upd_set)) if upd_set else F.lit(False),
+                   F.lit(upd_content)).otherwise(F.col("content")),
+        )
+        .unionByName(spark.createDataFrame(
+            ins_rows,
+            "repo string, path string, commit string, lang string, content string, seq_no int",
+        ))
+    )
+    feed_rows = (
+        [(r, p, "index", 8000 + i) for i, (r, p) in enumerate(upd)]
+        + [(r, p, "delete", 8100 + i) for i, (r, p) in enumerate(dele)]
+        + [(r, p, "index", 8200 + i) for i, (r, p) in enumerate(ins)]
+    )
+    changes = spark.createDataFrame(
+        feed_rows, "repo string, path string, action string, seq_no long"
+    )
+
+    apply_changes_to_index(spark, idx_a, new_corpus, changes, strategy="rebuild")
+    apply_changes_to_index(spark, idx_b, new_corpus, changes, strategy="delta")
+    fold_segments(spark, idx_b)
+
+    state_a = {
+        (r["repo"], r["path"]): (r["content_sha256"], int(r["doc_len"]))
+        for r in spark.read.parquet(f"{idx_a}/docs").collect()
+    }
+    state_b = {
+        (r["repo"], r["path"]): (r["content_sha256"], int(r["doc_len"]))
+        for r in spark.read.parquet(f"{idx_b}/docs").collect()
+    }
+    assert state_a == state_b
+    qa, qb = BM25Query(spark, idx_a), BM25Query(spark, idx_b)
+    assert qa.n_docs == qb.n_docs
+    assert abs(qa.avgdl - qb.avgdl) < 1e-9
+    for qtext in ["zzpropupdated shared", "zzpropinserted parser", "getvalue buffer"]:
+        sa = sorted(round(float(r["score"]), 9)
+                    for r in qa.topk_pruned(qtext, 10).collect())
+        sb = sorted(round(float(r["score"]), 9)
+                    for r in qb.topk_pruned(qtext, 10).collect())
+        assert sa == sb, (qtext, seed)
