@@ -225,6 +225,29 @@ def _q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval (ES bool.must): docs containing EVERY query
+    term, BM25-ranked — mode='all' through the full compressed index.
+    Conjunction is decided per shard (a doc's postings all live in its
+    one shard), filtered BEFORE the block-max threshold so pruning stays
+    sound on the reduced candidate set. idf/df stay corpus-wide, exactly
+    as in the SQL mirror's HAVING formulation."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    out = q.topk_pruned(" ".join(BM25_TERMS), BM25_K, mode="all")
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        out.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+    )
+
+
 def _q_term_df_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 dictionary: top-50 terms by document frequency (salted agg path
     is exercised in the engine; this mirrors its output relationally)."""
@@ -956,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "bm25_topk_conj": _q_bm25_topk_conj,
         "term_df_topn": _q_term_df_topn,
         "term_df_salted": _q_term_df_salted,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1069,6 +1093,10 @@ def oracle_sql() -> dict[str, str]:
     sqls = {
         "bm25_topk": bm25,
         "bm25_topk_indexed": bm25,
+        "bm25_topk_conj": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", BM25_TERMS, BM25_K,
+            require_all=True,
+        ),
         "delta_fold_topk": delta_fold,
         "routed_catalog": routed,
         "term_df_topn": f"""

@@ -89,12 +89,18 @@ def round6_expr(col: Column) -> Column:
 
 
 def bm25_duckdb_sql(
-    tokens_sql: str, source_table: str, doc_id_col: str, terms: list[str], k: int, round_dp: int = 6
+    tokens_sql: str, source_table: str, doc_id_col: str, terms: list[str], k: int,
+    round_dp: int = 6, require_all: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (oracle side of the
     driver's correctness gate). ``tokens_sql`` is a fragment producing the
-    canonical token array from the source table's text column."""
+    canonical token array from the source table's text column.
+    ``require_all`` mirrors the engine's conjunctive mode (ES bool.must):
+    the tf CTE holds one row per (doc, matched term), so the conjunction
+    is a HAVING on the per-doc row count — idf/df stay corpus-wide, as
+    in the engine."""
     terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
     return f"""
 WITH toks AS (
   SELECT {doc_id_col} AS doc_id, {tokens_sql} AS tokens FROM {source_table}
@@ -115,6 +121,7 @@ scored AS (
             ) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
+  {having}
 )
 SELECT doc_id, {round6_sql("score")} AS score
 FROM scored

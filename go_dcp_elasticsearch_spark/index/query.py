@@ -362,14 +362,21 @@ class BM25Query:
             decode, schema=DECODED_SCHEMA
         )
 
-    def topk_exact(self, query: str, k: int = 10) -> DataFrame:
-        """Exact BM25 top-k; JVM-side scoring, broadcast dictionary join."""
+    def topk_exact(self, query: str, k: int = 10, mode: str = "any") -> DataFrame:
+        """Exact BM25 top-k; JVM-side scoring, broadcast dictionary join.
+
+        ``mode="any"`` (default) is the disjunctive BM25 top-k;
+        ``mode="all"`` keeps only docs containing EVERY query term — the
+        Elasticsearch ``bool.must`` semantics. A query term absent from
+        the whole corpus makes an "all" query empty (ES behaves the
+        same)."""
+        _check_mode(mode)
         self._ensure_fresh()
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
         idfs = self._term_stats(terms)
-        if not idfs:
+        if not idfs or (mode == "all" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], schema="doc_id long, score double")
         idf_map = F.create_map(
             *[x for t, w in sorted(idfs.items()) for x in (F.lit(t), F.lit(float(w)))]
@@ -382,8 +389,14 @@ class BM25Query:
         scored = (
             postings.withColumn("contrib", contrib)
             .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"))
+            .agg(F.sum("contrib").alias("score"),
+                 F.count("*").alias("_nt"))
         )
+        if mode == "all":
+            # one decoded row per (term, doc): the match count per doc is
+            # the row count, so conjunction is a HAVING, not a re-scan
+            scored = scored.filter(F.col("_nt") == len(terms))
+        scored = scored.drop("_nt")
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def _per_shard(self, blocks: DataFrame, kernel, out_schema: str) -> DataFrame:
@@ -417,16 +430,24 @@ class BM25Query:
 
     # ---------- strategy 2: shard-parallel block-max pruning ----------
 
-    def topk_pruned(self, query: str, k: int = 10) -> DataFrame:
-        """Block-max pruned top-k: per-shard kernel + global merge."""
+    def topk_pruned(self, query: str, k: int = 10, mode: str = "any") -> DataFrame:
+        """Block-max pruned top-k: per-shard kernel + global merge.
+
+        ``mode="all"`` = conjunctive (every query term must match — ES
+        ``bool.must``). Conjunction is decided entirely per shard: a doc
+        lives in exactly one shard, so ALL its postings for all terms are
+        in that shard's blocks — no cross-shard coordination needed, and
+        a shard missing one of the terms simply yields nothing."""
+        _check_mode(mode)
         self._ensure_fresh()
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
         idfs = self._term_stats(terms)
-        if not idfs:
+        if not idfs or (mode == "all" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], schema="doc_id long, score double")
-        kernel = _make_shard_kernel(idfs, self.avgdl, k, self._tomb)
+        require_n = len(terms) if mode == "all" else 0
+        kernel = _make_shard_kernel(idfs, self.avgdl, k, self._tomb, require_n)
         blocks = self._candidate_blocks(list(idfs)).select(
             "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
             "max_tf", "min_dl"
@@ -452,7 +473,8 @@ class BM25Query:
     # ---------- batch retrieval (many queries at once) ----------
 
     def topk_batch(
-        self, queries: list[tuple[int, str]], k: int = 10, chunk_size: int = 128
+        self, queries: list[tuple[int, str]], k: int = 10, chunk_size: int = 128,
+        mode: str = "any",
     ) -> DataFrame:
         """Run many queries in ONE job: a single postings scan filtered to
         the union of all query terms, one shard shuffle, blocks decoded
@@ -464,6 +486,7 @@ class BM25Query:
         """
         from pyspark.sql import Window
 
+        _check_mode(mode)
         self._ensure_fresh()
         qterms = {qid: self.analyze(qtext) for qid, qtext in queries}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -471,11 +494,18 @@ class BM25Query:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         idfs = self._term_stats(all_terms)
         live = {qid: [t for t in ts if t in idfs] for qid, ts in qterms.items()}
+        if mode == "all":
+            # a query term absent from the whole corpus empties that
+            # query (ES bool.must); the rest of the batch proceeds
+            live = {
+                qid: ts for qid, ts in live.items() if len(ts) == len(qterms[qid])
+            }
         live = {qid: ts for qid, ts in live.items() if ts}
         if not live:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         kernel = _make_batch_shard_kernel(
-            live, idfs, self.avgdl, k, chunk_size, self._tomb
+            live, idfs, self.avgdl, k, chunk_size, self._tomb,
+            require_all=(mode == "all"),
         )
         blocks = self._candidate_blocks(sorted({t for ts in live.values() for t in ts})).select(
             "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
@@ -492,6 +522,12 @@ class BM25Query:
         )
 
 
+def _check_mode(mode: str) -> None:
+    if mode not in ("any", "all"):
+        raise ValueError(f"BM25Query: unknown match mode {mode!r} "
+                         "(expected 'any' or 'all')")
+
+
 def _block_ub(max_tf: float, min_dl: float, avgdl: float) -> float:
     """Sound per-block tf_norm upper bound under the CURRENT avgdl:
     tf/(tf + K1(1-b+b*dl/avgdl)) is increasing in tf, decreasing in dl,
@@ -502,6 +538,7 @@ def _block_ub(max_tf: float, min_dl: float, avgdl: float) -> float:
 def _make_batch_shard_kernel(
     qterms: dict[int, list[str]], idfs: dict[str, float], avgdl: float, k: int,
     chunk_size: int = 128, tomb: "np.ndarray | None" = None,
+    require_all: bool = False,
 ):
     """Multi-query per-shard kernel: decode each (term, block) id stream
     ONCE per chunk, then run the two-phase UB/exact pruning per query over
@@ -551,7 +588,7 @@ def _make_batch_shard_kernel(
             _run_chunk(
                 qids[chunk_start : chunk_start + chunk_size], qterms, idfs,
                 avgdl, k, per_term, ids_of, tfs_dls_of, out_q, out_d, out_s,
-                tomb,
+                tomb, require_all,
             )
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
@@ -559,7 +596,8 @@ def _make_batch_shard_kernel(
 
 
 def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
-               tfs_dls_of, out_q, out_d, out_s, tomb=None):
+               tfs_dls_of, out_q, out_d, out_s, tomb=None,
+               require_all=False):
     """Score one chunk of queries against a shard's blocks (shared decode
     caches via ids_of/tfs_dls_of). ``tomb``: sorted tombstoned doc_ids
     (delta segments) excluded from candidates BEFORE threshold selection
@@ -587,6 +625,17 @@ def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
         uniq, inv = np.unique(ids_cat, return_inverse=True)
         ub = np.zeros(len(uniq))
         np.add.at(ub, inv, ubs_cat)
+        if require_all:
+            # one (term, posting) hit per (term, doc): the hit count per
+            # doc equals its distinct matched terms; every query term must
+            # match (qterms lists are unique; per-shard absence of a term
+            # simply empties the shard's contribution)
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            conj = cnt == len(terms_all)
+            uniq, ub = uniq[conj], ub[conj]
+            if not len(uniq):
+                continue
         if tomb is not None and len(tomb):
             keep = drop_tombstoned(uniq, tomb)
             uniq, ub = uniq[keep], ub[keep]
@@ -632,7 +681,7 @@ def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
 
 def _make_shard_kernel(
     idfs: dict[str, float], avgdl: float, k: int,
-    tomb: "np.ndarray | None" = None,
+    tomb: "np.ndarray | None" = None, require_n: int = 0,
 ):
     """Build the per-shard numpy kernel (runs inside applyInPandas).
 
@@ -646,6 +695,11 @@ def _make_shard_kernel(
     ``tomb``: sorted tombstoned doc_ids from pending delta segments,
     removed from the candidate universe before threshold selection (a
     dead doc must neither surface nor consume a top-k-by-UB slot).
+    ``require_n`` > 0 = conjunctive mode: only docs matched by exactly
+    ``require_n`` (term, posting) hits survive — one hit per (term, doc)
+    by construction, so the count equals the number of distinct matched
+    terms; filtered BEFORE threshold selection, which keeps the pruning
+    sound on the reduced candidate set.
     """
     from go_dcp_elasticsearch_spark.index.segments import drop_tombstoned
 
@@ -679,6 +733,13 @@ def _make_shard_kernel(
         uniq, inv = np.unique(ids_cat, return_inverse=True)
         ub = np.zeros(len(uniq))
         np.add.at(ub, inv, ubs_cat)
+        if require_n:
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            conj = cnt == require_n
+            uniq, ub = uniq[conj], ub[conj]
+            if not len(uniq):
+                return pd.DataFrame({"doc_id": [], "score": []})
         if tomb is not None and len(tomb):
             keep = drop_tombstoned(uniq, tomb)
             uniq, ub = uniq[keep], ub[keep]

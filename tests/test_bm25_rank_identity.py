@@ -138,3 +138,83 @@ def test_epoch_check_ttl(spark, tmp_path):
     hits = q.topk_pruned("zzttltoken", 3).collect()
     assert q._epoch != epoch0
     assert len(hits) == 1
+
+
+def test_conjunctive_mode(spark, tmp_path):
+    """mode='all' (ES bool.must): every returned doc contains EVERY query
+    term; scores use corpus-wide idf (identical to the matching 'any'
+    docs' scores); pruned == exact == batch; unknown corpus-wide term
+    empties the result; invalid mode raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_oracle
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 200)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    q = BM25Query(spark, idx)
+    qtext = "var30 buffer parse"
+    terms = q.analyze(qtext)
+
+    a = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_pruned(qtext, 10, mode="all").collect()]
+    b = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_exact(qtext, 10, mode="all").collect()]
+    assert a == b and len(a) > 0
+    batch = [(int(r["doc_id"]), round(float(r["score"]), 9))
+             for r in q.topk_batch([(0, qtext)], 10, mode="all").collect()]
+    assert batch == a
+
+    # python oracle: corpus-wide-idf BM25, then keep only full matchers
+    id_rows = (
+        spark.read.parquet(f"{idx}/docs").select("doc_id", "repo", "path")
+        .join(corpus.select("repo", "path", "content"), ["repo", "path"])
+        .collect()
+    )
+    toks = {int(r["doc_id"]): tokenize_py(r["content"]) for r in id_rows}
+    ranked = bm25_oracle(toks, terms, len(toks))
+    want = [(d, round(s, 9)) for d, s in ranked
+            if all(t in toks[d] for t in terms)][:10]
+    assert [x[0] for x in a] == [x[0] for x in want]
+    for (gd, gs), (wd, ws) in zip(a, want):
+        assert abs(gs - ws) < 1e-9
+
+    # full-match set sanity: every hit contains every term
+    for d, _ in a:
+        assert all(t in toks[d] for t in terms)
+    # an impossible conjunction is empty; bad mode raises
+    assert q.topk_pruned("var30 zzneverterm", 10, mode="all").count() == 0
+    assert q.topk_exact("var30 zzneverterm", 10, mode="all").count() == 0
+    with _pytest.raises(ValueError, match="mode"):
+        q.topk_pruned(qtext, 10, mode="must")
+
+    # conjunctive + delta segments: tombstoned docs never satisfy the
+    # conjunction, delta-inserted full matchers do
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    victim = id_rows[0]
+    ins = spark.createDataFrame(
+        [("orgC/conj", "c.py", "cc", "python",
+          "var30 buffer parse zzconjfull", 5)],
+        "repo string, path string, commit string, lang string, content string, seq_no int",
+    )
+    new_corpus = corpus.filter(
+        ~((F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"]))
+    ).unionByName(ins)
+    changes = spark.createDataFrame(
+        [(victim["repo"], victim["path"], "delete", 6),
+         ("orgC/conj", "c.py", "index", 7)],
+        "repo string, path string, action string, seq_no long",
+    )
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    hits = q.topk_pruned(qtext, 200, mode="all")
+    got_ids = {int(r["doc_id"]) for r in hits.collect()}
+    assert int(victim["doc_id"]) not in got_ids
+    ins_id = int(
+        q.with_meta(q.topk_pruned("zzconjfull", 1)).collect()[0]["doc_id"]
+    )
+    assert ins_id in got_ids
