@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(ONE postings scan + shared block decode for the whole set)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--strategy", choices=["pruned", "exact"], default="pruned")
+    q.add_argument("--mode", choices=["any", "all"], default="any",
+                   help="any: disjunctive BM25 (default); all: every query "
+                        "term must match (Elasticsearch bool.must)")
     q.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -161,14 +164,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.text_file:
                 with open(args.text_file) as f:
                     batch = [(i, line.strip()) for i, line in enumerate(f) if line.strip()]
-                for row in qq.topk_batch(batch, args.k).collect():
+                for row in qq.topk_batch(batch, args.k, mode=args.mode).collect():
                     print(json.dumps({
                         "query_id": row["query_id"], "doc_id": row["doc_id"],
                         "score": row["score"],
                     }))
             elif args.text is not None:
                 fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
-                for row in fn(args.text, args.k).collect():
+                for row in fn(args.text, args.k, mode=args.mode).collect():
                     print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
             else:
                 p.error("query requires --text or --text-file")
