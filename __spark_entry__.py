@@ -231,20 +231,26 @@ def _q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conjunction is decided per shard (a doc's postings all live in its
     one shard), filtered BEFORE the block-max threshold so pruning stays
     sound on the reduced candidate set. idf/df stay corpus-wide, exactly
-    as in the SQL mirror's HAVING formulation."""
+    as in the SQL mirror's HAVING formulation. Like every gate query
+    whose engine ids can tie on rounded scores, this one takes a k+64
+    candidate margin and re-ranks by the PUBLIC (rounded score, doc_key)
+    tie-break — the engine's internal-id tie-break at the K boundary
+    would otherwise diverge from the oracle's ORDER BY."""
     from go_dcp_elasticsearch_spark.index import BM25Query
 
     idx_dir = _oracle_index(spark, sf_dir)
     q = BM25Query(spark, idx_dir)
-    out = q.topk_pruned(" ".join(BM25_TERMS), BM25_K, mode="all")
+    hits = q.topk_pruned(" ".join(BM25_TERMS), BM25_K + 64, mode="all")
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
         F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
     )
     return (
-        out.withColumnRenamed("doc_id", "engine_id")
+        hits.withColumnRenamed("doc_id", "engine_id")
         .join(docs, "engine_id")
         .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
     )
 
 
@@ -840,7 +846,14 @@ def _q_delta_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
     )
     out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
-    assert out["strategy"] == "delta" and out["segment"] is not None
+    # explicit raise, not a bare assert: this guards the GATE's invariant
+    # that the delta write path (not a rebuild) produced the index under
+    # test, and `python -O` strips asserts silently
+    if out["strategy"] != "delta" or out["segment"] is None:
+        raise RuntimeError(
+            f"delta_fold_topk gate: apply did not take the delta path "
+            f"(strategy={out['strategy']!r}, segment={out['segment']!r})"
+        )
     fold_segments(spark, idx)
     q = BM25Query(spark, idx)
     hits = q.topk_pruned(" ".join(DELTA_TOPK_TERMS), BM25_K + 64)

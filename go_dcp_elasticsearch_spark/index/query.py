@@ -459,11 +459,15 @@ class BM25Query:
         """Join top-k hits back to the forward store: the engine's doc_id
         is internal; callers get the reference's identity (repo, path)
         plus commit/lang/sha. Broadcast the (tiny) hits side so the docs
-        scan stays partition-pruned and shuffle-free. Reads the LIVE docs
-        view (base + delta segments) so delta-ingested docs resolve."""
+        scan stays partition-pruned and shuffle-free. Reads the docs view
+        pinned to THIS handle's refresh snapshot (the same segment list
+        the top-k kernels scored against) so delta-ingested docs resolve
+        and a fold/apply committing between the top-k job and this join
+        cannot drop or add a hit's row — the per-handle consistent-
+        snapshot contract in the class docstring."""
         from go_dcp_elasticsearch_spark.index.segments import read_docs
 
-        docs = read_docs(self.spark, self.paths).select(
+        docs = read_docs(self.spark, self.paths, segs=self._segs).select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256"
         )
         return docs.join(F.broadcast(hits), "doc_id").select(

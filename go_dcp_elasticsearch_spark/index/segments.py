@@ -87,16 +87,31 @@ def read_delta_docs(spark, paths: IndexPaths) -> DataFrame | None:
     return spark.read.parquet(paths.delta_docs)
 
 
-def read_docs(spark, index_dir: str | IndexPaths) -> DataFrame:
+def read_docs(
+    spark, index_dir: str | IndexPaths, segs: list[int] | None = None
+) -> DataFrame:
     """The LIVE forward-store view: base docs ∪ alive segment rows, minus
     tombstoned doc_ids. Identical to ``read.parquet({index}/docs)`` when
     no segments are pending — every docs consumer (metadata joins,
     with_meta, verify) reads this so delta applies are immediately
     visible. Doc_ids are never reused, so the anti-join on doc_id alone
-    is sufficient (an id dies at most once)."""
+    is sufficient (an id dies at most once).
+
+    ``segs``: pin the view to an explicit committed-segment snapshot
+    (the list a BM25Query handle captured at refresh) instead of the
+    current directory listing — a fold/apply committing between a top-k
+    job and a metadata join then cannot change which rows this view
+    yields (pass ``[]`` for a no-segments snapshot)."""
     paths = index_dir if isinstance(index_dir, IndexPaths) else IndexPaths(index_dir)
     base = spark.read.parquet(paths.docs)
-    delta = read_delta_docs(spark, paths)
+    if segs is None:
+        delta = read_delta_docs(spark, paths)
+    elif not segs:
+        delta = None
+    else:
+        delta = read_delta_docs(spark, paths)
+        if delta is not None:
+            delta = delta.filter(F.col("seg").isin([int(s) for s in segs]))
     if delta is None:
         return base
     alive = delta.filter(F.col("_alive")).select(*base.columns)

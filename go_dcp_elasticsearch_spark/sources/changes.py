@@ -435,17 +435,26 @@ def apply_changes_to_index(
         )
     if strategy == "auto":
         # scatter probe over the LIVE view (works with pending segments;
-        # folding is only required once the rebuild path is chosen)
+        # folding is only required once the rebuild path is chosen).
+        # ONE job answers both counts: broadcast-left-join the (small)
+        # deduped feed onto the view's (key, shard) projection and count
+        # distinct shards overall vs distinct shards among matched rows —
+        # the previous two separate aggregations scanned the full docs
+        # metadata twice per auto apply.
         view = read_docs(spark, index_dir)
         probe_feed = last_write_wins(changes, key_cols, order_col).select(*key_cols)
-        touched = (
-            probe_feed.join(view.select(*key_cols, "shard"), key_cols, "inner")
-            .agg(F.count_distinct("shard").alias("t"))
-            .collect()[0]["t"]
+        marked = view.select(*key_cols, "shard").join(
+            F.broadcast(probe_feed.withColumn("_touched", F.lit(1))),
+            key_cols,
+            "left",
         )
-        n_live_probe = (
-            view.agg(F.count_distinct("shard").alias("n")).collect()[0]["n"]
-        )
+        probe = marked.agg(
+            F.count_distinct("shard").alias("n"),
+            F.count_distinct(
+                F.when(F.col("_touched") == 1, F.col("shard"))
+            ).alias("t"),
+        ).collect()[0]
+        touched, n_live_probe = int(probe["t"]), int(probe["n"])
         if n_live_probe and touched / n_live_probe >= AUTO_DELTA_SHARD_FRACTION:
             return _apply_changes_delta(
                 spark, index_dir, new_corpus, changes, key_cols, order_col
