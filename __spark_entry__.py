@@ -870,6 +870,71 @@ def _q_delta_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delta_conj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval (ES bool.must) under PENDING delta segments
+    + tombstones — NO fold: the same update/insert/delete feed as
+    delta_fold_topk is applied through the segment path and queried
+    immediately, so the kernels' cnt == require_n conjunction and the
+    tombstone drop are gated together in the between-folds state a CDC
+    consumer serves from constantly. Statistics follow the documented
+    pre-fold Lucene docFreq trade (n_docs/avgdl exact; df = base
+    dictionary + segment contributions, dead docs still counted, clamped
+    to n_docs) — mirrored exactly by the oracle's split df source."""
+    import shutil
+    import tempfile
+
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+    from go_dcp_elasticsearch_spark.index.segments import has_segments, read_docs
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    idx = f"{tempfile.gettempdir()}/spark_entry_deltaconj_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    corpus = load_documents_corpus(spark, sf_dir)
+    key = F.regexp_replace("path", "^doc/", "").cast("long")
+    ins_m = (key % 7) == 3
+    upd_m = ((key % 11) == 5) & ~ins_m
+    del_m = ((key % 13) == 4) & ~ins_m & ~upd_m
+    IndexBuilder(spark, idx, n_shards=4).build(corpus.filter(~ins_m))
+    new_corpus = corpus.filter(~del_m).withColumn(
+        "content",
+        F.when(upd_m, F.concat(F.col("content"), F.lit(" zzdeltatoken")))
+        .otherwise(F.col("content")),
+    )
+    changes = corpus.filter(ins_m | upd_m | del_m).select(
+        "repo", "path",
+        F.when(del_m, F.lit("delete")).otherwise(F.lit("index")).alias("action"),
+        (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
+    )
+    out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    if out["strategy"] != "delta" or out["segment"] is None or out["folded"]:
+        raise RuntimeError(
+            f"delta_conj_topk gate: expected a pending un-folded segment "
+            f"(strategy={out['strategy']!r}, segment={out['segment']!r}, "
+            f"folded={out['folded']!r})"
+        )
+    if not has_segments(spark, IndexPaths(idx)):
+        raise RuntimeError("delta_conj_topk gate: segment vanished before query")
+    q = BM25Query(spark, idx)
+    hits = q.topk_pruned(" ".join(BM25_TERMS), BM25_K + 64, mode="all")
+    # id -> public key via the LIVE view (updated/inserted docs' ids only
+    # exist in the segments); public (rounded score, doc_key) re-rank
+    docs = read_docs(spark, idx).select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
 ROUTED_INSERTS = [
     ("corpus", "doc/999000000001", "cz1", "python",
      "zzroutedinsert spark filter alpha"),
@@ -1022,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_apply": _q_stream_apply,
         "delta_apply": _q_delta_apply,
         "delta_fold_topk": _q_delta_fold_topk,
+        "delta_conj_topk": _q_delta_conj_topk,
         "routed_catalog": _q_routed_catalog,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -1087,6 +1153,26 @@ def oracle_sql() -> dict[str, str]:
     delta_fold = bm25_duckdb_sql(
         _TOKS_SQL, delta_fold_src, "doc_id", DELTA_TOPK_TERMS, BM25_K
     )
+    # delta_conj_topk: conjunctive BM25 over the SAME post-change live
+    # corpus, but with the PRE-FOLD df semantics (no fold has run): df
+    # counts the base build corpus (inserts excluded; old versions of
+    # updated docs and deleted docs still counted — their postings sit in
+    # the base dictionary) plus the delta's new doc versions (updates'
+    # patched text + inserts — their postings sit in the segment). iid
+    # disambiguates the two instances of an updated doc (2*id / 2*id+1).
+    delta_conj_df_src = (
+        "(SELECT doc_id * 2 AS iid, text FROM documents WHERE doc_id % 7 <> 3 "
+        "UNION ALL "
+        "SELECT doc_id * 2 + 1 AS iid, "
+        "CASE WHEN doc_id % 11 = 5 AND doc_id % 7 <> 3 "
+        "THEN text || ' zzdeltatoken' ELSE text END AS text FROM documents "
+        "WHERE doc_id % 7 = 3 OR (doc_id % 11 = 5 AND doc_id % 7 <> 3)"
+        ") dfsrc"
+    )
+    delta_conj = bm25_duckdb_sql(
+        _TOKS_SQL, delta_fold_src, "doc_id", BM25_TERMS, BM25_K,
+        require_all=True, df_source_sql=delta_conj_df_src,
+    )
     # routed_catalog: scores are placement-invariant, so the oracle is
     # plain BM25 over documents + the two routed-insert literals
     routed_src = (
@@ -1111,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
             require_all=True,
         ),
         "delta_fold_topk": delta_fold,
+        "delta_conj_topk": delta_conj,
         "routed_catalog": routed,
         "term_df_topn": f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents),

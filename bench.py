@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # the previous round's final commit — update each round after the driver
 # records BENCH_r{N}.json so round N+1's comparison is mechanical
-DEFAULT_CONTROL_COMMIT = "ef2105f"
+DEFAULT_CONTROL_COMMIT = "027c719"
 
 QUERY_SET = [
     "spark filter join",
@@ -310,12 +310,54 @@ def main() -> None:
             timings["big_topk_postdelta_mean_sec"] = round(sum(lat) / len(lat), 4)
 
             # fold cost: merge the segment into the base (Lucene merge
-            # analogue; restores exact df + block-max pruning)
+            # analogue; restores exact df + block-max pruning). Kept as
+            # ONE segment here so the number stays comparable to r5.
             from go_dcp_elasticsearch_spark.index.segments import fold_segments
 
             t0 = time.time()
             fold_segments(spark, f"{big_dir}/idx")
             timings["big_fold_segments_sec"] = round(time.time() - t0, 3)
+
+            # many-segments serving pressure (round 6): several small
+            # deltas WITHOUT folding — segment listing, per-segment
+            # parquet footers and the tombstone broadcast all grow with
+            # segment count; this measures the between-folds serving and
+            # refresh degradation that the auto-fold hard cap bounds.
+            n_mseg = int(os.environ.get("BENCH_MULTISEG", "6"))
+            state_ms = new_sc
+            t0 = time.time()
+            for j in range(n_mseg):
+                cond = (F.col("seq_no") >= j * 1000) & (
+                    F.col("seq_no") < j * 1000 + 100
+                )
+                state_ms = state_ms.withColumn(
+                    "content",
+                    F.when(
+                        cond, F.concat(F.col("content"), F.lit(f" msegTok{j}"))
+                    ).otherwise(F.col("content")),
+                )
+                ch_ms = state_ms.filter(cond).select(
+                    "repo", "path", F.lit("index").alias("action"),
+                    (F.col("seq_no") + F.lit(30_000_000 + j * 1_000_000))
+                    .cast("long").alias("seq_no"),
+                )
+                apply_changes_to_index(
+                    spark, f"{big_dir}/idx", state_ms, ch_ms, strategy="delta"
+                )
+            timings["big_multiseg_applies_sec"] = round(time.time() - t0, 3)
+            timings["big_multiseg_n"] = n_mseg
+            t0 = time.time()
+            qb.refresh()
+            timings["big_multiseg_refresh_sec"] = round(time.time() - t0, 3)
+            lat = []
+            for qtext in BIG_QUERY_SET[:4]:
+                t0 = time.time()
+                qb.topk_pruned(qtext, 10).collect()
+                lat.append(time.time() - t0)
+            timings["big_topk_multiseg_mean_sec"] = round(sum(lat) / len(lat), 4)
+            t0 = time.time()
+            fold_segments(spark, f"{big_dir}/idx")
+            timings["big_fold_multiseg_sec"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(big_dir, ignore_errors=True)
     spark.stop()
@@ -340,8 +382,11 @@ def main() -> None:
 
 def _run_control(sf_dir: str, cpus: str) -> dict:
     """Check out the control commit into a worktree and run ITS bench.py
-    (BENCH_SKIP_BIG=1: the headline is the control quantity) in a
-    subprocess. Failure records control_error instead of failing the run."""
+    in a subprocess. The control runs the BIG section too whenever this
+    session did (round-6 arbitration: the r5 big_build record landed in a
+    contention episode with no in-session control, so big numbers must
+    carry their own same-session reference; BENCH_CONTROL_BIG=0 opts
+    out). Failure records control_error instead of failing the run."""
     import subprocess
 
     commit = os.environ.get("BENCH_CONTROL", "")
@@ -355,6 +400,10 @@ def _run_control(sf_dir: str, cpus: str) -> dict:
     ):
         return {}
     commit = commit or DEFAULT_CONTROL_COMMIT
+    control_big = (
+        not os.environ.get("BENCH_SKIP_BIG")
+        and os.environ.get("BENCH_CONTROL_BIG", "1") != "0"
+    )
     repo = os.path.dirname(os.path.abspath(__file__))
     wt = f"{tempfile.gettempdir()}/bench_control_{commit}"
     out: dict = {"control_commit": commit}
@@ -368,19 +417,26 @@ def _run_control(sf_dir: str, cpus: str) -> dict:
         env.update({
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "SPARK_GRAFT_CPUS": cpus,
-            "BENCH_SKIP_BIG": "1",
+            "BENCH_SKIP_BIG": "" if control_big else "1",
             "BENCH_CONTROL": "none",  # the control must not recurse
             "PYTHONPATH": wt,
         })
         proc = subprocess.run(
             [sys.executable, f"{wt}/bench.py"],
-            cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
+            cwd=wt, env=env, capture_output=True, text=True, timeout=3600,
         )
         line = next(
             ln for ln in reversed(proc.stdout.splitlines())
             if ln.startswith("{")
         )
-        out["control_headline_sec"] = float(json.loads(line)["value"])
+        res = json.loads(line)
+        out["control_headline_sec"] = float(res["value"])
+        for k in (
+            "big_build_sec", "big_build_files_per_sec", "big_topk_mean_sec",
+            "big_inc_scattered_delta_sec", "big_fold_segments_sec",
+        ):
+            if k in res.get("queries", {}):
+                out[f"control_{k}"] = res["queries"][k]
     except Exception as e:  # noqa: BLE001 — control is best-effort evidence
         out["control_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:

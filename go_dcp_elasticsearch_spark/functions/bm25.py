@@ -90,7 +90,7 @@ def round6_expr(col: Column) -> Column:
 
 def bm25_duckdb_sql(
     tokens_sql: str, source_table: str, doc_id_col: str, terms: list[str], k: int,
-    round_dp: int = 6, require_all: bool = False,
+    round_dp: int = 6, require_all: bool = False, df_source_sql: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (oracle side of the
     driver's correctness gate). ``tokens_sql`` is a fragment producing the
@@ -98,9 +98,35 @@ def bm25_duckdb_sql(
     ``require_all`` mirrors the engine's conjunctive mode (ES bool.must):
     the tf CTE holds one row per (doc, matched term), so the conjunction
     is a HAVING on the per-doc row count — idf/df stay corpus-wide, as
-    in the engine."""
+    in the engine.
+
+    ``df_source_sql`` mirrors the PRE-FOLD Lucene docFreq semantics of an
+    index with pending delta segments: per-term df is then counted over
+    this separate table expression — the BASE build corpus (old versions
+    of updated docs and deleted docs still counted, exactly as their
+    postings still sit in the base dictionary) UNION ALL the delta's new
+    doc versions (whose postings sit in the segments) — while n_docs,
+    avgdl, tf and dl stay on the LIVE post-change ``source_table``. The
+    expression must yield columns (iid, text) with ``iid`` unique per doc
+    INSTANCE (an updated doc appears on both sides and must count twice,
+    like its old+new postings do). df is clamped to n_docs in the idf,
+    matching the engine's negative-idf guard (query.py _term_stats)."""
     terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
+    if df_source_sql is None:
+        df_cte = "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+        df_expr = "df.df"
+    else:
+        df_cte = f"""toks_df AS (
+  SELECT iid, {tokens_sql} AS tokens FROM {df_source_sql}
+),
+df AS (
+  SELECT t.term, count(DISTINCT iid) AS df
+  FROM toks_df, unnest(tokens) AS t(term)
+  WHERE t.term IN ({terms_list})
+  GROUP BY t.term
+)"""
+        df_expr = "LEAST(df.df, stats.n_docs)"
     return f"""
 WITH toks AS (
   SELECT {doc_id_col} AS doc_id, {tokens_sql} AS tokens FROM {source_table}
@@ -113,10 +139,10 @@ tf AS (
   WHERE t.term IN ({terms_list})
   GROUP BY doc_id, t.term
 ),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{df_cte},
 scored AS (
   SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         sum( ln(1.0 + (stats.n_docs - {df_expr} + 0.5) / ({df_expr} + 0.5))
               * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
             ) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats

@@ -177,7 +177,20 @@ class BM25Query:
         # segment committed after this refresh becomes visible on the
         # next epoch bump, never half-visible mid-query
         self._segs = list_segments(spark, self.paths)
-        self._tomb = tombstone_ids(spark, self.paths) if self._segs else None
+        # tombstones ship to the score kernels as a BROADCAST, not a
+        # closure capture: one Arrow-serialized copy per executor per
+        # epoch instead of one per task per query (at the hard compaction
+        # cap the array can reach tens of MB). The old broadcast is
+        # dropped on every refresh so executor memory tracks the epoch.
+        if getattr(self, "_tomb_bc", None) is not None:
+            self._tomb_bc.unpersist()
+            self._tomb_bc = None
+        tomb_arr = tombstone_ids(spark, self.paths) if self._segs else None
+        if tomb_arr is not None and len(tomb_arr):
+            self._tomb_bc = spark.sparkContext.broadcast(tomb_arr)
+            self._tomb = self._tomb_bc
+        else:
+            self._tomb = None
         # stats AND the shard-label bound come from ONE read of the tiny
         # stats partials (every maintenance path keeps a partial per live
         # label, including delta-minted ones) — the old per-refresh docs
@@ -331,12 +344,16 @@ class BM25Query:
         """Candidate blocks -> (term, doc_id, tf, dl) rows via Arrow
         decode; tombstoned doc_ids (delta-segment updates/deletes) are
         dropped inside the decode kernel (vectorized sorted-membership)."""
-        from go_dcp_elasticsearch_spark.index.segments import drop_tombstoned
+        from go_dcp_elasticsearch_spark.index.segments import (
+            drop_tombstoned,
+            resolve_tomb,
+        )
 
         blocks = self._candidate_blocks(terms)
-        tomb = self._tomb
+        tomb_ref = self._tomb
 
         def decode(iterator):
+            tomb = resolve_tomb(tomb_ref)
             for pdf in iterator:
                 outs = []
                 for term, ids_vb, tfs_vb, dls_vb in zip(
@@ -559,7 +576,10 @@ def _make_batch_shard_kernel(
     (9.2 vs 9.4 q/s) while halving the cache window; chunk 64 costs ~20%
     — hence the 128 default."""
 
+    from go_dcp_elasticsearch_spark.index.segments import resolve_tomb
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb_arr = resolve_tomb(tomb)
         per_term: dict[str, list] = {}
         decoded_ids: dict[tuple[str, int], np.ndarray] = {}
         payload: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
@@ -592,7 +612,7 @@ def _make_batch_shard_kernel(
             _run_chunk(
                 qids[chunk_start : chunk_start + chunk_size], qterms, idfs,
                 avgdl, k, per_term, ids_of, tfs_dls_of, out_q, out_d, out_s,
-                tomb, require_all,
+                tomb_arr, require_all,
             )
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
@@ -685,7 +705,7 @@ def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
 
 def _make_shard_kernel(
     idfs: dict[str, float], avgdl: float, k: int,
-    tomb: "np.ndarray | None" = None, require_n: int = 0,
+    tomb_ref: "np.ndarray | None" = None, require_n: int = 0,
 ):
     """Build the per-shard numpy kernel (runs inside applyInPandas).
 
@@ -705,11 +725,15 @@ def _make_shard_kernel(
     terms; filtered BEFORE threshold selection, which keeps the pruning
     sound on the reduced candidate set.
     """
-    from go_dcp_elasticsearch_spark.index.segments import drop_tombstoned
+    from go_dcp_elasticsearch_spark.index.segments import (
+        drop_tombstoned,
+        resolve_tomb,
+    )
 
     terms_sorted = sorted(idfs)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb = resolve_tomb(tomb_ref)
         # organize blocks per term
         per_term: dict[str, list] = {}
         for row in pdf.itertuples(index=False):

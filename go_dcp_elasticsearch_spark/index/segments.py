@@ -52,11 +52,32 @@ from go_dcp_elasticsearch_spark.index.builder import POSTINGS_SCHEMA, IndexPaths
 # (segment ids are >= 0; kernels key decode caches by (term, seg, block_id))
 BASE_SEG = -1
 
+# test-only fault injection for the fold commit protocol: set to one of
+# "after_stage" / "after_marker" / "mid_commit" / "before_cleanup" /
+# "mid_cleanup" to kill the fold at that point (see fold_segments)
+FOLD_CRASHPOINT: str | None = None
 
-def list_segments(spark, paths: IndexPaths) -> list[int]:
-    """Sorted segment ids present under the delta area (directory listing
-    of ``delta/docs`` — every apply writes the docs part, postings may be
-    legitimately empty for a delete-only or token-less delta)."""
+
+class InjectedFoldCrash(RuntimeError):
+    """Raised by the fold's fault-injection hook (tests only)."""
+
+
+def _crash(point: str) -> None:
+    if FOLD_CRASHPOINT == point:
+        raise InjectedFoldCrash(point)
+
+
+def _fold_root(paths: IndexPaths) -> str:
+    return f"{paths.delta_root}/_fold"
+
+
+def _fold_marker(paths: IndexPaths) -> str:
+    return f"{_fold_root(paths)}/COMMIT.json"
+
+
+def _list_segments_raw(spark, paths: IndexPaths) -> list[int]:
+    """Directory listing of ``delta/docs`` WITHOUT the pending-fold
+    recovery check — used by the fold commit itself."""
     from go_dcp_elasticsearch_spark.fsutil import hadoop_fs
 
     fs, p = hadoop_fs(spark, paths.delta_docs)
@@ -68,6 +89,31 @@ def list_segments(spark, paths: IndexPaths) -> list[int]:
         if st.isDirectory() and name.startswith("seg="):
             out.append(int(name.split("=", 1)[1]))
     return sorted(out)
+
+
+def recover_pending_fold(spark, paths: IndexPaths) -> dict | None:
+    """Complete a fold whose process died after the COMMIT marker was
+    written (the Lucene segments_N model: once the generation file is
+    durable, the merge is committed and recovery finishes the file moves;
+    before it, the staged output is garbage and the pre-fold state is
+    authoritative). Idempotent — every reader entry point calls this, so
+    a half-committed fold can never double-expose segment postings.
+    Returns the fold summary when recovery ran, else None."""
+    from go_dcp_elasticsearch_spark.fsutil import exists
+
+    if not exists(spark, _fold_marker(paths)):
+        return None
+    return _commit_fold(spark, paths)
+
+
+def list_segments(spark, paths: IndexPaths) -> list[int]:
+    """Sorted segment ids present under the delta area (directory listing
+    of ``delta/docs`` — every apply writes the docs part, postings may be
+    legitimately empty for a delete-only or token-less delta). Completes
+    any pending fold commit first (see recover_pending_fold), so readers
+    never observe the crashed half of a fold."""
+    recover_pending_fold(spark, paths)
+    return _list_segments_raw(spark, paths)
 
 
 def has_segments(spark, paths: IndexPaths) -> bool:
@@ -103,6 +149,10 @@ def read_docs(
     job and a metadata join then cannot change which rows this view
     yields (pass ``[]`` for a no-segments snapshot)."""
     paths = index_dir if isinstance(index_dir, IndexPaths) else IndexPaths(index_dir)
+    # complete any marker-committed fold BEFORE listing base files — the
+    # recovery renames base partition dirs, and a scan built from the
+    # pre-recovery listing would hit FileNotFound mid-job
+    recover_pending_fold(spark, paths)
     base = spark.read.parquet(paths.docs)
     if segs is None:
         delta = read_delta_docs(spark, paths)
@@ -130,10 +180,13 @@ def read_tombstones(spark, paths: IndexPaths) -> DataFrame | None:
 
 def tombstone_ids(spark, paths: IndexPaths) -> np.ndarray:
     """Sorted int64 array of all tombstoned doc_ids — collected driver-
-    side once per index epoch by BM25Query.refresh and closed over by the
-    score kernels. Bounded by the compaction policy: fold_segments clears
-    it, and apply_changes_to_index recommends compaction once the delta
-    area outgrows ``COMPACT_RECOMMEND_FRACTION`` of the corpus."""
+    side once per index epoch by BM25Query.refresh, which ships it to the
+    score kernels as a Spark BROADCAST (one copy per executor per epoch,
+    not one per task per query). Bounded HARD by the compaction policy:
+    fold_segments clears it, and apply_changes_to_index force-folds once
+    the delta area reaches ``COMPACT_FORCE_FRACTION`` of the corpus or
+    ``MAX_PENDING_TOMBSTONES`` ids (the earlier RECOMMEND fraction stays
+    advisory for streaming's auto_fold)."""
     tombs = read_tombstones(spark, paths)
     if tombs is None:
         return np.empty(0, dtype=np.int64)
@@ -151,6 +204,8 @@ def read_delta_postings(
     ``isin`` filter prunes the directory. None when nothing committed."""
     if segs is None:
         segs = list_segments(spark, paths)
+    else:
+        recover_pending_fold(spark, paths)
     if not segs:
         return None
     from go_dcp_elasticsearch_spark.fsutil import exists
@@ -172,6 +227,7 @@ def candidate_blocks(
     both parquet scans; segment scans are tiny by construction. Pass the
     ``segs`` snapshotted at refresh time so a held query handle stays
     consistent with its tombstone snapshot."""
+    recover_pending_fold(spark, paths)
     base = (
         spark.read.parquet(paths.postings)
         .filter(F.col("term").isin(terms))
@@ -197,6 +253,16 @@ def delta_df_frame(
     return delta.groupBy("term").agg(F.sum("count").alias("df"))
 
 
+def resolve_tomb(tomb):
+    """ndarray | pyspark Broadcast | None -> ndarray | None. Score
+    kernels accept the tombstone set either as a plain array (tests,
+    fold) or as a Broadcast (BM25Query ships it once per executor per
+    epoch instead of once per task per query)."""
+    if tomb is None:
+        return None
+    return getattr(tomb, "value", tomb)
+
+
 def drop_tombstoned(uniq: np.ndarray, tomb: np.ndarray) -> np.ndarray:
     """Boolean keep-mask over sorted-unique ``uniq`` ids: False where the
     id is tombstoned. Vectorized sorted-membership (searchsorted), no
@@ -218,10 +284,26 @@ def fold_segments(spark, index_dir: str) -> dict:
     dictionary/stats partials. Untouched shards are never read or
     written. After the fold all statistics are exact again.
 
+    Crash contract (the Lucene segments_N generation-commit model the
+    reference's sink relies on): the folded output is STAGED under
+    ``delta/_fold/{docs,postings}`` while the base and the segments are
+    untouched — a crash there leaves the pre-fold state authoritative
+    and the stale stage is cleared on the next fold. The fsync'd
+    ``delta/_fold/COMMIT.json`` marker is the single commit point; from
+    then on ``_commit_fold`` (re-run idempotently by every reader entry
+    point via recover_pending_fold) moves the staged partitions into the
+    base with per-shard delete+rename and clears the delta area LAST —
+    so a kill at ANY point either never exposes the fold or completes
+    it, and segment postings can never appear both in the base and in a
+    still-listed segment (the double-count hazard of a delete-after-
+    overwrite ordering without a commit record).
+
     Returns {"n_segments", "dirty_shards", "n_tombstones"}; no-op dict
     when no segments are pending. Called by compact_index before its
     merge/split phases and by rebuild-mode apply_changes_to_index.
     """
+    import json
+
     from pyspark.sql import Window
 
     from go_dcp_elasticsearch_spark.functions.codec import (
@@ -229,21 +311,26 @@ def fold_segments(spark, index_dir: str) -> dict:
         encode_blocks_bulk,
         varbyte_decode,
     )
-    from go_dcp_elasticsearch_spark.fsutil import delete_dir
-    from go_dcp_elasticsearch_spark.index.builder import IndexBuilder
-    from go_dcp_elasticsearch_spark.sources.changes import (
-        _delete_shard_partitions,
-        _dynamic_overwrite,
-        _rewrite_dictionary_partials,
+    from go_dcp_elasticsearch_spark.fsutil import (
+        delete_dir,
+        exists,
+        rename,
+        write_file,
     )
 
     paths = IndexPaths(index_dir)
+    # completes a previously crashed fold commit, if any (via recovery)
     segs = list_segments(spark, paths)
     if not segs:
         return {"n_segments": 0, "dirty_shards": [], "n_tombstones": 0}
+    # a stage left by a fold that died BEFORE its commit marker is
+    # garbage (the marker is the commit point) — clear it
+    delete_dir(spark, _fold_root(paths))
 
     delta = spark.read.parquet(paths.delta_docs)
-    # tombstones per shard, driver-side (bounded by the un-compacted delta)
+    # tombstones per shard, collected once driver-side (bounded by the
+    # un-compacted delta) and shipped to the fold kernel as a BROADCAST —
+    # a closure capture would re-serialize the arrays into every task
     tomb_rows = delta.filter(~F.col("_alive")).select("doc_id", "shard").collect()
     tomb_by_shard: dict[int, list[int]] = {}
     for r in tomb_rows:
@@ -251,6 +338,7 @@ def fold_segments(spark, index_dir: str) -> dict:
     tomb_arrays = {
         s: np.array(sorted(ids), dtype=np.int64) for s, ids in tomb_by_shard.items()
     }
+    tomb_bc = spark.sparkContext.broadcast(tomb_arrays)
 
     seg_shards = {
         int(r["shard"])
@@ -258,18 +346,13 @@ def fold_segments(spark, index_dir: str) -> dict:
     }
     dirty = sorted(seg_shards)  # tombstone shards ⊆ delta docs shards
 
-    # ---- docs fold: rewrite dirty shards' partitions from the live view
+    # ---- docs fold: stage dirty shards' partitions from the live view.
+    # All reads in the stage phase hit the UNTOUCHED base, so no persist/
+    # materialize dance is needed (the old in-place fold had to cache
+    # before overwriting its own input).
     live = read_docs(spark, paths)
     base_cols = [f.name for f in spark.read.parquet(paths.docs).schema.fields]
     new_docs = live.filter(F.col("shard").isin(dirty)).select(*base_cols)
-    # materialize BEFORE overwriting: the view reads the very partitions
-    # the write below replaces (read-under-overwrite hazard — same
-    # invariant as apply/compact/split)
-    new_docs = new_docs.persist()
-    live_shards = {
-        int(r["shard"]) for r in new_docs.select("shard").distinct().collect()
-    }
-    emptied = set(dirty) - live_shards
 
     # ---- postings fold kernel: per block, decode only if its id range
     # overlaps the shard's tombstone set; segment blocks are treated
@@ -319,7 +402,7 @@ def fold_segments(spark, index_dir: str) -> dict:
 
             for row in pdf.itertuples(index=False):
                 sh = int(row.shard)
-                tomb = tomb_arrays.get(sh)
+                tomb = tomb_bc.value.get(sh)
                 seg_ord = int(row.seg)
                 if tomb is None or len(tomb) == 0:
                     emit(row.term, sh, row.ids_vb, row.tfs_vb, row.dls_vb,
@@ -362,8 +445,7 @@ def fold_segments(spark, index_dir: str) -> dict:
                          int(row.block_id))
             yield pd.DataFrame(out)
 
-    provisional = blocks.mapInPandas(fold_kernel, schema=out_schema).persist()
-    provisional.count()  # materialize before overwriting source partitions
+    provisional = blocks.mapInPandas(fold_kernel, schema=out_schema)
     wb = Window.partitionBy("term", "shard").orderBy("_seg_ord", "block_id")
     new_postings = (
         provisional.withColumn("_bid", F.row_number().over(wb) - F.lit(1))
@@ -373,60 +455,156 @@ def fold_segments(spark, index_dir: str) -> dict:
     )
 
     n_out = max(len(dirty), 1)
-    # delete-then-write: dynamic overwrite only replaces partitions that
-    # receive rows; a dirty shard folding to zero postings (all docs dead
-    # or token-less) must not keep stale blocks. refresh=False while the
-    # persisted provisional/new_docs still derive from these paths.
-    _delete_shard_partitions(spark, paths.postings, set(dirty), refresh=False)
-    _delete_shard_partitions(spark, paths.docs, set(dirty), refresh=False)
-    with _dynamic_overwrite(spark):
-        new_docs.repartition(n_out, F.col("shard")).write.mode(
-            "overwrite"
-        ).partitionBy("shard").parquet(paths.docs)
-        new_postings.repartition(n_out, F.col("shard")).sortWithinPartitions(
-            "term", "block_id"
-        ).write.mode("overwrite").partitionBy("shard").parquet(paths.postings)
+    # ---- STAGE: write the folded output beside the base (base and
+    # segments untouched — a crash anywhere in here leaves the pre-fold
+    # state authoritative and the stage is garbage-collected next fold)
+    stage = _fold_root(paths)
+    new_docs.repartition(n_out, F.col("shard")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(f"{stage}/docs")
+    new_postings.repartition(n_out, F.col("shard")).sortWithinPartitions(
+        "term", "block_id"
+    ).write.mode("overwrite").partitionBy("shard").parquet(f"{stage}/postings")
+    tomb_bc.unpersist()
+    docs_live = _list_shard_dirs(spark, f"{stage}/docs")
+    postings_live = _list_shard_dirs(spark, f"{stage}/postings")
+    _crash("after_stage")
 
-        # partials: dictionary re-aggregated from the folded postings of
-        # the surviving dirty shards; stats recomputed from the folded
-        # docs partitions (partition-pruned) — both O(dirty), and both
-        # exact from here on.
-        from go_dcp_elasticsearch_spark.index.builder import (
-            read_stats_partials,
-            write_stats_tables,
-        )
+    # ---- COMMIT POINT: the fsync'd marker makes the fold durable (the
+    # segments_N generation file). Written via tmp+rename so a crash
+    # mid-write can never leave a half-parseable marker.
+    marker = {
+        "segs": [int(s) for s in segs],
+        "dirty": [int(s) for s in dirty],
+        "docs_live": sorted(int(s) for s in docs_live),
+        "postings_live": sorted(int(s) for s in postings_live),
+        "n_tombstones": len(tomb_rows),
+    }
+    tmp = _fold_marker(paths) + ".tmp"
+    write_file(spark, tmp, json.dumps(marker), overwrite=True)
+    if not rename(spark, tmp, _fold_marker(paths)):
+        raise RuntimeError(f"fold_segments: could not commit marker {tmp}")
+    _crash("after_marker")
 
-        _delete_shard_partitions(spark, paths.dictionary, emptied)
-        _rewrite_dictionary_partials(
-            spark, _PathsShim(paths, n_out), live_shards
-        )
-        partials = read_stats_partials(spark, paths)
-        if live_shards:
-            stat_rows = (
-                spark.read.parquet(paths.docs)
-                .filter(F.col("shard").isin(sorted(live_shards)))
-                .groupBy("shard")
-                .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
-                .collect()
-            )
-            for r in stat_rows:
-                partials[int(r["shard"])] = (int(r["n_docs"]), int(r["sum_dl"]))
-        for s in emptied:
-            partials.pop(int(s), None)
-        write_stats_tables(spark, paths, partials)
+    return _commit_fold(spark, paths)
 
-    provisional.unpersist()
-    new_docs.unpersist()
-    delete_dir(spark, paths.delta_root)
+
+def _list_shard_dirs(spark, path: str) -> set[int]:
+    """shard labels present as ``shard=N`` partition dirs under path."""
+    from go_dcp_elasticsearch_spark.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return set()
+    out = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("shard="):
+            out.add(int(name.split("=", 1)[1]))
+    return out
+
+
+def _commit_fold(spark, paths: IndexPaths) -> dict:
+    """Second half of the fold commit protocol — IDEMPOTENT, re-runnable
+    from the durable COMMIT marker after a crash at any point:
+
+      1. per dirty shard: delete the base ``shard=N`` dir and RENAME the
+         staged dir into place (a shard that folded to zero rows has no
+         staged dir and its base dir is just deleted; a shard whose
+         staged dir is already gone was moved by a previous run — skip);
+      2. re-derive the dirty shards' dictionary/stats partials from the
+         now-final base (pure recompute — idempotent);
+      3. clear the delta area in READER-SAFE order: segment docs and
+         postings first (readers discover segments by the docs listing),
+         the marker + stage LAST — so a crash mid-cleanup can only leave
+         the marker, which re-runs this function, never a state where
+         folded postings are also still listed as segments;
+      4. lineage commit (bumps the query epoch).
+    """
+    import json
+
+    from go_dcp_elasticsearch_spark.fsutil import (
+        delete_dir,
+        exists,
+        read_file,
+        rename,
+    )
+    from go_dcp_elasticsearch_spark.index.builder import (
+        IndexBuilder,
+        read_stats_partials,
+        write_stats_tables,
+    )
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        _delete_shard_partitions,
+        _rewrite_dictionary_partials,
+    )
+
+    m = json.loads(read_file(spark, _fold_marker(paths)))
+    dirty = [int(s) for s in m["dirty"]]
+    docs_live = {int(s) for s in m["docs_live"]}
+    postings_live = {int(s) for s in m["postings_live"]}
+    stage = _fold_root(paths)
+
+    first = True
+    for area, base_root, live in (
+        ("docs", paths.docs, docs_live),
+        ("postings", paths.postings, postings_live),
+    ):
+        for s in dirty:
+            stage_dir = f"{stage}/{area}/shard={s}"
+            base_dir = f"{base_root}/shard={s}"
+            if s not in live:
+                # folded to zero rows: the base dir must go (idempotent)
+                delete_dir(spark, base_dir)
+            elif exists(spark, stage_dir):
+                delete_dir(spark, base_dir)
+                if not rename(spark, stage_dir, base_dir):
+                    raise RuntimeError(
+                        f"fold commit: rename {stage_dir} -> {base_dir} failed"
+                    )
+            # else: already moved by a previous (crashed) commit run
+            if first:
+                first = False
+                _crash("mid_commit")
     spark.catalog.refreshByPath(paths.docs)
     spark.catalog.refreshByPath(paths.postings)
 
-    b = IndexBuilder(spark, index_dir, n_shards=max(n_out, 1))
-    b.lineage.commit("fold", -1, len(tomb_rows))
+    # partials — pure recompute from the final base, partition-pruned to
+    # the dirty shards (exact from here on)
+    emptied_dict = set(dirty) - postings_live
+    _delete_shard_partitions(spark, paths.dictionary, emptied_dict)
+    _rewrite_dictionary_partials(
+        spark, _PathsShim(paths, max(len(dirty), 1)), postings_live
+    )
+    partials = read_stats_partials(spark, paths)
+    if docs_live:
+        stat_rows = (
+            spark.read.parquet(paths.docs)
+            .filter(F.col("shard").isin(sorted(docs_live)))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+            .collect()
+        )
+        for r in stat_rows:
+            partials[int(r["shard"])] = (int(r["n_docs"]), int(r["sum_dl"]))
+    for s in set(dirty) - docs_live:
+        partials.pop(int(s), None)
+    write_stats_tables(spark, paths, partials)
+    _crash("before_cleanup")
+
+    # ordered cleanup: segments first, marker last (see docstring)
+    delete_dir(spark, paths.delta_docs)
+    delete_dir(spark, paths.delta_postings)
+    _crash("mid_cleanup")
+    delete_dir(spark, stage)
+    delete_dir(spark, paths.delta_root)
+
+    b = IndexBuilder(spark, str(paths.root), n_shards=max(len(dirty), 1))
+    b.lineage.commit("fold", -1, int(m["n_tombstones"]))
     return {
-        "n_segments": len(segs),
+        "n_segments": len(m["segs"]),
         "dirty_shards": dirty,
-        "n_tombstones": len(tomb_rows),
+        "n_tombstones": int(m["n_tombstones"]),
     }
 
 

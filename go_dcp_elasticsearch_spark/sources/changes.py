@@ -345,6 +345,22 @@ AUTO_DELTA_SHARD_FRACTION = 0.5
 # with every query kernel and segment blocks skip block-max pruning
 COMPACT_RECOMMEND_FRACTION = 0.2
 
+# HARD ceiling — the delta apply itself runs fold_segments once the
+# un-folded delta area reaches this fraction of the corpus. The
+# recommendation above is advisory (a warning a batch caller can ignore
+# forever); without a hard cap the tombstone broadcast, the per-segment
+# parquet listings and the unpruned segment blocks all grow without
+# bound. Streaming's auto_fold still folds earlier (at the recommend
+# fraction); this is the backstop for everyone else.
+COMPACT_FORCE_FRACTION = 0.5
+
+# absolute tombstone ceiling independent of corpus fraction: the query
+# path broadcasts the sorted tombstone id array per epoch (8M int64 =
+# 64 MB per executor) — past this a fold is forced even when the
+# fraction bound has not tripped (e.g. a huge corpus absorbing a long
+# run of delete-heavy deltas)
+MAX_PENDING_TOMBSTONES = 8_000_000
+
 
 def apply_changes_to_index(
     spark,
@@ -797,7 +813,7 @@ def _apply_changes_delta(
         return {
             "affected_shards": [], "insert_shards": [], "n_changed": 0,
             "n_docs": None, "segment": None, "strategy": "delta",
-            "compact_recommended": False,
+            "compact_recommended": False, "folded": False,
         }
 
     alive_keys = joined.filter(F.col("action") != "delete").select(*key_cols)
@@ -825,7 +841,7 @@ def _apply_changes_delta(
         return {
             "affected_shards": [], "insert_shards": [], "n_changed": n_changed,
             "n_docs": None, "segment": None, "strategy": "delta",
-            "compact_recommended": False,
+            "compact_recommended": False, "folded": False,
         }
 
     meta = read_index_meta(spark, index_dir)
@@ -944,10 +960,26 @@ def _apply_changes_delta(
     # n_dead tombstones; counting feed rows would under-state an update
     # delta by 2x and fire the recommendation late)
     delta_rows = n_alive + n_dead
+    n_tomb_total = n_dead
     if delta_existing is not None:
-        delta_rows += delta_existing.count()
+        # one job: prior delta rows AND prior tombstone count together
+        ex = delta_existing.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.when(~F.col("_alive"), 1).otherwise(0)), F.lit(0)
+            ).alias("nt"),
+        ).collect()[0]
+        delta_rows += int(ex["n"])
+        n_tomb_total += int(ex["nt"])
     recommended = bool(
         n_docs_total and delta_rows / max(n_docs_total, 1) >= COMPACT_RECOMMEND_FRACTION
+    )
+    force_fold = (
+        bool(
+            n_docs_total
+            and delta_rows / max(n_docs_total, 1) >= COMPACT_FORCE_FRACTION
+        )
+        or n_tomb_total > MAX_PENDING_TOMBSTONES
     )
     if recommended:
         import warnings
@@ -967,6 +999,13 @@ def _apply_changes_delta(
     if all_rows is not None:
         all_rows.unpersist()
     joined.unpersist()
+    if force_fold:
+        # hard cap tripped: fold NOW, on the batch path too — the apply
+        # itself stayed O(changed docs); this amortized maintenance is
+        # what keeps the tombstone broadcast and segment listings bounded
+        from go_dcp_elasticsearch_spark.index.segments import fold_segments
+
+        fold_segments(spark, index_dir)
     return {
         "affected_shards": sorted(touched_shards),
         "insert_shards": sorted(insert_shards),
@@ -975,6 +1014,7 @@ def _apply_changes_delta(
         "segment": seg,
         "strategy": "delta",
         "compact_recommended": recommended,
+        "folded": force_fold,
     }
 
 

@@ -601,3 +601,184 @@ def test_delta_fold_equals_rebuild_property(spark, tmp_path_factory, seed, data)
         sb = sorted(round(float(r["score"]), 9)
                     for r in qb.topk_pruned(qtext, 10).collect())
         assert sa == sb, (qtext, seed)
+
+
+# ---------------------------------------------------------------------------
+# fold commit protocol: kill-mid-fold injection (VERDICT r5 "what's wrong" #1)
+# ---------------------------------------------------------------------------
+
+FOLD_CRASH_POINTS = [
+    "after_stage",    # staged output written, NO commit marker yet
+    "after_marker",   # marker durable, nothing moved into the base
+    "mid_commit",     # first dirty shard moved, rest pending
+    "before_cleanup", # base fully folded, delta area still on disk
+    "mid_cleanup",    # segments deleted, marker still present
+]
+
+
+def _doc_level_consistent(spark, idx, new_corpus):
+    """Invariants that must hold after a crash at ANY fold point (readers
+    recover a marker-committed fold automatically; a pre-marker crash
+    leaves the pre-fold segments state): the live view equals the
+    post-change source exactly and carries no duplicate doc_ids — the
+    double-count hazard of the old delete-after-overwrite fold shows up
+    here as extra/duplicated rows."""
+    from go_dcp_elasticsearch_spark.index.verify import verify_index_against_source
+
+    view = read_docs(spark, idx)
+    assert view.count() == view.select("doc_id").distinct().count()
+    rep = verify_index_against_source(spark, idx, new_corpus)
+    assert rep["missing_in_index"] == 0
+    assert rep["extra_in_index"] == 0
+    assert rep["sha_mismatch"] == 0
+
+
+@pytest.mark.parametrize("point", FOLD_CRASH_POINTS)
+def test_fold_crash_recovery(spark, tmp_path, point):
+    """Kill the fold at each protocol point; verify (a) no reader ever
+    sees doubled postings/docs, (b) a re-run converges to the exact
+    folded index (idempotent recovery), (c) ranks are oracle-exact."""
+    from go_dcp_elasticsearch_spark.index import segments as segmod
+
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+
+    segmod.FOLD_CRASHPOINT = point
+    try:
+        with pytest.raises(segmod.InjectedFoldCrash):
+            fold_segments(spark, idx)
+    finally:
+        segmod.FOLD_CRASHPOINT = None
+
+    # crashed state: doc-level consistency for any reader (list_segments
+    # auto-recovers once the marker is durable; before the marker the
+    # pre-fold segment state is authoritative)
+    _doc_level_consistent(spark, idx, new_corpus)
+
+    # re-run completes (or redoes) the fold; must be exact + idempotent
+    fold_segments(spark, idx)
+    assert not has_segments(spark, IndexPaths(idx))
+    _doc_level_consistent(spark, idx, new_corpus)
+    _rank_check(
+        spark, idx, new_corpus,
+        [NEW_CONTENT, "zzkraken", "getvalue buffer", "brandnewdocument"],
+    )
+    # conjunctive mode on the folded index: the doubled-postings bug
+    # broke cnt == require_n outright — the unique updated doc must
+    # surface exactly once
+    q = BM25Query(spark, idx)
+    hits = q.topk_pruned("quasarflux freshlyupdated", 10, mode="all").collect()
+    assert len(hits) == 1
+    # fold after fold is a no-op
+    out = fold_segments(spark, idx)
+    assert out == {"n_segments": 0, "dirty_shards": [], "n_tombstones": 0}
+
+
+def test_fold_marker_commit_recovered_by_pure_reader(spark, tmp_path):
+    """Once the COMMIT marker is durable, a plain READER (BM25Query
+    refresh -> list_segments) completes the fold on its own — the Lucene
+    recovery-on-open model — and serves oracle-exact post-fold ranks
+    without fold_segments ever being re-invoked."""
+    from go_dcp_elasticsearch_spark.fsutil import exists
+    from go_dcp_elasticsearch_spark.index import segments as segmod
+
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    segmod.FOLD_CRASHPOINT = "after_marker"
+    try:
+        with pytest.raises(segmod.InjectedFoldCrash):
+            fold_segments(spark, idx)
+    finally:
+        segmod.FOLD_CRASHPOINT = None
+    assert exists(spark, segmod._fold_marker(IndexPaths(idx)))
+
+    # reader path only — no explicit fold call
+    _rank_check(spark, idx, new_corpus, [NEW_CONTENT, "zzkraken"])
+    assert not exists(spark, segmod._fold_marker(IndexPaths(idx)))
+    assert not has_segments(spark, IndexPaths(idx))
+
+
+def test_force_fold_hard_cap(spark, tmp_path):
+    """An apply that pushes the un-folded delta area past
+    COMPACT_FORCE_FRACTION folds automatically on the BATCH path (the
+    round-5 gap: the recommend fraction was a warning only, enforced by
+    nothing outside streaming auto_fold, so the tombstone broadcast and
+    segment listings could grow without bound)."""
+    idx = str(tmp_path / "idx")
+    n = 100
+    corpus = synth_corpus(spark, n)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+
+    victims = spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(40).collect()
+    keys = {(r["repo"], r["path"]) for r in victims}
+    tagged = F.concat_ws("|", "repo", "path")
+    key_set = {f"{r}|{p}" for r, p in keys}
+    new_corpus = corpus.withColumn(
+        "content",
+        F.when(
+            tagged.isin(sorted(key_set)),
+            F.concat(F.col("content"), F.lit(" zzhardcap")),
+        ).otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [(r, p, "index", 5000 + i) for i, (r, p) in enumerate(sorted(keys))],
+        "repo string, path string, action string, seq_no long",
+    )
+    # 40 updates = 80 physical delta rows >= 0.5 * 100 docs -> force fold
+    with pytest.warns(UserWarning):
+        out = apply_changes_to_index(
+            spark, idx, new_corpus, changes, strategy="delta"
+        )
+    assert out["strategy"] == "delta"
+    assert out["folded"] is True
+    assert not has_segments(spark, IndexPaths(idx))
+    # folded index is exact: full oracle rank identity on the new token
+    _rank_check(spark, idx, new_corpus, ["zzhardcap", "getvalue buffer"])
+
+
+def test_small_delta_does_not_force_fold(spark, tmp_path):
+    """Control: an under-cap apply keeps its segment pending (folded=False)."""
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    assert out["folded"] is False
+    assert has_segments(spark, IndexPaths(idx))
+
+
+def test_many_segments_serving(spark, tmp_path):
+    """N small delta applies WITHOUT folding: segments accumulate, every
+    query remains oracle-exact across all of them (insert-only deltas so
+    pre-fold df is exact), and under-cap applies never force-fold. The
+    pressure analogue in bench.py (big_topk_multiseg_mean_sec) measures
+    the serving cost of this state at 1M docs."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 300)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+
+    state = corpus
+    for j in range(10):
+        ins = spark.createDataFrame(
+            [
+                (f"orgM/m{j}", f"f{i}.py", f"c{j}{i}", "python",
+                 f"zzmseg{j} parser item{i}", 60000 + j * 10 + i)
+                for i in range(5)
+            ],
+            "repo string, path string, commit string, lang string, "
+            "content string, seq_no long",
+        )
+        state = state.unionByName(ins)
+        changes = ins.select(
+            "repo", "path", F.lit("index").alias("action"), "seq_no"
+        )
+        out = apply_changes_to_index(spark, idx, state, changes, strategy="delta")
+        assert out["strategy"] == "delta"
+        assert out["folded"] is False
+    assert len(list_segments(spark, IndexPaths(idx))) == 10
+    view = read_docs(spark, idx)
+    assert view.count() == 350
+    _rank_check(
+        spark, idx, state, ["zzmseg3 parser", "zzmseg9 item4", "getvalue buffer"]
+    )
+    # fold across all ten segments at once stays exact
+    summary = fold_segments(spark, idx)
+    assert summary["n_segments"] == 10
+    _rank_check(spark, idx, state, ["zzmseg3 parser", "getvalue buffer"])
