@@ -1164,4 +1164,18 @@ class IndexBuilder:
         )
         if corpus_ids._keyed_source is not None:
             corpus_ids._keyed_source.unpersist()
+        # keymap base (round 6): the key -> (doc_id, shard, doc_len)
+        # cache that makes incremental applies' lookups O(delta) instead
+        # of a full metadata scan (see index.keymap). Best-effort — an
+        # absent/invalid keymap only costs the next delta apply a scan.
+        try:
+            from go_dcp_elasticsearch_spark.index import keymap as km_mod
+
+            count = self.lineage.record_count()
+            if km_mod.valid_meta(self.spark, self.paths, ["repo", "path"], count) is None:
+                km_mod.rebuild_keymap(self.spark, self.paths, ["repo", "path"], count)
+        except Exception as e:  # noqa: BLE001 — cache maintenance only
+            import warnings
+
+            warnings.warn(f"keymap base write failed ({e}); cache left invalid")
         return {"n_docs": n_docs, "avgdl": avgdl, "elapsed_sec": elapsed}

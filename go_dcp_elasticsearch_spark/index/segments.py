@@ -600,7 +600,13 @@ def _commit_fold(spark, paths: IndexPaths) -> dict:
     delete_dir(spark, paths.delta_root)
 
     b = IndexBuilder(spark, str(paths.root), n_shards=max(len(dirty), 1))
+    pre_count = b.lineage.record_count()
     b.lineage.commit("fold", -1, int(m["n_tombstones"]))
+    # the fold leaves the live key -> (doc_id, shard, doc_len) view
+    # untouched, so a valid keymap carries across it (epoch bump only)
+    from go_dcp_elasticsearch_spark.index import keymap as km_mod
+
+    km_mod.bump_epoch(spark, paths, pre_count, b.lineage.record_count())
     return {
         "n_segments": len(m["segs"]),
         "dirty_shards": dirty,

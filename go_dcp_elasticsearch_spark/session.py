@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # keymap point lookups push an isin over the kh column down to
+        # parquet row-group stats; the default threshold (10) would
+        # rewrite any realistic key list into a useless min/max range
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

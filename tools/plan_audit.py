@@ -160,6 +160,34 @@ def main() -> None:
         "repartition).",
         explain_str(blocks),
     ))
+    # ---- round-6 evidence: keymap pruned key lookup ----
+    from go_dcp_elasticsearch_spark.index import keymap as km_mod
+    from go_dcp_elasticsearch_spark.index.builder import IndexPaths
+    from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
+    km_paths = IndexPaths(idx)
+    kmeta = km_mod.valid_meta(
+        spark, km_paths, ["repo", "path"],
+        LineageLog(spark, km_paths.lineage).record_count(),
+    )
+    assert kmeta is not None, "keymap must be valid after build+delta apply"
+    km_feed = spark.createDataFrame(
+        [(r, p) for r, p in keys], "repo string, path string"
+    )
+    km_look = km_mod.lookup(spark, km_paths, km_feed, ["repo", "path"], kmeta)
+    sections.append((
+        "Keymap pruned key lookup (round-6: O(delta) apply metadata join)",
+        "This is the metadata side of the delta apply's key join when the "
+        "keymap cache is valid (index/keymap.py lookup). Checks: the base "
+        "scan carries `PartitionFilters` restricting `_kb` to the feed keys' "
+        "buckets — untouched bucket DIRECTORIES are never listed — and "
+        "`PushedFilters: [In(kh, ...)]` so parquet row-group stats skip "
+        "non-matching groups inside touched buckets (kh-sorted files; "
+        "session sets parquet.pushdown.inFilterThreshold=100000). The "
+        "pre-round-6 shape was a full docs-metadata scan per apply.",
+        explain_str(km_look),
+    ))
+
     live_view = read_docs(spark, idx)
     sections.append((
         "Live docs view (round-5: base ∪ alive segment rows, anti-join tombstones)",
