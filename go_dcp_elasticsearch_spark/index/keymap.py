@@ -16,10 +16,18 @@ Design — a CACHE with epoch validation, never an authority:
   {index}/keymap/base/_kb=B/...   (kh, key_cols..., doc_id, shard,
                                   doc_len, _km_alive, _km_seq) rows,
                                   partitioned by _kb = pmod(xxhash64(key),
-                                  N_BUCKETS) and kh-sorted within files
-                                  (partition pruning for clustered/small
-                                  deltas + parquet row-group stats for
-                                  point lookups at scale).
+                                  N_BUCKETS) and kh-sorted within files.
+                                  Partition pruning on _kb is THE scale
+                                  lever: a K-key delta lists/scans at most
+                                  min(K, N_BUCKETS) bucket directories.
+                                  kh-sorting additionally lets parquet
+                                  row-group stats serve tiny (<=10 key)
+                                  point lookups via the pushed In filter;
+                                  larger lists are evaluated catalyst-side
+                                  as a vectorized InSet (pushing big In
+                                  lists to parquet builds an OR-of-Eq
+                                  chain that overflows the JVM stack —
+                                  see session.py).
   {index}/keymap/delta/seq=E/     one small file per apply: that apply's
                                   key changes (new alive rows; dead
                                   markers for deleted keys).
@@ -187,9 +195,10 @@ def lookup(
     """(key_cols..., doc_id, shard, doc_len) for the LIVE docs whose key
     appears in ``feed`` — the pruned replacement for joining the feed
     against the full docs metadata. Base read is partition-pruned to the
-    feed keys' buckets and (for point-lookup-sized feeds) filtered by an
-    isin on kh that parquet row-group stats can evaluate; delta files are
-    read wholesale (each is one apply's key changes — tiny by
+    feed keys' buckets and filtered by an isin on kh (<=10 values: pushed
+    to parquet row-group stats; larger: catalyst-side vectorized InSet —
+    never pushed, see session.py on the OR-chain stack overflow); delta
+    files are read wholesale (each is one apply's key changes — tiny by
     construction). Last write per key wins by _km_seq (the lineage epoch
     at append time; the base is seq 0); a dead winner (deleted key)
     yields no row, exactly like the live-view join."""

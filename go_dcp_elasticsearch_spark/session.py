@@ -62,10 +62,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # keymap point lookups push an isin over the kh column down to
-        # parquet row-group stats; the default threshold (10) would
-        # rewrite any realistic key list into a useless min/max range
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+        # NOTE: spark.sql.parquet.pushdown.inFilterThreshold stays at its
+        # default (10). Raising it pushes large In lists into the parquet
+        # reader as a deeply-nested OR-of-Eq chain that overflows the JVM
+        # stack (measured: a 1000-value In(kh,...) threw StackOverflowError
+        # in FileScanRDD; tasks retried for ~50s per job). Large key lists
+        # are evaluated catalyst-side as a vectorized InSet instead; the
+        # keymap relies on _kb partition pruning for its O(delta) read.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

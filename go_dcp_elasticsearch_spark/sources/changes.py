@@ -32,6 +32,25 @@ from pyspark.sql import functions as F
 from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
 
 
+def _phase_tracer(tag: str):
+    """No-op unless SPARK_GRAFT_TRACE is set; then prints per-phase wall
+    times (driver-side, between-actions) so slow applies can be localized
+    without an event-log parse."""
+    import os
+    import time
+
+    if not os.environ.get("SPARK_GRAFT_TRACE"):
+        return lambda label: None
+    t0 = [time.time()]
+
+    def mark(label: str) -> None:
+        now = time.time()
+        print(f"TRACE[{tag}] {label}: {now - t0[0]:.2f}s", flush=True)
+        t0[0] = now
+
+    return mark
+
+
 @contextmanager
 def _dynamic_overwrite(spark):
     """Scoped dynamic partition-overwrite mode (restores the previous
@@ -360,6 +379,13 @@ COMPACT_FORCE_FRACTION = 0.5
 # fraction bound has not tripped (e.g. a huge corpus absorbing a long
 # run of delete-heavy deltas)
 MAX_PENDING_TOMBSTONES = 8_000_000
+
+# delta applies broadcast their (key, rank, old_shard) side into the
+# new-corpus content join below this many alive keys — a few hundred MB
+# worst-case at the cap, well under the driver/executor headroom — so the
+# corpus is scanned (column-pruned, bucket-pruned when the caller passes a
+# ``_bucket``-partitioned mirror slice) but never SHUFFLED
+BROADCAST_DELTA_KEYS_MAX = 2_000_000
 
 
 def apply_changes_to_index(
@@ -839,6 +865,7 @@ def _apply_changes_delta(
     from go_dcp_elasticsearch_spark.index.segments import recover_pending_fold
     from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
 
+    trace = _phase_tracer("delta")
     paths = IndexPaths(index_dir)
     # complete any crashed fold BEFORE building base scans (recovery
     # renames base partition dirs) and before the keymap epoch check
@@ -846,6 +873,7 @@ def _apply_changes_delta(
     recover_pending_fold(spark, paths)
     lin_count = LineageLog(spark, paths.lineage).record_count()
     kmeta = km_mod.valid_meta(spark, paths, key_cols, lin_count)
+    trace("recover+lineage+meta")
     base = spark.read.parquet(paths.docs)
     base_cols = base.columns
     delta_existing = read_delta_docs(spark, paths)
@@ -870,8 +898,10 @@ def _apply_changes_delta(
                 "table is empty — run a fresh IndexBuilder(...).build instead"
             )
         max_id, max_label = int(bounds["mi"]), int(bounds["ms"])
+    trace("bounds")
     b = IndexBuilder(spark, index_dir, n_shards=max_label + 1)
     _ensure_partials_layout(spark, b)
+    trace("partials_layout")
 
     feed = last_write_wins(changes, key_cols, order_col).select(
         *key_cols, "action"
@@ -887,8 +917,10 @@ def _apply_changes_delta(
         meta_side = read_docs(spark, paths).select(
             *key_cols, "doc_id", "shard", "doc_len"
         )
+    trace("lookup_plan")
     joined = feed.join(meta_side, key_cols, "left").persist()
     n_changed = joined.count()
+    trace("joined_count")
     if n_changed == 0:
         joined.unpersist()
         return {
@@ -904,6 +936,7 @@ def _apply_changes_delta(
         n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
         ranked = _assign_insert_ranks(alive_keys, key_cols, n_parts=n_parts)
         n_alive = ranked._n_rows
+    trace("ranked")
 
     # tombstone aggregate (needed for stats later anyway), computed early:
     # a feed that nets to NOTHING — e.g. an at-least-once replay of
@@ -917,6 +950,7 @@ def _apply_changes_delta(
         .collect()
     )
     n_dead = sum(int(r["n"]) for r in dead_agg)
+    trace("dead_agg")
     if n_alive == 0 and n_dead == 0:
         joined.unpersist()
         return {
@@ -943,7 +977,18 @@ def _apply_changes_delta(
         )
         if "_bucket" in new_corpus.columns:
             new_corpus = new_corpus.drop("_bucket")
-        joined_corpus = with_old.join(new_corpus, key_cols, "inner")
+        # the delta side is exactly n_alive key rows (known, small for any
+        # CDC-shaped feed): broadcast it so the corpus side is a single
+        # column-pruned scan filtered by a broadcast hash join — NEVER a
+        # shuffle of the full corpus (content included). Bulk re-ingest
+        # feeds above the cap keep the shuffle join (the corpus shuffle is
+        # then proportional to the work anyway).
+        if n_alive <= BROADCAST_DELTA_KEYS_MAX:
+            joined_corpus = F.broadcast(with_old).join(
+                new_corpus, key_cols, "inner"
+            )
+        else:
+            joined_corpus = with_old.join(new_corpus, key_cols, "inner")
         if routing_col and routing_mod:
             ins_shard = F.pmod(F.hash(F.col(routing_col)), F.lit(routing_mod))
         else:
@@ -982,6 +1027,7 @@ def _apply_changes_delta(
         ).mapInPandas(b._merge_chunks(None), schema=POSTINGS_SCHEMA)
         # segment postings FIRST (invisible until the docs dir commits)
         postings.write.mode("overwrite").parquet(seg_postings_dir)
+        trace("seg_postings_write")
         doc_rows = all_rows.filter(F.col("term") == DOC_SENTINEL).select(
             F.col("first_doc_id").alias("doc_id"),
             F.col("ids_vb").cast("string").alias("content_sha256"),
@@ -1009,6 +1055,7 @@ def _apply_changes_delta(
     seg_docs = tombs if alive_docs is None else alive_docs.unionByName(tombs)
     # the COMMIT POINT: segment becomes discoverable on this write
     seg_docs.coalesce(4).write.mode("overwrite").parquet(seg_docs_dir)
+    trace("seg_docs_write")
 
     # exact stats fold (driver-side, tiny): + new docs, − tombstoned docs
     partials = read_stats_partials(spark, paths)
@@ -1035,6 +1082,7 @@ def _apply_changes_delta(
     # a shard whose live count folded to zero keeps a (0, 0) partial until
     # fold_segments removes the emptied partition — harmless (adds zero)
     n_docs_total, _ = write_stats_tables(spark, paths, partials)
+    trace("stats_fold")
 
     # compaction pressure: total un-folded delta rows vs corpus size —
     # PHYSICAL rows in both terms (this segment wrote n_alive live rows +
@@ -1052,6 +1100,7 @@ def _apply_changes_delta(
         ).collect()[0]
         delta_rows += int(ex["n"])
         n_tomb_total += int(ex["nt"])
+    trace("delta_pressure_agg")
     recommended = bool(
         n_docs_total and delta_rows / max(n_docs_total, 1) >= COMPACT_RECOMMEND_FRACTION
     )
@@ -1075,6 +1124,7 @@ def _apply_changes_delta(
         )
 
     b.lineage.commit("delta", seg, n_changed)
+    trace("lineage_commit")
     # keymap maintenance (cache only — failure leaves it invalid and the
     # next apply rebuilds): append this apply's key changes under the
     # POST-commit epoch, or rebuild the base if the cache was invalid.
@@ -1104,6 +1154,7 @@ def _apply_changes_delta(
         import warnings
 
         warnings.warn(f"keymap maintenance failed ({e}); cache left invalid")
+    trace("keymap_maintenance")
     if ranked is not None:
         ranked._persisted_parent.unpersist()
     if all_rows is not None:

@@ -121,11 +121,12 @@ def upsert_corpus_mirror(
     key_cols: list[str],
     order_col: str = "seq_no",
     n_buckets: int = 64,
-) -> None:
+) -> list[int]:
     """Merge an LWW-deduped change feed into the ``_corpus`` mirror,
     rewriting ONLY the hash buckets the feed's keys touch (dynamic
     partition overwrite). Shared by the streaming micro-batch body and
-    the snapshot store's commit path.
+    the snapshot store's commit path. Returns the touched bucket ids so
+    a delta-strategy caller can prune its mirror read to the same set.
 
     ``feed`` columns: key_cols..., action ('index'|'delete'), commit,
     lang, content (null for deletes), ``order_col``. The modulus persisted
@@ -144,7 +145,7 @@ def upsert_corpus_mirror(
     )
     touched_buckets = [int(r["_bucket"]) for r in touched]
     if not touched_buckets:
-        return
+        return []
 
     from go_dcp_elasticsearch_spark.fsutil import delete_dir, exists, rename
 
@@ -222,6 +223,7 @@ def upsert_corpus_mirror(
         ).partitionBy("_bucket").parquet(corpus_path)
     spark.catalog.refreshByPath(corpus_path)
     merged.unpersist()
+    return touched_buckets
 
 
 def stream_changes_to_index(
@@ -294,11 +296,19 @@ def stream_changes_to_index(
         if batch_df.isEmpty():
             return
         feed = last_write_wins(batch_df, key_cols, order_col).persist()
-        upsert_corpus_mirror(
+        touched_buckets = upsert_corpus_mirror(
             spark, index_dir, feed, key_cols, order_col=order_col,
             n_buckets=n_buckets,
         )
-        new_corpus = spark.read.parquet(corpus_path).drop("_bucket")
+        mirror = spark.read.parquet(corpus_path)
+        if apply_strategy == "delta":
+            # the delta apply consults the mirror ONLY for this batch's
+            # changed keys' content — partition-prune the read to the
+            # buckets the merge just touched (O(batch), not O(corpus)).
+            # rebuild/auto keep the full mirror: a shard rebuild re-reads
+            # every doc of the touched SHARDS, and shard != bucket.
+            mirror = mirror.filter(F.col("_bucket").isin(touched_buckets))
+        new_corpus = mirror.drop("_bucket")
         result = apply_changes_to_index(
             spark, index_dir, new_corpus,
             feed.select(*key_cols, "action",

@@ -217,3 +217,44 @@ def test_keymap_invalid_epoch_forces_fallback_and_rebuild(spark, tmp_path):
     out = apply_changes_to_index(spark, idx, state, changes, strategy="delta")
     assert out["strategy"] == "delta"
     _assert_matches_live(spark, idx, _all_keys(spark, idx, set()))
+
+
+def test_keymap_large_feed_stays_catalyst_side(spark, tmp_path):
+    """A bulk-sized key list (far above the parquet In-pushdown threshold
+    of 10) must stay a catalyst-side InSet: pushing a large In(kh, ...)
+    builds an OR-of-Eq chain inside the parquet reader that overflows the
+    JVM stack (measured at 1000 values with the threshold raised — tasks
+    die with StackOverflowError and retry for ~50s per job). Guards both
+    the correctness of the InSet path and against re-raising
+    spark.sql.parquet.pushdown.inFilterThreshold session-wide."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 600)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    paths = IndexPaths(idx)
+    meta = _meta(spark, idx)
+    assert meta is not None
+    probe = (
+        spark.read.parquet(paths.docs)
+        .orderBy("doc_id")
+        .limit(300)
+        .select(*KEYS)
+    )
+    got = km.lookup(spark, paths, probe, KEYS, meta)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    import re
+
+    # the _kb PartitionFilters entry is the scale lever and must be there
+    assert re.search(r"PartitionFilters: \[[^\]]*_kb[^\]]*\]", plan)
+    # the threshold governs how the parquet reader TRANSLATES the In
+    # (explain shows "PushedFilters: [In(kh, ...)]" either way; at the
+    # default 10 a 300-value In becomes a harmless range predicate, above
+    # it an OR-of-Eq chain that overflows the reader's stack) — so guard
+    # the session conf itself
+    assert (
+        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold") == "10"
+    ), "inFilterThreshold must stay at the default (OR-chain stack overflow)"
+    assert got.count() == 300
+    _assert_matches_live(spark, idx, probe)

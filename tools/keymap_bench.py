@@ -65,8 +65,14 @@ def main() -> None:
             )
             build_sec = time.time() - t0
 
-            # scattered ~0.1% delta (>= ~1000 docs), same shape both runs
-            upd = corpus.filter(F.col("seq_no") % max(n // 1000, 1) == 7)
+            # scattered ~0.1% delta (>= ~1000 docs), same shape both runs.
+            # Materialized to its own (small) parquet so that feed scans
+            # cost O(delta) — the point of the bench is the INDEX-side
+            # metadata cost, not the synthetic feed derivation.
+            corpus.filter(
+                F.col("seq_no") % max(n // 1000, 1) == 7
+            ).write.parquet(f"{work}/feed")
+            upd = spark.read.parquet(f"{work}/feed")
             n_delta = upd.count()
 
             def one_apply(tag: int):
@@ -85,6 +91,41 @@ def main() -> None:
                 t = time.time()
                 apply_changes_to_index(spark, idx, nc, ch, strategy="delta")
                 return round(time.time() - t, 3)
+
+            # the judged criterion in isolation: the apply's METADATA join
+            # (key -> doc_id/shard/doc_len) timed standalone — keymap
+            # lookup (bucket-pruned) vs the full docs-metadata scan. The
+            # keymap number should stay ~flat from 100k to 1M; the full
+            # scan grows with the corpus.
+            from go_dcp_elasticsearch_spark.index.segments import read_docs
+            from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
+            paths_t = IndexPaths(idx)
+            feed_keys = upd.select("repo", "path", F.lit("index").alias("action"))
+
+            def probe_keymap():
+                m = km.valid_meta(
+                    spark, paths_t, ["repo", "path"],
+                    LineageLog(spark, f"{idx}/_lineage").record_count(),
+                )
+                assert m is not None
+                side = km.lookup(spark, paths_t, feed_keys, ["repo", "path"], m)
+                return feed_keys.join(side, ["repo", "path"], "left").count()
+
+            def probe_full():
+                side = read_docs(spark, paths_t).select(
+                    "repo", "path", "doc_id", "shard", "doc_len"
+                )
+                return feed_keys.join(side, ["repo", "path"], "left").count()
+
+            probe_keymap()  # warm listings
+            t0 = time.time()
+            probe_keymap()
+            meta_probe_km = round(time.time() - t0, 3)
+            probe_full()
+            t0 = time.time()
+            probe_full()
+            meta_probe_full = round(time.time() - t0, 3)
 
             # warm both paths' file listings with one throwaway apply
             one_apply(0)
@@ -105,6 +146,8 @@ def main() -> None:
             out["sizes"][str(n)] = {
                 "build_sec": round(build_sec, 3),
                 "n_delta": int(n_delta),
+                "metadata_probe_keymap_sec": meta_probe_km,
+                "metadata_probe_full_scan_sec": meta_probe_full,
                 "apply_with_keymap_sec": with_km,
                 "apply_full_scan_sec": full_scan,
                 "apply_full_scan_minus_rebuild_sec": round(

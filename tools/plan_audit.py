@@ -180,12 +180,37 @@ def main() -> None:
         "This is the metadata side of the delta apply's key join when the "
         "keymap cache is valid (index/keymap.py lookup). Checks: the base "
         "scan carries `PartitionFilters` restricting `_kb` to the feed keys' "
-        "buckets — untouched bucket DIRECTORIES are never listed — and "
-        "`PushedFilters: [In(kh, ...)]` so parquet row-group stats skip "
-        "non-matching groups inside touched buckets (kh-sorted files; "
-        "session sets parquet.pushdown.inFilterThreshold=100000). The "
-        "pre-round-6 shape was a full docs-metadata scan per apply.",
+        "buckets — untouched bucket DIRECTORIES are never listed — and a "
+        "kh filter (pushed to parquet row-group stats for <=10 keys; larger "
+        "lists stay a catalyst-side vectorized InSet — pushing big In lists "
+        "builds an OR-of-Eq chain in the parquet reader that overflows the "
+        "JVM stack, see session.py). The pre-round-6 shape was a full "
+        "docs-metadata scan per apply.",
         explain_str(km_look),
+    ))
+
+    # ---- round-6 evidence: delta apply's corpus-content join is broadcast ----
+    # the exact shape _apply_changes_delta builds (changes.py: the
+    # joined_corpus join): key-side (n_alive rows, known small) broadcast
+    # into the new-corpus scan, so the corpus is column-pruned-scanned but
+    # NEVER shuffled; with a _bucket-partitioned mirror slice (streaming
+    # pipeline) the scan is additionally partition-pruned to touched buckets.
+    with_old_demo = km_feed.withColumn(
+        "_rank", F.lit(0).cast("long")
+    ).withColumn("_old_shard", F.lit(1))
+    corpus_join = F.broadcast(with_old_demo).join(
+        corpus2, ["repo", "path"], "inner"
+    )
+    sections.append((
+        "Delta apply corpus-content join (round-6: broadcast keys, no corpus shuffle)",
+        "This is the joined_corpus join inside _apply_changes_delta "
+        "(sources/changes.py): the (key, rank, old_shard) side is exactly "
+        "n_alive rows and is broadcast below BROADCAST_DELTA_KEYS_MAX. "
+        "Checks: BroadcastHashJoin with the KEY side as BuildSide — the "
+        "new-corpus scan has NO Exchange above it (the full corpus, content "
+        "column included, is never shuffled; pre-fix AQE sometimes planned "
+        "a sort-merge join that shuffled every content row per apply).",
+        explain_str(corpus_join),
     ))
 
     live_view = read_docs(spark, idx)
