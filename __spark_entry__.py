@@ -808,25 +808,23 @@ def _q_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELTA_TOPK_TERMS = ["spark", "filter", "join", "zzdeltatoken"]
 
 
-def _q_delta_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segments end-to-end under the NUMERIC gate: build the base index
-    WITHOUT the insert slice, apply one delta-strategy feed carrying
-    inserts (doc_id%7=3), content updates (+' zzdeltatoken', doc_id%11=5)
-    and deletes (doc_id%13=4), fold_segments (the Lucene merge analogue —
-    restores exact df), then block-max-pruned BM25 top-k. Updated and
-    inserted docs carry NEW internal ids, so the public tie-break is
-    (rounded score, doc_key): the engine takes a k+64 candidate margin
-    and re-ranks exactly like the oracle's ORDER BY."""
+def _delta_gate_fixture(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Shared fixture for the delta gate queries: build the base index
+    WITHOUT the insert slice (doc_id%7=3), then apply ONE delta-strategy
+    feed carrying those inserts, content updates (+' zzdeltatoken',
+    doc_id%11=5) and deletes (doc_id%13=4). Raises (explicitly — `python
+    -O` strips asserts) unless the apply took the delta path and left a
+    pending, un-folded segment; callers fold or serve-as-is. Returns the
+    index dir."""
     import shutil
     import tempfile
 
     from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
-    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
-    from go_dcp_elasticsearch_spark.index.segments import fold_segments
+    from go_dcp_elasticsearch_spark.index import IndexBuilder
     from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
 
     tag = sf_dir.rstrip("/").split("/")[-1]
-    idx = f"{tempfile.gettempdir()}/spark_entry_deltafold_{tag}"
+    idx = f"{tempfile.gettempdir()}/spark_entry_{name}_{tag}"
     shutil.rmtree(idx, ignore_errors=True)
 
     corpus = load_documents_corpus(spark, sf_dir)
@@ -846,14 +844,27 @@ def _q_delta_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
     )
     out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
-    # explicit raise, not a bare assert: this guards the GATE's invariant
-    # that the delta write path (not a rebuild) produced the index under
-    # test, and `python -O` strips asserts silently
-    if out["strategy"] != "delta" or out["segment"] is None:
+    if out["strategy"] != "delta" or out["segment"] is None or out["folded"]:
         raise RuntimeError(
-            f"delta_fold_topk gate: apply did not take the delta path "
-            f"(strategy={out['strategy']!r}, segment={out['segment']!r})"
+            f"{name} gate: expected a delta-path apply with a pending "
+            f"un-folded segment (strategy={out['strategy']!r}, "
+            f"segment={out['segment']!r}, folded={out['folded']!r})"
         )
+    return idx
+
+
+def _q_delta_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segments end-to-end under the NUMERIC gate: the shared delta
+    fixture (insert/update/delete feed through the segment path), then
+    fold_segments (the Lucene merge analogue — restores exact df), then
+    block-max-pruned BM25 top-k. Updated and inserted docs carry NEW
+    internal ids, so the public tie-break is (rounded score, doc_key):
+    the engine takes a k+64 candidate margin and re-ranks exactly like
+    the oracle's ORDER BY."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+    from go_dcp_elasticsearch_spark.index.segments import fold_segments
+
+    idx = _delta_gate_fixture(spark, sf_dir, "deltafold")
     fold_segments(spark, idx)
     q = BM25Query(spark, idx)
     hits = q.topk_pruned(" ".join(DELTA_TOPK_TERMS), BM25_K + 64)
@@ -880,42 +891,11 @@ def _q_delta_conj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-fold Lucene docFreq trade (n_docs/avgdl exact; df = base
     dictionary + segment contributions, dead docs still counted, clamped
     to n_docs) — mirrored exactly by the oracle's split df source."""
-    import shutil
-    import tempfile
-
-    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
-    from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
-    from go_dcp_elasticsearch_spark.index.segments import has_segments, read_docs
+    from go_dcp_elasticsearch_spark.index import BM25Query
     from go_dcp_elasticsearch_spark.index.builder import IndexPaths
-    from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+    from go_dcp_elasticsearch_spark.index.segments import has_segments, read_docs
 
-    tag = sf_dir.rstrip("/").split("/")[-1]
-    idx = f"{tempfile.gettempdir()}/spark_entry_deltaconj_{tag}"
-    shutil.rmtree(idx, ignore_errors=True)
-
-    corpus = load_documents_corpus(spark, sf_dir)
-    key = F.regexp_replace("path", "^doc/", "").cast("long")
-    ins_m = (key % 7) == 3
-    upd_m = ((key % 11) == 5) & ~ins_m
-    del_m = ((key % 13) == 4) & ~ins_m & ~upd_m
-    IndexBuilder(spark, idx, n_shards=4).build(corpus.filter(~ins_m))
-    new_corpus = corpus.filter(~del_m).withColumn(
-        "content",
-        F.when(upd_m, F.concat(F.col("content"), F.lit(" zzdeltatoken")))
-        .otherwise(F.col("content")),
-    )
-    changes = corpus.filter(ins_m | upd_m | del_m).select(
-        "repo", "path",
-        F.when(del_m, F.lit("delete")).otherwise(F.lit("index")).alias("action"),
-        (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
-    )
-    out = apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
-    if out["strategy"] != "delta" or out["segment"] is None or out["folded"]:
-        raise RuntimeError(
-            f"delta_conj_topk gate: expected a pending un-folded segment "
-            f"(strategy={out['strategy']!r}, segment={out['segment']!r}, "
-            f"folded={out['folded']!r})"
-        )
+    idx = _delta_gate_fixture(spark, sf_dir, "deltaconj")
     if not has_segments(spark, IndexPaths(idx)):
         raise RuntimeError("delta_conj_topk gate: segment vanished before query")
     q = BM25Query(spark, idx)

@@ -36,6 +36,35 @@ def rename(spark, src: str, dst: str) -> bool:
     return bool(fs.rename(p, spark._jvm.org.apache.hadoop.fs.Path(dst)))
 
 
+def create_exclusive(spark, path: str, data: str) -> bool:
+    """Atomically create ``path`` with ``data`` iff it does not already
+    exist — the Hadoop ``create(overwrite=false)`` contract (atomic on
+    HDFS and the local FS; conditional-write on recent S3A). The lock-
+    file primitive: exactly one of N concurrent callers wins. Returns
+    whether THIS call created the file."""
+    fs, p = hadoop_fs(spark, path)
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        return False  # already exists (FileAlreadyExistsException)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def file_mtime(spark, path: str) -> float | None:
+    """Modification time of ``path`` in epoch seconds, None if absent."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    return float(fs.getFileStatus(p).getModificationTime()) / 1000.0
+
+
 def write_file(spark, path: str, data: str, overwrite: bool = False) -> None:
     """Create a small metadata file with the given text via the Hadoop FS
     API — works on HDFS/S3A, not only the driver's local disk. Durability:

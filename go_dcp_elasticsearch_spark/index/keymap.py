@@ -68,6 +68,14 @@ N_BUCKETS_DEFAULT = 16
 # million-value isin list would bloat the plan)
 MAX_KH_IN = 100_000
 
+# fold the delta append history into the base once this many delta dirs
+# have accumulated: every lookup reads EVERY delta file wholesale, so an
+# unbounded history (one dir per apply, e.g. a long-running streaming
+# pipeline) would make the per-apply metadata cost O(#applies-ever) —
+# the same unbounded-growth class the index's own segment hard cap
+# bounds. The fold is O(touched buckets), amortized O(1) dirs per apply.
+DELTA_FOLD_AT = 32
+
 
 def keymap_root(paths: IndexPaths) -> str:
     return f"{paths.root}/keymap"
@@ -300,16 +308,103 @@ def append_delta(
         rows.coalesce(1).write.mode("overwrite").parquet(
             f"{keymap_root(paths)}/delta/seq={seq}"
         )
-    _write_meta(
-        spark,
-        paths,
-        {
-            **meta,
-            "epoch": int(new_epoch),
-            "max_doc_id": int(new_max_doc_id),
-            "max_shard": int(new_max_shard),
-        },
+    new_meta = {
+        **meta,
+        "epoch": int(new_epoch),
+        "max_doc_id": int(new_max_doc_id),
+        "max_shard": int(new_max_shard),
+    }
+    _write_meta(spark, paths, new_meta)
+    if _count_delta_dirs(spark, paths) >= DELTA_FOLD_AT:
+        _fold_deltas(spark, paths, key_cols, new_meta)
+
+
+def _count_delta_dirs(spark, paths: IndexPaths) -> int:
+    from go_dcp_elasticsearch_spark.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, f"{keymap_root(paths)}/delta")
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith("seq=")
     )
+
+
+def _fold_deltas(spark, paths: IndexPaths, key_cols: list[str], meta: dict) -> None:
+    """Merge the delta append history into the base and clear it —
+    partition-pruned to the buckets the deltas' keys touch, so the cost
+    scales with the folded key set, not the corpus. Crash-safe the cache
+    way: the meta is DELETED first (cache invalid — readers fall back to
+    the full metadata scan and the next apply rebuilds), the buckets are
+    rewritten, and the meta is restored only after the delta dirs are
+    gone; a crash at any point leaves an invalid cache, never a wrong
+    one."""
+    from go_dcp_elasticsearch_spark.fsutil import delete_dir
+    from go_dcp_elasticsearch_spark.operators.dedup import last_write_wins
+
+    root = keymap_root(paths)
+    nb = int(meta["n_buckets"])
+    cols = ["kh", *key_cols, "doc_id", "shard", "doc_len", "_km_alive", "_km_seq"]
+    deltas = spark.read.parquet(f"{root}/delta").drop("seq").select(*cols)
+    touched = sorted(
+        int(r["b"])
+        for r in deltas.select(
+            F.pmod(F.col("kh"), F.lit(nb)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    delete_dir(spark, _meta_path(paths))  # invalid until fully folded
+    if touched:
+        base = (
+            spark.read.parquet(f"{root}/base")
+            .filter(F.col("_kb").isin(touched))
+            .select(*cols)
+        )
+        winners = last_write_wins(
+            base.unionByName(deltas), key_cols, "_km_seq"
+        ).filter(F.col("_km_alive"))
+        out = winners.select(
+            "kh",
+            *key_cols,
+            F.col("doc_id").cast("long"),
+            F.col("shard").cast("int"),
+            F.col("doc_len").cast("long"),
+            F.lit(True).alias("_km_alive"),
+            F.lit(0).cast("long").alias("_km_seq"),
+            F.pmod(F.col("kh"), F.lit(nb)).cast("int").alias("_kb"),
+        )
+        # staging hop: the merged buckets are written OUT of the base
+        # tree first (Spark cannot overwrite partitions of a path it is
+        # reading in the same job), then moved in with a dynamic
+        # partition overwrite of exactly the buckets that receive rows
+        tmp = f"{root}/_fold_tmp"
+        delete_dir(spark, tmp)
+        out.repartition(max(len(touched), 1), F.col("_kb")).sortWithinPartitions(
+            "kh"
+        ).write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        received = {
+            int(r["_kb"]) for r in staged.select("_kb").distinct().collect()
+        }
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            staged.write.mode("overwrite").partitionBy("_kb").parquet(
+                f"{root}/base"
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # dynamic overwrite replaces only partitions that RECEIVE rows: a
+        # bucket whose keys all died must be deleted explicitly
+        for bkt in set(touched) - received:
+            delete_dir(spark, f"{root}/base/_kb={bkt}")
+        delete_dir(spark, tmp)
+        spark.catalog.refreshByPath(f"{root}/base")
+    delete_dir(spark, f"{root}/delta")
+    _write_meta(spark, paths, meta)
 
 
 def bump_epoch(spark, paths: IndexPaths, old_count: int, new_count: int) -> None:

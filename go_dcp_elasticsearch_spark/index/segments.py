@@ -41,6 +41,8 @@ dictionary/stats partials.
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -75,6 +77,80 @@ def _fold_marker(paths: IndexPaths) -> str:
     return f"{_fold_root(paths)}/COMMIT.json"
 
 
+# Single-committer guard for the fold commit (the Lucene write.lock
+# analogue): _commit_fold's per-shard delete+rename moves are idempotent
+# under CRASH-and-rerun but NOT safe under two live committers (one can
+# delete a base shard dir the other just renamed into place). The lock
+# file is created atomically (create-exclusive) before the COMMIT marker
+# and removed with the stage on success, on structured failure, or —
+# after a hard kill — stolen once it is older than this TTL. Heartbeats
+# between commit phases keep a live slow committer's lock fresh. Like
+# Lucene's lock factory this is best-effort mutual exclusion on a
+# filesystem: a committer stalled beyond the TTL mid-phase can still be
+# raced, which is the documented operational bound, not a silent default.
+FOLD_LOCK_TTL_SEC = 300.0
+
+
+def _fold_lock(paths: IndexPaths) -> str:
+    return f"{_fold_root(paths)}/LOCK"
+
+
+def _acquire_fold_lock(spark, paths: IndexPaths) -> bool:
+    import time
+
+    from go_dcp_elasticsearch_spark.fsutil import (
+        create_exclusive,
+        delete_dir,
+        file_mtime,
+    )
+
+    lock = _fold_lock(paths)
+    stamp = json.dumps({"ts": time.time()})
+    if create_exclusive(spark, lock, stamp):
+        return True
+    mt = file_mtime(spark, lock)
+    if mt is not None and (time.time() - mt) < FOLD_LOCK_TTL_SEC:
+        return False  # a live committer (or one dead < TTL) holds it
+    delete_dir(spark, lock)  # stale: holder died without releasing
+    return create_exclusive(spark, lock, stamp)
+
+
+def _release_fold_lock(spark, paths: IndexPaths) -> None:
+    from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
+    delete_dir(spark, _fold_lock(paths))
+
+
+def ensure_no_pending_fold(spark, paths: IndexPaths, op: str) -> None:
+    """Writer-path guard: raise when a fold COMMIT marker survives a
+    recover_pending_fold call — i.e. another live session holds the
+    commit lock. A writer proceeding anyway would mutate the delta area
+    mid-commit (e.g. write a segment that the committer's cleanup then
+    deletes wholesale). Readers don't need this: they just observe the
+    in-flight state."""
+    from go_dcp_elasticsearch_spark.fsutil import exists
+
+    if exists(spark, _fold_marker(paths)):
+        raise RuntimeError(
+            f"{op}: a fold commit is in progress in another session "
+            f"(commit lock held); retry once it completes"
+        )
+
+
+def _heartbeat_fold_lock(spark, paths: IndexPaths) -> None:
+    import time
+
+    from go_dcp_elasticsearch_spark.fsutil import write_file
+
+    try:
+        write_file(
+            spark, _fold_lock(paths), json.dumps({"ts": time.time()}),
+            overwrite=True,
+        )
+    except Exception:  # noqa: BLE001 — heartbeat is best-effort
+        pass
+
+
 def _list_segments_raw(spark, paths: IndexPaths) -> list[int]:
     """Directory listing of ``delta/docs`` WITHOUT the pending-fold
     recovery check — used by the fold commit itself."""
@@ -96,14 +172,33 @@ def recover_pending_fold(spark, paths: IndexPaths) -> dict | None:
     written (the Lucene segments_N model: once the generation file is
     durable, the merge is committed and recovery finishes the file moves;
     before it, the staged output is garbage and the pre-fold state is
-    authoritative). Idempotent — every reader entry point calls this, so
-    a half-committed fold can never double-expose segment postings.
+    authoritative). Idempotent under crash-and-rerun — every reader
+    entry point calls this, so a half-committed fold can never STAY
+    double-exposed. Recovery only runs under the fold commit LOCK: if
+    another session holds it (a live committer, or one dead for less
+    than FOLD_LOCK_TTL_SEC), this call returns None WITHOUT mutating
+    anything — two concurrent _commit_fold runs could otherwise delete a
+    base shard the other just renamed into place. A reader that skips
+    recovery reads the in-flight state (transient, bounded by the TTL).
     Returns the fold summary when recovery ran, else None."""
     from go_dcp_elasticsearch_spark.fsutil import exists
 
     if not exists(spark, _fold_marker(paths)):
         return None
-    return _commit_fold(spark, paths)
+    if not _acquire_fold_lock(spark, paths):
+        return None
+    try:
+        if not exists(spark, _fold_marker(paths)):
+            # the lock holder finished between our two checks
+            _release_fold_lock(spark, paths)
+            return None
+        return _commit_fold(spark, paths)
+    except BaseException:
+        # structured failure (incl. injected test crashes): release so
+        # the next entrant retries immediately; a hard kill leaves the
+        # lock to the TTL steal
+        _release_fold_lock(spark, paths)
+        raise
 
 
 def list_segments(spark, paths: IndexPaths) -> list[int]:
@@ -291,12 +386,15 @@ def fold_segments(spark, index_dir: str) -> dict:
     and the stale stage is cleared on the next fold. The fsync'd
     ``delta/_fold/COMMIT.json`` marker is the single commit point; from
     then on ``_commit_fold`` (re-run idempotently by every reader entry
-    point via recover_pending_fold) moves the staged partitions into the
-    base with per-shard delete+rename and clears the delta area LAST —
-    so a kill at ANY point either never exposes the fold or completes
-    it, and segment postings can never appear both in the base and in a
+    point via recover_pending_fold, serialized by the commit LOCK — see
+    FOLD_LOCK_TTL_SEC) moves the staged partitions into the base with
+    per-shard delete+rename and clears the delta area LAST — so a kill
+    at ANY point either never exposes the fold or completes it, and
+    segment postings can never appear both in the base and in a
     still-listed segment (the double-count hazard of a delete-after-
-    overwrite ordering without a commit record).
+    overwrite ordering without a commit record). At most one committer
+    runs at a time: concurrent readers return without mutating, and
+    concurrent WRITERS abort loudly (ensure_no_pending_fold).
 
     Returns {"n_segments", "dirty_shards", "n_tombstones"}; no-op dict
     when no segments are pending. Called by compact_index before its
@@ -319,8 +417,12 @@ def fold_segments(spark, index_dir: str) -> dict:
     )
 
     paths = IndexPaths(index_dir)
-    # completes a previously crashed fold commit, if any (via recovery)
+    # completes a previously crashed fold commit, if any (via recovery);
+    # if recovery was SKIPPED because another live session holds the
+    # commit lock, abort — clearing the stage below would destroy that
+    # committer's marker and staged output mid-commit
     segs = list_segments(spark, paths)
+    ensure_no_pending_fold(spark, paths, "fold_segments")
     if not segs:
         return {"n_segments": 0, "dirty_shards": [], "n_tombstones": 0}
     # a stage left by a fold that died BEFORE its commit marker is
@@ -480,13 +582,25 @@ def fold_segments(spark, index_dir: str) -> dict:
         "postings_live": sorted(int(s) for s in postings_live),
         "n_tombstones": len(tomb_rows),
     }
-    tmp = _fold_marker(paths) + ".tmp"
-    write_file(spark, tmp, json.dumps(marker), overwrite=True)
-    if not rename(spark, tmp, _fold_marker(paths)):
-        raise RuntimeError(f"fold_segments: could not commit marker {tmp}")
-    _crash("after_marker")
+    # the commit lock precedes the marker (lock lifetime covers marker
+    # lifetime): readers act on the marker only, so the lock is never
+    # contended before this point — failure here means a concurrent
+    # fold_segments call, which is caller misuse, not a race to recover
+    if not _acquire_fold_lock(spark, paths):
+        raise RuntimeError(
+            "fold_segments: another fold commit holds the lock"
+        )
+    try:
+        tmp = _fold_marker(paths) + ".tmp"
+        write_file(spark, tmp, json.dumps(marker), overwrite=True)
+        if not rename(spark, tmp, _fold_marker(paths)):
+            raise RuntimeError(f"fold_segments: could not commit marker {tmp}")
+        _crash("after_marker")
 
-    return _commit_fold(spark, paths)
+        return _commit_fold(spark, paths)
+    except BaseException:
+        _release_fold_lock(spark, paths)
+        raise
 
 
 def _list_shard_dirs(spark, path: str) -> set[int]:
@@ -568,6 +682,7 @@ def _commit_fold(spark, paths: IndexPaths) -> dict:
                 _crash("mid_commit")
     spark.catalog.refreshByPath(paths.docs)
     spark.catalog.refreshByPath(paths.postings)
+    _heartbeat_fold_lock(spark, paths)
 
     # partials — pure recompute from the final base, partition-pruned to
     # the dirty shards (exact from here on)
@@ -590,6 +705,7 @@ def _commit_fold(spark, paths: IndexPaths) -> dict:
     for s in set(dirty) - docs_live:
         partials.pop(int(s), None)
     write_stats_tables(spark, paths, partials)
+    _heartbeat_fold_lock(spark, paths)
     _crash("before_cleanup")
 
     # ordered cleanup: segments first, marker last (see docstring)

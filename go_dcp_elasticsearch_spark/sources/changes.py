@@ -506,8 +506,11 @@ def apply_changes_to_index(
             )
         else:
             view = read_docs(spark, index_dir)
+            # no broadcast hint on the feed side: a bulk re-ingest feed
+            # can carry millions of keys and a forced broadcast would
+            # override AQE's size checks (AQE broadcasts when it fits)
             marked = view.select(*key_cols, "shard").join(
-                F.broadcast(probe_feed.withColumn("_touched", F.lit(1))),
+                probe_feed.withColumn("_touched", F.lit(1)),
                 key_cols,
                 "left",
             )
@@ -524,9 +527,14 @@ def apply_changes_to_index(
             )
     # rebuild path: base-only invariants below (the docs table is the id
     # authority and every changed shard is rewritten wholesale), so any
-    # pending delta segments are folded into the base first
+    # pending delta segments are folded into the base first; abort when a
+    # fold commit is live in ANOTHER session (rewriting base shards would
+    # race its per-shard moves and partials recompute)
     if has_segments(spark, IndexPaths(index_dir)):
         fold_segments(spark, index_dir)
+    from go_dcp_elasticsearch_spark.index.segments import ensure_no_pending_fold
+
+    ensure_no_pending_fold(spark, IndexPaths(index_dir), "apply_changes_to_index")
     # keymap epoch snapshot (POST-fold): if the cache is valid now, this
     # apply appends its key changes after committing so the next delta
     # apply keeps its O(delta) lookup
@@ -786,7 +794,16 @@ def apply_changes_to_index(
                     key_cols, "left_semi",
                 )
             )
-            km_dead = feed.filter(F.col("action") == "delete").select(*key_cols)
+            # dead markers for every feed key WITHOUT a surviving row in
+            # the rewritten docs — deletes, plus non-delete keys whose
+            # content was absent from new_corpus (the rebuild's inner
+            # join dropped their doc, so a delete-only marker would leave
+            # a stale alive row that a later delta apply would tombstone
+            # and double-subtract from the stats partials). Mirrors the
+            # delta path's matched-keys anti-join.
+            km_dead = feed.select(*key_cols).join(
+                km_alive.select(*key_cols), key_cols, "left_anti"
+            )
             km_mod.append_delta(
                 spark, _km_paths, key_cols, km_alive, km_dead, kmeta,
                 b.lineage.record_count(),
@@ -862,15 +879,22 @@ def _apply_changes_delta(
     )
 
     from go_dcp_elasticsearch_spark.index import keymap as km_mod
-    from go_dcp_elasticsearch_spark.index.segments import recover_pending_fold
+    from go_dcp_elasticsearch_spark.index.segments import (
+        ensure_no_pending_fold,
+        recover_pending_fold,
+    )
     from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
 
     trace = _phase_tracer("delta")
     paths = IndexPaths(index_dir)
     # complete any crashed fold BEFORE building base scans (recovery
     # renames base partition dirs) and before the keymap epoch check
-    # (recovery commits a lineage record)
+    # (recovery commits a lineage record). If recovery was SKIPPED
+    # because another live session holds the commit lock, abort: writing
+    # a segment mid-commit would race the committer's wholesale delta-
+    # area cleanup.
     recover_pending_fold(spark, paths)
+    ensure_no_pending_fold(spark, paths, "apply_changes_to_index[delta]")
     lin_count = LineageLog(spark, paths.lineage).record_count()
     kmeta = km_mod.valid_meta(spark, paths, key_cols, lin_count)
     trace("recover+lineage+meta")
@@ -903,9 +927,14 @@ def _apply_changes_delta(
     _ensure_partials_layout(spark, b)
     trace("partials_layout")
 
+    # persisted: the LWW dedup is a window/shuffle over the raw changes,
+    # and without the persist it re-runs for every consumer (the keymap
+    # lookup's kh collect, the joined materialization, the segment-docs
+    # plan) — pure fixed overhead on the path whose point is low fixed
+    # cost per apply
     feed = last_write_wins(changes, key_cols, order_col).select(
         *key_cols, "action"
-    )
+    ).persist()
     # ONE metadata join answers everything: old doc_id + shard + doc_len
     # for tombstones/stats, null doc_id = insert. With a valid keymap the
     # lookup side is a bucket/row-group-PRUNED read of the key cache
@@ -923,6 +952,7 @@ def _apply_changes_delta(
     trace("joined_count")
     if n_changed == 0:
         joined.unpersist()
+        feed.unpersist()
         return {
             "affected_shards": [], "insert_shards": [], "n_changed": 0,
             "n_docs": None, "segment": None, "strategy": "delta",
@@ -953,6 +983,7 @@ def _apply_changes_delta(
     trace("dead_agg")
     if n_alive == 0 and n_dead == 0:
         joined.unpersist()
+        feed.unpersist()
         return {
             "affected_shards": [], "insert_shards": [], "n_changed": n_changed,
             "n_docs": None, "segment": None, "strategy": "delta",
@@ -1160,6 +1191,7 @@ def _apply_changes_delta(
     if all_rows is not None:
         all_rows.unpersist()
     joined.unpersist()
+    feed.unpersist()
     if force_fold:
         # hard cap tripped: fold NOW, on the batch path too — the apply
         # itself stayed O(changed docs); this amortized maintenance is
@@ -1216,7 +1248,11 @@ def compact_index(
 
     from go_dcp_elasticsearch_spark.index import keymap as km_mod
     from go_dcp_elasticsearch_spark.index.builder import IndexBuilder, IndexPaths
-    from go_dcp_elasticsearch_spark.index.segments import fold_segments, has_segments
+    from go_dcp_elasticsearch_spark.index.segments import (
+        ensure_no_pending_fold,
+        fold_segments,
+        has_segments,
+    )
 
     # compaction relabels shards wholesale: every keymap placement goes
     # stale, so drop the cache up front (a crash mid-compact then leaves
@@ -1224,9 +1260,11 @@ def compact_index(
     km_mod.drop_keymap(spark, IndexPaths(index_dir))
     # fold pending delta segments into the base first: the merge/split
     # phases below relabel docs partitions wholesale and assume the base
-    # layout is the complete live state
+    # layout is the complete live state (abort if a fold commit is live
+    # in another session — relabeling would race its per-shard moves)
     if has_segments(spark, IndexPaths(index_dir)):
         fold_segments(spark, index_dir)
+    ensure_no_pending_fold(spark, IndexPaths(index_dir), "compact_index")
     docs_path = f"{index_dir}/docs"
     docs = spark.read.parquet(docs_path)
     counts = sorted(

@@ -258,3 +258,112 @@ def test_keymap_large_feed_stays_catalyst_side(spark, tmp_path):
     ), "inFilterThreshold must stay at the default (OR-chain stack overflow)"
     assert got.count() == 300
     _assert_matches_live(spark, idx, probe)
+
+
+def test_rebuild_apply_marks_absent_content_keys_dead(spark, tmp_path):
+    """A rebuild-strategy apply with a NON-delete change whose content is
+    absent from new_corpus drops the doc from the index (the rebuild's
+    inner join); the keymap must record a dead marker for that key — a
+    stale alive row would make the next delta apply tombstone a doc_id
+    that exists in neither base nor segments and double-subtract its
+    doc_len from the stats partials."""
+    from go_dcp_elasticsearch_spark.index.segments import read_delta_docs
+
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 120)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    victim = (
+        spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(1).collect()[0]
+    )
+    vkey = (victim["repo"], victim["path"])
+    state = corpus.filter(
+        ~((F.col("repo") == vkey[0]) & (F.col("path") == vkey[1]))
+    )
+    changes = spark.createDataFrame(
+        [(vkey[0], vkey[1], "index", 50)],
+        "repo string, path string, action string, seq_no long",
+    )
+    apply_changes_to_index(spark, idx, state, changes, strategy="rebuild")
+    assert (
+        read_docs(spark, idx)
+        .filter((F.col("repo") == vkey[0]) & (F.col("path") == vkey[1]))
+        .count()
+        == 0
+    )
+    # lookup agrees with the live view: NO row for the dropped key
+    _assert_matches_live(spark, idx, _all_keys(spark, idx, {vkey}))
+    # a follow-up delta apply re-adding the key must treat it as an
+    # INSERT: no tombstone for a doc that no longer exists
+    state2 = state.unionByName(
+        spark.createDataFrame(
+            [(vkey[0], vkey[1], "cz", "python", "zzkmreborn body", 951)],
+            "repo string, path string, commit string, lang string, "
+            "content string, seq_no int",
+        )
+    )
+    changes2 = spark.createDataFrame(
+        [(vkey[0], vkey[1], "index", 60)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out2 = apply_changes_to_index(spark, idx, state2, changes2, strategy="delta")
+    assert out2["strategy"] == "delta"
+    seg = read_delta_docs(spark, IndexPaths(idx))
+    assert seg is not None and seg.filter(~F.col("_alive")).count() == 0
+    _assert_matches_live(spark, idx, _all_keys(spark, idx, set()))
+
+
+def test_keymap_delta_history_folds_at_threshold(spark, tmp_path, monkeypatch):
+    """Each apply appends one keymap delta dir and every lookup reads the
+    whole history — so the history must FOLD into the base once
+    DELTA_FOLD_AT dirs accumulate, keeping per-apply metadata cost O(1)
+    dirs instead of O(#applies-ever). Lookups stay exact across the
+    fold, including for keys deleted in folded history."""
+    monkeypatch.setattr(km, "DELTA_FOLD_AT", 3)
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 150)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    paths = IndexPaths(idx)
+    dead: set[tuple[str, str]] = set()
+
+    state = corpus
+    # apply 1: delete an existing key (a dead marker enters the history)
+    victim = (
+        spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(1).collect()[0]
+    )
+    vkey = (victim["repo"], victim["path"])
+    state = state.filter(
+        ~((F.col("repo") == vkey[0]) & (F.col("path") == vkey[1]))
+    )
+    apply_changes_to_index(
+        spark, idx, state,
+        spark.createDataFrame(
+            [(vkey[0], vkey[1], "delete", 70)],
+            "repo string, path string, action string, seq_no long",
+        ),
+        strategy="delta",
+    )
+    dead.add(vkey)
+    _assert_matches_live(spark, idx, _all_keys(spark, idx, dead))
+    # applies 2..4: inserts; the 3rd append crosses the threshold
+    for i in range(3):
+        key = ("orgF/km", f"f{i}.py")
+        state = state.unionByName(
+            spark.createDataFrame(
+                [(key[0], key[1], "c", "python", f"zzkmfold body {i}", 960 + i)],
+                "repo string, path string, commit string, lang string, "
+                "content string, seq_no int",
+            )
+        )
+        apply_changes_to_index(
+            spark, idx, state,
+            spark.createDataFrame(
+                [(key[0], key[1], "index", 71 + i)],
+                "repo string, path string, action string, seq_no long",
+            ),
+            strategy="delta",
+        )
+        _assert_matches_live(spark, idx, _all_keys(spark, idx, dead))
+    assert km._count_delta_dirs(spark, paths) < 3, "history did not fold"
+    # the folded base carries no row for the deleted key (dead winners
+    # are dropped at fold, same as a live-view miss)
+    _assert_matches_live(spark, idx, _all_keys(spark, idx, dead))

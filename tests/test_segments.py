@@ -782,3 +782,63 @@ def test_many_segments_serving(spark, tmp_path):
     summary = fold_segments(spark, idx)
     assert summary["n_segments"] == 10
     _rank_check(spark, idx, state, ["zzmseg3 parser", "getvalue buffer"])
+
+
+def test_fold_lock_blocks_concurrent_recovery(spark, tmp_path):
+    """While another LIVE session holds the fold commit lock, readers
+    must not run recovery (two concurrent _commit_fold runs can destroy
+    a freshly-renamed base shard: one deletes the dir the other just
+    moved into place) and writers must abort loudly instead of
+    clobbering the in-flight commit's stage/marker."""
+    from go_dcp_elasticsearch_spark.fsutil import create_exclusive, delete_dir, exists
+    from go_dcp_elasticsearch_spark.index import segments as segmod
+
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    paths = IndexPaths(idx)
+    segmod.FOLD_CRASHPOINT = "after_marker"
+    try:
+        with pytest.raises(segmod.InjectedFoldCrash):
+            fold_segments(spark, idx)
+    finally:
+        segmod.FOLD_CRASHPOINT = None
+    # simulate a live concurrent committer: (re)take the released lock
+    assert create_exclusive(spark, segmod._fold_lock(paths), "{}")
+    # readers return without mutating: marker + segments stay put
+    assert segmod.recover_pending_fold(spark, paths) is None
+    assert exists(spark, segmod._fold_marker(paths))
+    assert segmod._list_segments_raw(spark, paths)
+    # writers abort instead of destroying the committer's state
+    with pytest.raises(RuntimeError, match="fold commit is in progress"):
+        fold_segments(spark, idx)
+    with pytest.raises(RuntimeError, match="fold commit is in progress"):
+        apply_changes_to_index(
+            spark, idx, new_corpus, changes, strategy="delta"
+        )
+    # the holder finishes (releases): the next reader recovers normally
+    delete_dir(spark, segmod._fold_lock(paths))
+    assert segmod.recover_pending_fold(spark, paths) is not None
+    assert not has_segments(spark, IndexPaths(idx))
+    _doc_level_consistent(spark, idx, new_corpus)
+
+
+def test_fold_lock_stale_is_stolen(spark, tmp_path, monkeypatch):
+    """A lock left by a HARD-killed committer (no structured release) is
+    stolen once older than FOLD_LOCK_TTL_SEC and recovery completes."""
+    from go_dcp_elasticsearch_spark.fsutil import create_exclusive
+    from go_dcp_elasticsearch_spark.index import segments as segmod
+
+    idx, new_corpus, changes, *_ = _setup(spark, tmp_path)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    paths = IndexPaths(idx)
+    segmod.FOLD_CRASHPOINT = "after_marker"
+    try:
+        with pytest.raises(segmod.InjectedFoldCrash):
+            fold_segments(spark, idx)
+    finally:
+        segmod.FOLD_CRASHPOINT = None
+    assert create_exclusive(spark, segmod._fold_lock(paths), "{}")
+    monkeypatch.setattr(segmod, "FOLD_LOCK_TTL_SEC", 0.0)
+    assert segmod.recover_pending_fold(spark, paths) is not None
+    assert not has_segments(spark, IndexPaths(idx))
+    _doc_level_consistent(spark, idx, new_corpus)
