@@ -40,6 +40,12 @@ from go_dcp_elasticsearch_spark.functions.tokenizer import (
 # ---------------------------------------------------------------------------
 
 BM25_TERMS = ["spark", "filter", "join"]
+
+# phrase gate query (ES match_phrase analogue): ordered token sequence.
+# "table scan" is discriminative on the fixture corpus: ~30 consecutive
+# matches vs ~320 docs containing both terms, so the verify step provably
+# filters (measured at sf0.001 and sf0.01).
+PHRASE_TOKENS = ["table", "scan"]
 BM25_K = 10
 LANGS = ["de", "en", "es", "fr", "zh"]
 LANG_MARKERS = {
@@ -241,6 +247,36 @@ def _q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _oracle_index(spark, sf_dir)
     q = BM25Query(spark, idx_dir)
     hits = q.topk_pruned(" ".join(BM25_TERMS), BM25_K + 64, mode="all")
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval (ES match_phrase analogue) through the full
+    engine: conjunctive posting intersection bounds the candidates, the
+    consecutive-subsequence test re-tokenizes ONLY candidates' content
+    from the source table (the index stores content_sha256, not content —
+    the invariant is enforced per candidate row), BM25-ranked over the
+    phrase's distinct terms. Same k+64 margin + public (rounded score,
+    doc_id) re-rank as the other index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_phrase(
+        " ".join(PHRASE_TOKENS), BM25_K + 64,
+        source=load_documents_corpus(spark, sf_dir),
+    )
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
         F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
@@ -1038,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "bm25_topk_conj": _q_bm25_topk_conj,
+        "phrase_topk": _q_phrase_topk,
         "term_df_topn": _q_term_df_topn,
         "term_df_salted": _q_term_df_salted,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1175,6 +1212,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_conj": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", BM25_TERMS, BM25_K,
             require_all=True,
+        ),
+        "phrase_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", PHRASE_TOKENS, BM25_K,
+            require_all=True, phrase=PHRASE_TOKENS,
         ),
         "delta_fold_topk": delta_fold,
         "delta_conj_topk": delta_conj,

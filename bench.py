@@ -128,6 +128,12 @@ def main() -> None:
         q.topk_exact(QUERY_SET[0], 10).collect()
         timings["topk_exact_sec"] = round(time.time() - t0, 4)
 
+        # --- phrase retrieval (round 6): conjunctive candidates + source
+        # re-tokenize verify; the source content read is candidate-bounded
+        t0 = time.time()
+        q.topk_phrase("table scan", 10, source=corpus).collect()
+        timings["topk_phrase_sec"] = round(time.time() - t0, 4)
+
         # --- batch retrieval: all queries in ONE job (shared scan+decode).
         # This is the SERVING pattern: per-query Spark-job latency above is
         # scheduler-bound (~0.7 s/job no matter the data); batching

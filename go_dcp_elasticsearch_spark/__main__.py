@@ -74,9 +74,15 @@ def main(argv: list[str] | None = None) -> int:
                         "(ONE postings scan + shared block decode for the whole set)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--strategy", choices=["pruned", "exact"], default="pruned")
-    q.add_argument("--mode", choices=["any", "all"], default="any",
+    q.add_argument("--mode", choices=["any", "all", "phrase"], default="any",
                    help="any: disjunctive BM25 (default); all: every query "
-                        "term must match (Elasticsearch bool.must)")
+                        "term must match (Elasticsearch bool.must); phrase: "
+                        "consecutive token sequence (ES match_phrase — "
+                        "requires --corpus, the source the index was built "
+                        "from, since the index stores content_sha256, not "
+                        "content)")
+    q.add_argument("--corpus", default=None,
+                   help="source corpus parquet (phrase mode only)")
     q.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -162,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
 
             qq = BM25Query(spark, args.index)
             if args.text_file:
+                if args.mode == "phrase":
+                    p.error("--mode phrase serves single --text queries "
+                            "(no batch path)")
                 with open(args.text_file) as f:
                     batch = [(i, line.strip()) for i, line in enumerate(f) if line.strip()]
                 for row in qq.topk_batch(batch, args.k, mode=args.mode).collect():
@@ -170,8 +179,17 @@ def main(argv: list[str] | None = None) -> int:
                         "score": row["score"],
                     }))
             elif args.text is not None:
-                fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
-                for row in fn(args.text, args.k, mode=args.mode).collect():
+                if args.mode == "phrase":
+                    if not args.corpus:
+                        p.error("--mode phrase requires --corpus (the source "
+                                "table; the index stores only content_sha256)")
+                    hits = qq.topk_phrase(
+                        args.text, args.k, source=_load_corpus(spark, args.corpus)
+                    )
+                else:
+                    fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
+                    hits = fn(args.text, args.k, mode=args.mode)
+                for row in hits.collect():
                     print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
             else:
                 p.error("query requires --text or --text-file")

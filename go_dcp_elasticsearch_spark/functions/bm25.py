@@ -45,6 +45,31 @@ def score_expr(tf: Column, dl: Column, avgdl: Column, idf_col: Column) -> Column
     return idf_col * tf / (tf + k1 * (F.lit(1.0) - b + b * dl / avgdl))
 
 
+def phrase_match_py(tokens: list[str], phrase: list[str]) -> bool:
+    """Pure-Python phrase test: ``phrase`` occurs as a consecutive
+    subsequence of ``tokens``. Tokens are [a-z0-9]+ by construction, so
+    the space-joined substring formulation is exact — and it is the SAME
+    formulation the engine kernel and the DuckDB oracle use."""
+    if not phrase:
+        return False
+    return (
+        " " + " ".join(phrase) + " "
+    ) in (" " + " ".join(tokens) + " ")
+
+
+def bm25_phrase_oracle(
+    docs_tokens: dict[int, list[str]], phrase: list[str], k: int
+) -> list[tuple[int, float]]:
+    """Pure-Python phrase top-k oracle: BM25 over the phrase's distinct
+    terms (corpus-wide df/avgdl — stats are NOT restricted to matches),
+    ranked only over docs passing phrase_match_py."""
+    ranked = bm25_oracle(docs_tokens, sorted(set(phrase)), len(docs_tokens))
+    out = [
+        (d, s) for d, s in ranked if phrase_match_py(docs_tokens[d], phrase)
+    ]
+    return out[:k]
+
+
 def bm25_oracle(
     docs_tokens: dict[int, list[str]], query_terms: list[str], k: int
 ) -> list[tuple[int, float]]:
@@ -91,6 +116,7 @@ def round6_expr(col: Column) -> Column:
 def bm25_duckdb_sql(
     tokens_sql: str, source_table: str, doc_id_col: str, terms: list[str], k: int,
     round_dp: int = 6, require_all: bool = False, df_source_sql: str | None = None,
+    phrase: list[str] | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (oracle side of the
     driver's correctness gate). ``tokens_sql`` is a fragment producing the
@@ -110,9 +136,23 @@ def bm25_duckdb_sql(
     expression must yield columns (iid, text) with ``iid`` unique per doc
     INSTANCE (an updated doc appears on both sides and must count twice,
     like its old+new postings do). df is clamped to n_docs in the idf,
-    matching the engine's negative-idf guard (query.py _term_stats)."""
+    matching the engine's negative-idf guard (query.py _term_stats).
+
+    ``phrase`` (ordered token list) mirrors BM25Query.topk_phrase: only
+    docs whose token stream contains the phrase as a consecutive
+    subsequence score; tokens are [a-z0-9]+ by construction, so the
+    space-joined stream makes the subsequence test an exact substring
+    match — the identical formulation the engine's verify kernel uses."""
     terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
+    phrase_pred = ""
+    if phrase:
+        needle = " " + " ".join(phrase) + " "
+        phrase_pred = (
+            "AND tf.doc_id IN (SELECT doc_id FROM toks WHERE strpos("
+            f"' ' || array_to_string(tokens, ' ') || ' ', "
+            f"'{needle.replace(chr(39), chr(39) * 2)}') > 0)"
+        )
     if df_source_sql is None:
         df_cte = "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
         df_expr = "df.df"
@@ -146,6 +186,7 @@ scored AS (
               * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
             ) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE 1=1 {phrase_pred}
   GROUP BY tf.doc_id
   {having}
 )

@@ -395,6 +395,14 @@ class BM25Query:
         idfs = self._term_stats(terms)
         if not idfs or (mode == "all" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], schema="doc_id long, score double")
+        scored = self._exact_scored(idfs, len(terms) if mode == "all" else 0)
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def _exact_scored(self, idfs: dict[str, float], require_n: int) -> DataFrame:
+        """(doc_id, score) over EVERY matching doc — the exact-path scoring
+        frame shared by topk_exact and topk_phrase. ``require_n`` > 0 keeps
+        only docs matching that many distinct terms (conjunction as a
+        HAVING over the one-row-per-(term, doc) decode, not a re-scan)."""
         idf_map = F.create_map(
             *[x for t, w in sorted(idfs.items()) for x in (F.lit(t), F.lit(float(w)))]
         )
@@ -409,12 +417,9 @@ class BM25Query:
             .agg(F.sum("contrib").alias("score"),
                  F.count("*").alias("_nt"))
         )
-        if mode == "all":
-            # one decoded row per (term, doc): the match count per doc is
-            # the row count, so conjunction is a HAVING, not a re-scan
-            scored = scored.filter(F.col("_nt") == len(terms))
-        scored = scored.drop("_nt")
-        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        if require_n:
+            scored = scored.filter(F.col("_nt") == require_n)
+        return scored.drop("_nt")
 
     def _per_shard(self, blocks: DataFrame, kernel, out_schema: str) -> DataFrame:
         """Run a per-shard kernel with EXACTLY one-ish shard per task.
@@ -471,6 +476,97 @@ class BM25Query:
         )
         local = self._per_shard(blocks, kernel, "doc_id long, score double")
         return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    # ---------- phrase retrieval (ES match_phrase analogue) ----------
+
+    def topk_phrase(self, query: str, k: int = 10, source: DataFrame | None = None) -> DataFrame:
+        """Phrase top-k: docs whose token stream contains the query's
+        tokens as a CONSECUTIVE subsequence, BM25-ranked over the phrase's
+        distinct terms — the Elasticsearch ``match_phrase`` the reference's
+        sink serves (its contract is "documents streamed in become
+        searchable", README.md:13; phrase match is core ES search surface).
+
+        The index stores no positions (the documented trade — positional
+        postings are future work), so the phrase test runs against the
+        SOURCE table the index was built from, which the caller passes as
+        ``source`` (corpus shape: repo, path, content — the lakehouse
+        table itself; ES keeps ``_source`` for exactly this role). The
+        plan stays candidate-bounded at scale:
+
+          1. conjunctive posting intersection (exact path): only docs
+             containing EVERY phrase term are scored — the candidate set
+             is at most min_t df(t), decided from the index alone;
+          2. candidates semi-join the docs metadata for their key and the
+             north-star ``content_sha256``;
+          3. ONLY candidate rows' content is read from ``source``
+             (broadcast-able candidate side; content column never scanned
+             for non-candidates), re-tokenized with the canonical
+             analyzer, and kept iff the phrase occurs consecutively. The
+             per-row sha256 invariant is ENFORCED here: a candidate whose
+             source content no longer hashes to the indexed
+             ``content_sha256`` raises (stale/diverged source table).
+
+        Single-term phrases degenerate to ``mode="all"`` term match (as in
+        ES); duplicate tokens in the phrase must repeat consecutively in
+        the doc. Delta segments compose: candidates come through the
+        tombstone-filtered decode and the pinned live docs view."""
+        from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+        if source is None:
+            raise ValueError(
+                "topk_phrase needs the source corpus frame (repo, path, "
+                "content): the index stores content_sha256, not content"
+            )
+        self._ensure_fresh()
+        seq = tokenize_py(query)
+        empty = self.spark.createDataFrame([], schema="doc_id long, score double")
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        idfs = self._term_stats(uniq)
+        if len(idfs) < len(uniq):
+            return empty  # a term absent from the corpus: no phrase match
+        scored = self._exact_scored(idfs, require_n=len(uniq))
+        meta = read_docs(self.spark, self.paths, self._segs).select(
+            "doc_id", "repo", "path", "content_sha256"
+        )
+        if "seq_no" in source.columns:
+            # CDC-shaped source (multiple versions per key): take the
+            # current state exactly like the build does
+            from go_dcp_elasticsearch_spark.index.builder import (
+                dedup_last_write_wins,
+            )
+
+            source = dedup_last_write_wins(source)
+        cand = scored.join(meta, "doc_id").join(
+            source.select("repo", "path", "content"), ["repo", "path"]
+        )
+        needle = " " + " ".join(seq) + " "
+
+        def verify(iterator):
+            import hashlib
+
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                keep = []
+                for content, sha in zip(pdf["content"], pdf["content_sha256"]):
+                    text = content or ""
+                    got = hashlib.sha256(text.encode("utf-8")).hexdigest()
+                    if got != sha:
+                        raise ValueError(
+                            "topk_phrase: source content sha256 mismatch "
+                            f"(indexed {sha[:12]}…, source {got[:12]}…) — "
+                            "the source frame diverged from the index"
+                        )
+                    hay = " " + " ".join(tokenize_py(text)) + " "
+                    keep.append(needle in hay)
+                out = pdf.loc[keep, ["doc_id", "score"]]
+                if len(out):
+                    yield out
+
+        hits = cand.mapInPandas(verify, schema="doc_id long, score double")
+        return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def with_meta(self, hits: DataFrame) -> DataFrame:
         """Join top-k hits back to the forward store: the engine's doc_id

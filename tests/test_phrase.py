@@ -1,0 +1,173 @@
+"""Phrase retrieval (ES match_phrase analogue; the searchable-surface
+capability family of SURVEY.md Table B, alongside B9/B10).
+
+The engine has no positional postings (documented trade): candidates come
+from the conjunctive posting intersection, the phrase test re-tokenizes
+ONLY candidate docs' content from the caller-passed source table, and the
+north-star content_sha256 invariant is enforced on every candidate row.
+Rank identity is asserted against the pure-Python bm25_phrase_oracle
+(same corpus-wide stats as the disjunctive oracle, filtered to
+consecutive-subsequence matches)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.corpus import synth_corpus
+from go_dcp_elasticsearch_spark.functions.bm25 import (
+    bm25_phrase_oracle,
+    phrase_match_py,
+)
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+from go_dcp_elasticsearch_spark.index.builder import (
+    assign_doc_ids,
+    dedup_last_write_wins,
+)
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("phridx"))
+    corpus = synth_corpus(spark, N)
+    IndexBuilder(spark, d, n_shards=4).build(corpus)
+    rows = (
+        assign_doc_ids(dedup_last_write_wins(corpus))
+        .select("doc_id", "content")
+        .collect()
+    )
+    docs_tokens = {int(r["doc_id"]): tokenize_py(r["content"]) for r in rows}
+    return d, corpus, docs_tokens
+
+
+def _pick_phrase(docs_tokens: dict[int, list[str]], length: int) -> list[str]:
+    """A phrase that actually occurs (taken from some doc's token stream)
+    and is DISCRIMINATIVE: fewer docs match the phrase than match the
+    conjunction of its terms, so the verify step provably filters."""
+    for toks in docs_tokens.values():
+        for i in range(0, max(len(toks) - length, 0)):
+            phrase = toks[i : i + length]
+            if len(set(phrase)) != length:
+                continue  # want distinct tokens for the main case
+            n_phrase = sum(
+                1 for t in docs_tokens.values() if phrase_match_py(t, phrase)
+            )
+            n_conj = sum(
+                1 for t in docs_tokens.values() if set(phrase) <= set(t)
+            )
+            if 0 < n_phrase < n_conj:
+                return phrase
+    raise AssertionError("no discriminative phrase in fixture corpus")
+
+
+@pytest.mark.parametrize("length", [2, 3])
+def test_phrase_rank_identity(spark, built, length):
+    index_dir, corpus, docs_tokens = built
+    phrase = _pick_phrase(docs_tokens, length)
+    q = BM25Query(spark, index_dir)
+    want = bm25_phrase_oracle(docs_tokens, phrase, 10)
+    assert want, phrase
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in q.topk_phrase(" ".join(phrase), 10, source=corpus).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want], phrase
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (phrase, gd)
+    # the phrase filter did real work: strictly fewer phrase matches than
+    # conjunctive matches for this phrase (guaranteed by _pick_phrase)
+    n_conj = q.topk_exact(" ".join(phrase), N, mode="all").count()
+    n_phrase = q.topk_phrase(" ".join(phrase), N, source=corpus).count()
+    assert 0 < n_phrase < n_conj
+
+
+def test_phrase_duplicate_token(spark, built):
+    """A phrase with a repeated token must require the CONSECUTIVE repeat,
+    not just tf >= 2."""
+    index_dir, corpus, docs_tokens = built
+    tok = next(
+        t
+        for toks in docs_tokens.values()
+        for a, t in zip(toks, toks[1:])
+        if a == t
+    )
+    phrase = [tok, tok]
+    q = BM25Query(spark, index_dir)
+    want = bm25_phrase_oracle(docs_tokens, phrase, 10)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in q.topk_phrase(f"{tok} {tok}", 10, source=corpus).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    # some doc has tf >= 2 without adjacency OR fewer phrase than term
+    # matches — i.e. adjacency genuinely restricts
+    n_any = q.topk_exact(tok, N).count()
+    assert q.topk_phrase(f"{tok} {tok}", N, source=corpus).count() < n_any
+
+
+def test_phrase_edge_cases(spark, built):
+    index_dir, corpus, _ = built
+    q = BM25Query(spark, index_dir)
+    assert q.topk_phrase("", 5, source=corpus).count() == 0
+    assert q.topk_phrase("!!! ---", 5, source=corpus).count() == 0
+    assert q.topk_phrase("zzznotaterm table", 5, source=corpus).count() == 0
+    with pytest.raises(ValueError, match="source corpus"):
+        q.topk_phrase("table scan", 5)
+
+
+def test_phrase_sha_invariant_enforced(spark, built):
+    """A source row whose content diverged from the indexed sha256 must
+    raise, not silently mis-verify (north-star per-row invariant)."""
+    index_dir, corpus, docs_tokens = built
+    phrase = _pick_phrase(docs_tokens, 2)
+    tampered = dedup_last_write_wins(corpus).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" tampered"))
+    )
+    q = BM25Query(spark, index_dir)
+    with pytest.raises(Exception, match="sha256 mismatch"):
+        q.topk_phrase(" ".join(phrase), 5, source=tampered).collect()
+
+
+def test_phrase_composes_with_delta_segments(spark, tmp_path):
+    """An update applied via the delta-segment path becomes phrase-
+    searchable (new tokens), and a deleted doc stops matching — without a
+    fold; source = the post-change corpus state."""
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        apply_changes_to_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 120)
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+    state = dedup_last_write_wins(corpus)
+    victims = [r["path"] for r in state.orderBy("repo", "path").limit(2).collect()]
+    upd, dele = victims[0], victims[1]
+    new_state = state.withColumn(
+        "content",
+        F.when(
+            F.col("path") == upd,
+            F.concat(F.col("content"), F.lit(" zzphrase alpha beta")),
+        ).otherwise(F.col("content")),
+    ).filter(F.col("path") != dele)
+    changes = state.filter(F.col("path").isin([upd, dele])).select(
+        "repo",
+        "path",
+        F.when(F.col("path") == dele, "delete").otherwise("index").alias("action"),
+        (F.col("seq_no") + F.lit(10_000_000)).cast("long").alias("seq_no"),
+    )
+    out = apply_changes_to_index(spark, idx, new_state, changes, strategy="delta")
+    if out.get("strategy") != "delta":
+        raise AssertionError(f"expected delta apply, got {out}")
+    q = BM25Query(spark, idx)
+    hits = q.topk_phrase("zzphrase alpha beta", 5, source=new_state).collect()
+    assert len(hits) == 1
+    # the deleted doc never verifies (tombstoned before the verify join)
+    got_paths = {
+        r["path"]
+        for r in q.with_meta(
+            q.topk_phrase("zzphrase alpha beta", 5, source=new_state)
+        ).collect()
+    }
+    assert got_paths == {upd}
