@@ -46,6 +46,12 @@ BM25_TERMS = ["spark", "filter", "join"]
 # matches vs ~320 docs containing both terms, so the verify step provably
 # filters (measured at sf0.001 and sf0.01).
 PHRASE_TOKENS = ["table", "scan"]
+
+# prefix gate query (ES prefix / multi-term rewrite): the fixture
+# vocabulary has six s-terms (scan slow small sort spark stream), so the
+# max_expansions=4 cap provably truncates (lexicographic first-N).
+PREFIX_Q = "s"
+PREFIX_MAX_EXP = 4
 BM25_K = 10
 LANGS = ["de", "en", "es", "fr", "zh"]
 LANG_MARKERS = {
@@ -277,6 +283,31 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ".join(PHRASE_TOKENS), BM25_K + 64,
         source=load_documents_corpus(spark, sf_dir),
     )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix retrieval (ES prefix query, scoring multi-term rewrite)
+    through the full engine: deterministic lexicographic first-N
+    expansion from the epoch-cached dictionary (zero extra Spark jobs),
+    then the standard pruned disjunctive BM25 over the expanded terms.
+    Same k+64 margin + public (rounded score, doc_id) re-rank as the
+    other index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_prefix(PREFIX_Q, BM25_K + 64, max_expansions=PREFIX_MAX_EXP)
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
         F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
@@ -1075,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "bm25_topk_conj": _q_bm25_topk_conj,
         "phrase_topk": _q_phrase_topk,
+        "prefix_topk": _q_prefix_topk,
         "term_df_topn": _q_term_df_topn,
         "term_df_salted": _q_term_df_salted,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1216,6 +1248,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", PHRASE_TOKENS, BM25_K,
             require_all=True, phrase=PHRASE_TOKENS,
+        ),
+        "prefix_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", [], BM25_K,
+            prefix_expand=(PREFIX_Q, PREFIX_MAX_EXP),
         ),
         "delta_fold_topk": delta_fold,
         "delta_conj_topk": delta_conj,

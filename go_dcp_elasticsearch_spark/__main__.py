@@ -74,15 +74,20 @@ def main(argv: list[str] | None = None) -> int:
                         "(ONE postings scan + shared block decode for the whole set)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--strategy", choices=["pruned", "exact"], default="pruned")
-    q.add_argument("--mode", choices=["any", "all", "phrase"], default="any",
+    q.add_argument("--mode", choices=["any", "all", "phrase", "prefix"],
+                   default="any",
                    help="any: disjunctive BM25 (default); all: every query "
                         "term must match (Elasticsearch bool.must); phrase: "
                         "consecutive token sequence (ES match_phrase — "
                         "requires --corpus, the source the index was built "
                         "from, since the index stores content_sha256, not "
-                        "content)")
+                        "content); prefix: --text is a single prefix, "
+                        "expanded to at most --max-expansions dictionary "
+                        "terms (ES prefix query, scoring rewrite)")
     q.add_argument("--corpus", default=None,
                    help="source corpus parquet (phrase mode only)")
+    q.add_argument("--max-expansions", type=int, default=50,
+                   help="prefix mode: lexicographic first-N expansion cap")
     q.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -168,9 +173,9 @@ def main(argv: list[str] | None = None) -> int:
 
             qq = BM25Query(spark, args.index)
             if args.text_file:
-                if args.mode == "phrase":
-                    p.error("--mode phrase serves single --text queries "
-                            "(no batch path)")
+                if args.mode in ("phrase", "prefix"):
+                    p.error(f"--mode {args.mode} serves single --text "
+                            "queries (no batch path)")
                 with open(args.text_file) as f:
                     batch = [(i, line.strip()) for i, line in enumerate(f) if line.strip()]
                 for row in qq.topk_batch(batch, args.k, mode=args.mode).collect():
@@ -185,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
                                 "table; the index stores only content_sha256)")
                     hits = qq.topk_phrase(
                         args.text, args.k, source=_load_corpus(spark, args.corpus)
+                    )
+                elif args.mode == "prefix":
+                    hits = qq.topk_prefix(
+                        args.text, args.k,
+                        max_expansions=args.max_expansions,
+                        strategy=args.strategy,
                     )
                 else:
                     fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact

@@ -70,6 +70,16 @@ def bm25_phrase_oracle(
     return out[:k]
 
 
+def bm25_prefix_oracle(
+    docs_tokens: dict[int, list[str]], prefix: str, max_expansions: int, k: int
+) -> list[tuple[int, float]]:
+    """Pure-Python prefix top-k oracle: lexicographic first-N expansion
+    of the corpus vocabulary, then disjunctive BM25 over the expansion."""
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    exp = [t for t in vocab if t.startswith(prefix)][:max_expansions]
+    return bm25_oracle(docs_tokens, exp, k) if exp else []
+
+
 def bm25_oracle(
     docs_tokens: dict[int, list[str]], query_terms: list[str], k: int
 ) -> list[tuple[int, float]]:
@@ -117,6 +127,7 @@ def bm25_duckdb_sql(
     tokens_sql: str, source_table: str, doc_id_col: str, terms: list[str], k: int,
     round_dp: int = 6, require_all: bool = False, df_source_sql: str | None = None,
     phrase: list[str] | None = None,
+    prefix_expand: tuple[str, int] | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (oracle side of the
     driver's correctness gate). ``tokens_sql`` is a fragment producing the
@@ -142,9 +153,29 @@ def bm25_duckdb_sql(
     docs whose token stream contains the phrase as a consecutive
     subsequence score; tokens are [a-z0-9]+ by construction, so the
     space-joined stream makes the subsequence test an exact substring
-    match — the identical formulation the engine's verify kernel uses."""
+    match — the identical formulation the engine's verify kernel uses.
+
+    ``prefix_expand`` = (prefix, max_expansions) mirrors
+    BM25Query.topk_prefix: the scored term set becomes the corpus's
+    distinct tokens starting with ``prefix``, lexicographic first-N —
+    the deterministic ES multi-term rewrite. Mutually exclusive with
+    ``terms``-driven filtering (pass terms=[] then) and df_source_sql."""
+    if prefix_expand is not None and df_source_sql is not None:
+        raise ValueError("prefix_expand does not compose with df_source_sql")
     terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
+    expansion_cte = ""
+    tf_pred = f"t.term IN ({terms_list})"
+    if prefix_expand is not None:
+        pfx, max_exp = prefix_expand
+        expansion_cte = f"""expansion AS (
+  SELECT DISTINCT t.term AS term
+  FROM toks, unnest(tokens) AS t(term)
+  WHERE t.term LIKE '{pfx.replace(chr(39), chr(39) * 2)}%'
+  ORDER BY term LIMIT {int(max_exp)}
+),
+"""
+        tf_pred = "t.term IN (SELECT term FROM expansion)"
     phrase_pred = ""
     if phrase:
         needle = " " + " ".join(phrase) + " "
@@ -173,10 +204,10 @@ WITH toks AS (
 ),
 dl AS (SELECT doc_id, len(tokens) AS dl FROM toks),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (
+{expansion_cte}tf AS (
   SELECT doc_id, t.term, count(*) AS tf
   FROM toks, unnest(tokens) AS t(term)
-  WHERE t.term IN ({terms_list})
+  WHERE {tf_pred}
   GROUP BY doc_id, t.term
 ),
 {df_cte},

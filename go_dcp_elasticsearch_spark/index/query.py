@@ -477,6 +477,57 @@ class BM25Query:
         local = self._per_shard(blocks, kernel, "doc_id long, score double")
         return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    # ---------- prefix retrieval (ES prefix / multi-term rewrite) ----------
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Dictionary terms starting with ``prefix`` (canonicalized with
+        the same analyzer), DETERMINISTICALLY capped: the first
+        ``max_expansions`` in lexicographic term order — the ES
+        ``constant_score_boolean``-family rewrite's first-N semantics,
+        made reproducible so oracle SQL can mirror it exactly. Served
+        from the epoch-cached driver dictionary (zero Spark jobs); huge
+        vocabularies fall back to one pruned dictionary scan."""
+        toks = tokenize_py(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"prefix must canonicalize to exactly one token, got {toks!r}"
+            )
+        p = toks[0]
+        if not hasattr(self, "_df_map"):
+            self._load_dictionary()
+        if self._df_map is not None:
+            hits = sorted(t for t in self._df_map if t.startswith(p))
+            return hits[:max_expansions]
+        return [
+            r["term"]
+            for r in self._dict_df.filter(F.col("term").startswith(p))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        ]
+
+    def topk_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 50,
+        strategy: str = "pruned",
+    ) -> DataFrame:
+        """Prefix top-k (ES ``prefix`` query with a scoring boolean
+        rewrite): expand the prefix to at most ``max_expansions``
+        dictionary terms (lexicographic first-N, deterministic), then
+        disjunctive BM25 over the expansion — each expanded term
+        contributes with its own corpus idf, exactly as if the user had
+        typed the expanded terms. The expansion is decided driver-side
+        from the cached dictionary; the postings scan stays pruned to the
+        expanded terms (``term IN (...)`` pushed to parquet), so cost
+        scales with the expansion's df sum, never the vocabulary."""
+        self._ensure_fresh()
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], schema="doc_id long, score double")
+        fn = self.topk_pruned if strategy == "pruned" else self.topk_exact
+        return fn(" ".join(terms), k)
+
     # ---------- phrase retrieval (ES match_phrase analogue) ----------
 
     def topk_phrase(self, query: str, k: int = 10, source: DataFrame | None = None) -> DataFrame:

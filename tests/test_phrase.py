@@ -171,3 +171,55 @@ def test_phrase_composes_with_delta_segments(spark, tmp_path):
         ).collect()
     }
     assert got_paths == {upd}
+
+
+# ---------- prefix retrieval (ES prefix query, scoring rewrite) ----------
+
+
+def test_prefix_rank_identity(spark, built):
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_prefix_oracle
+
+    index_dir, corpus, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    # a prefix with >= 3 expansions from the fixture's own vocabulary, so
+    # the cap (below) provably truncates
+    pfx = next(
+        p for p in (t[0] for t in vocab)
+        if sum(1 for t in vocab if t.startswith(p)) >= 3
+    )
+    two = next(t[:2] for t in vocab if len(t) >= 2)
+    for prefix, cap in [(pfx, 2), (pfx, 50), (two, 10)]:
+        want = bm25_prefix_oracle(docs_tokens, prefix, cap, 10)
+        assert want, (prefix, cap)
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in q.topk_prefix(prefix, 10, max_expansions=cap).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], (prefix, cap)
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (prefix, cap, gd)
+        exact = [
+            int(r["doc_id"])
+            for r in q.topk_prefix(
+                prefix, 10, max_expansions=cap, strategy="exact"
+            ).collect()
+        ]
+        assert exact == [g[0] for g in got]
+
+
+def test_prefix_expansion_semantics(spark, built):
+    index_dir, _, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    pfx = next(
+        p for p in (t[0] for t in vocab)
+        if sum(1 for t in vocab if t.startswith(p)) >= 3
+    )
+    p_terms = [t for t in vocab if t.startswith(pfx)]
+    assert q.expand_prefix(pfx, 50) == p_terms
+    assert q.expand_prefix(pfx, 2) == p_terms[:2]  # lexicographic first-N
+    assert q.expand_prefix("zzznope", 50) == []
+    assert q.topk_prefix("zzznope", 5).count() == 0
+    with pytest.raises(ValueError, match="one token"):
+        q.expand_prefix("two words")
