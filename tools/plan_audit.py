@@ -55,6 +55,30 @@ def main() -> None:
         explain_str(hits),
     ))
 
+    corpus_live = synth_corpus(spark, 2000)
+    ph = q.topk_phrase("getValue buffer", 10, source=corpus_live)
+    sections.append((
+        "Phrase top-k (round 6: conjunctive candidates + source verify)",
+        "Checks: the postings scan keeps `PushedFilters: [In(term, ...)]` "
+        "(candidates decided from the index alone); the source content join "
+        "happens AFTER the conjunctive aggregation so only candidate keys "
+        "reach the source read (candidate side is broadcast-able, AQE "
+        "decides); no CartesianProduct/BroadcastNestedLoopJoin; final "
+        "operator TakeOrderedAndProject.",
+        explain_str(ph),
+    ))
+
+    pf = q.topk_prefix("var", 10, max_expansions=4)
+    sections.append((
+        "Prefix top-k (round 6: dictionary expansion, then pruned BM25)",
+        "Checks: identical shape to the pruned top-k — the expansion is "
+        "resolved DRIVER-side from the epoch-cached dictionary before the "
+        "plan is built, so the postings scan carries the expanded terms in "
+        "`PushedFilters: [In(term, ...)]`; no vocabulary-wide scan appears "
+        "anywhere in the plan.",
+        explain_str(pf),
+    ))
+
     emb = spark.createDataFrame(
         [(i, [float((i * 31 + d * 7) % 97) / 97.0 for d in range(8)])
          for i in range(200)],
