@@ -52,6 +52,30 @@ PHRASE_TOKENS = ["table", "scan"]
 # max_expansions=4 cap provably truncates (lexicographic first-N).
 PREFIX_Q = "s"
 PREFIX_MAX_EXP = 4
+
+# bool gate query (ES bool: must + should/minimum_should_match + must_not).
+# Every clause bites on the fixture corpus: "spark" df~385/500, "dup" is
+# the rare tail term (df~25, big idf boost when matched), "window" df~387,
+# and excluding "customer" (df~394) cuts the candidate set ~5x.
+BOOL_MUST = "spark"
+BOOL_SHOULD = "dup window"
+BOOL_NOT = "customer"
+BOOL_MSM = 1
+
+# fuzzy gate query (ES fuzzy, closest-first scoring rewrite): "spar" at
+# max_edits=2 reaches spark (d=1) plus several d=2 terms (part, scan, …)
+# in the fixture vocabulary, so the (distance, term)-ordered cap at 3
+# provably truncates.
+FUZZY_Q = "spar"
+FUZZY_EDITS = 2
+FUZZY_PFX = 0
+FUZZY_MAX_EXP = 3
+
+# wildcard gate query (ES wildcard, scoring rewrite): 5-char terms with
+# 2nd char 'a' and last 'e' — matches exactly {table, value} in the
+# fixture vocabulary (both ? positions constrained).
+WILD_PATTERN = "?a??e"
+WILD_MAX_EXP = 4
 BM25_K = 10
 LANGS = ["de", "en", "es", "fr", "zh"]
 LANG_MARKERS = {
@@ -253,6 +277,85 @@ def _q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _oracle_index(spark, sf_dir)
     q = BM25Query(spark, idx_dir)
     hits = q.topk_pruned(" ".join(BM25_TERMS), BM25_K + 64, mode="all")
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query through the full engine: (distance, term)-ordered
+    first-N dictionary expansion (plain Levenshtein, driver-side, zero
+    extra jobs), then pruned disjunctive BM25 with per-term corpus idf.
+    Same k+64 margin + public (rounded score, doc_id) re-rank as the
+    other index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_fuzzy(
+        FUZZY_Q, BM25_K + 64, max_edits=FUZZY_EDITS,
+        prefix_length=FUZZY_PFX, max_expansions=FUZZY_MAX_EXP,
+    )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query through the full engine: lexicographic first-N
+    dictionary expansion of the */? pattern (driver-side), then pruned
+    disjunctive BM25. Same k+64 margin + public re-rank as the other
+    index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_wildcard(WILD_PATTERN, BM25_K + 64, max_expansions=WILD_MAX_EXP)
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool`` query through the full engine: must-conjunction +
+    should clauses under minimum_should_match + must_not exclusion, all
+    decided per shard inside the block-max pruned kernel (must_not
+    postings are id-stream decodes only). Score = BM25 over matched
+    must+should terms; must_not filters, never scores. Same k+64 margin
+    + public (rounded score, doc_id) re-rank as the other index-backed
+    gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_bool(
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT,
+        k=BM25_K + 64, minimum_should_match=BOOL_MSM,
+    )
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
         F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
@@ -1106,6 +1209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "bm25_topk_conj": _q_bm25_topk_conj,
         "phrase_topk": _q_phrase_topk,
+        "bool_topk": _q_bool_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
+        "wildcard_topk": _q_wildcard_topk,
         "prefix_topk": _q_prefix_topk,
         "term_df_topn": _q_term_df_topn,
         "term_df_salted": _q_term_df_salted,
@@ -1252,6 +1358,23 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", [], BM25_K,
             prefix_expand=(PREFIX_Q, PREFIX_MAX_EXP),
+        ),
+        "bool_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", [], BM25_K,
+            bool_spec={
+                "must": BOOL_MUST.split(),
+                "should": BOOL_SHOULD.split(),
+                "must_not": BOOL_NOT.split(),
+                "msm": BOOL_MSM,
+            },
+        ),
+        "fuzzy_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", [], BM25_K,
+            fuzzy_expand=(FUZZY_Q, FUZZY_EDITS, FUZZY_PFX, FUZZY_MAX_EXP),
+        ),
+        "wildcard_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", [], BM25_K,
+            wildcard_expand=(WILD_PATTERN, WILD_MAX_EXP),
         ),
         "delta_fold_topk": delta_fold,
         "delta_conj_topk": delta_conj,

@@ -134,6 +134,13 @@ def main() -> None:
         q.topk_phrase("table scan", 10, source=corpus).collect()
         timings["topk_phrase_sec"] = round(time.time() - t0, 4)
 
+        # --- bool retrieval (round 6): must + should/msm + must_not in the
+        # generalized block-max kernel (must_not = id-stream decode only)
+        t0 = time.time()
+        q.topk_bool(must="table", should="window group", must_not="customer",
+                    minimum_should_match=1, k=10).collect()
+        timings["topk_bool_sec"] = round(time.time() - t0, 4)
+
         # --- batch retrieval: all queries in ONE job (shared scan+decode).
         # This is the SERVING pattern: per-query Spark-job latency above is
         # scheduler-bound (~0.7 s/job no matter the data); batching

@@ -74,7 +74,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(ONE postings scan + shared block decode for the whole set)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--strategy", choices=["pruned", "exact"], default="pruned")
-    q.add_argument("--mode", choices=["any", "all", "phrase", "prefix"],
+    q.add_argument("--mode",
+                   choices=["any", "all", "phrase", "prefix", "bool",
+                            "fuzzy", "wildcard"],
                    default="any",
                    help="any: disjunctive BM25 (default); all: every query "
                         "term must match (Elasticsearch bool.must); phrase: "
@@ -83,11 +85,32 @@ def main(argv: list[str] | None = None) -> int:
                         "from, since the index stores content_sha256, not "
                         "content); prefix: --text is a single prefix, "
                         "expanded to at most --max-expansions dictionary "
-                        "terms (ES prefix query, scoring rewrite)")
+                        "terms (ES prefix query, scoring rewrite); bool: "
+                        "ES bool query from --must/--should/--must-not/"
+                        "--msm (--text unused); fuzzy: --text is a single "
+                        "term, expanded to dictionary terms within "
+                        "--max-edits (ES fuzzy, closest-first rewrite); "
+                        "wildcard: --text is a */? pattern, expanded "
+                        "lexicographic first-N (ES wildcard)")
     q.add_argument("--corpus", default=None,
                    help="source corpus parquet (phrase mode only)")
     q.add_argument("--max-expansions", type=int, default=50,
-                   help="prefix mode: lexicographic first-N expansion cap")
+                   help="prefix/fuzzy/wildcard modes: expansion cap")
+    q.add_argument("--max-edits", type=int, default=1,
+                   help="fuzzy mode: Levenshtein distance bound")
+    q.add_argument("--prefix-length", type=int, default=0,
+                   help="fuzzy mode: required shared prefix length")
+    q.add_argument("--must", default="",
+                   help="bool mode: terms that must ALL match (scored)")
+    q.add_argument("--should", default="",
+                   help="bool mode: optional terms (scored; at least --msm "
+                        "must match)")
+    q.add_argument("--must-not", default="", dest="must_not",
+                   help="bool mode: terms that must NOT match (filter only, "
+                        "never scored)")
+    q.add_argument("--msm", type=int, default=None,
+                   help="bool mode: minimum_should_match (default: 1 when "
+                        "only should clauses, else 0)")
     q.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -172,8 +195,20 @@ def main(argv: list[str] | None = None) -> int:
             from go_dcp_elasticsearch_spark.index import BM25Query
 
             qq = BM25Query(spark, args.index)
+            if args.mode == "bool":
+                if args.text or args.text_file:
+                    p.error("--mode bool takes --must/--should/--must-not, "
+                            "not --text/--text-file")
+                hits = qq.topk_bool(
+                    must=args.must, should=args.should,
+                    must_not=args.must_not, k=args.k,
+                    minimum_should_match=args.msm, strategy=args.strategy,
+                )
+                for row in hits.collect():
+                    print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
+                return 0
             if args.text_file:
-                if args.mode in ("phrase", "prefix"):
+                if args.mode in ("phrase", "prefix", "fuzzy", "wildcard"):
                     p.error(f"--mode {args.mode} serves single --text "
                             "queries (no batch path)")
                 with open(args.text_file) as f:
@@ -193,6 +228,20 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 elif args.mode == "prefix":
                     hits = qq.topk_prefix(
+                        args.text, args.k,
+                        max_expansions=args.max_expansions,
+                        strategy=args.strategy,
+                    )
+                elif args.mode == "fuzzy":
+                    hits = qq.topk_fuzzy(
+                        args.text, args.k,
+                        max_edits=args.max_edits,
+                        prefix_length=args.prefix_length,
+                        max_expansions=args.max_expansions,
+                        strategy=args.strategy,
+                    )
+                elif args.mode == "wildcard":
+                    hits = qq.topk_wildcard(
                         args.text, args.k,
                         max_expansions=args.max_expansions,
                         strategy=args.strategy,

@@ -80,6 +80,74 @@ def bm25_prefix_oracle(
     return bm25_oracle(docs_tokens, exp, k) if exp else []
 
 
+def levenshtein_py(a: str, b: str) -> int:
+    """Plain Levenshtein (no transpositions) — the oracle-side metric,
+    identical to DuckDB's levenshtein() and to the engine's bounded
+    variant on the relevant range."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
+
+
+def bm25_fuzzy_oracle(
+    docs_tokens: dict[int, list[str]], term: str, max_edits: int,
+    prefix_length: int, max_expansions: int, k: int,
+) -> list[tuple[int, float]]:
+    """Pure-Python fuzzy top-k oracle: (distance, term)-ordered first-N
+    expansion of the corpus vocabulary, then disjunctive BM25."""
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    pfx = term[:prefix_length]
+    hits = sorted(
+        (levenshtein_py(t, term), t)
+        for t in vocab
+        if t.startswith(pfx) and levenshtein_py(t, term) <= max_edits
+    )
+    exp = [t for _, t in hits[:max_expansions]]
+    return bm25_oracle(docs_tokens, exp, k) if exp else []
+
+
+def bm25_wildcard_oracle(
+    docs_tokens: dict[int, list[str]], pattern: str, max_expansions: int, k: int,
+) -> list[tuple[int, float]]:
+    """Pure-Python wildcard top-k oracle: fnmatch-filtered vocabulary,
+    lexicographic first-N, then disjunctive BM25."""
+    import fnmatch
+
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    exp = [t for t in vocab if fnmatch.fnmatchcase(t, pattern.lower())][:max_expansions]
+    return bm25_oracle(docs_tokens, exp, k) if exp else []
+
+
+def bm25_bool_oracle(
+    docs_tokens: dict[int, list[str]],
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    msm: int,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Pure-Python ES ``bool`` query top-k oracle: a doc qualifies iff it
+    contains EVERY ``must`` term, at least ``msm`` distinct ``should``
+    terms, and NO ``must_not`` term; its score is the BM25 sum over the
+    matched must+should terms (must_not never scores). Corpus-wide
+    df/avgdl, exactly like bm25_oracle."""
+    m, s, n = sorted(set(must)), sorted(set(should)), sorted(set(must_not))
+    ranked = bm25_oracle(docs_tokens, m + s, len(docs_tokens))
+    out = []
+    for d, sc in ranked:
+        toks = set(docs_tokens[d])
+        if all(t in toks for t in m) and sum(t in toks for t in s) >= msm \
+                and not any(t in toks for t in n):
+            out.append((d, sc))
+    return out[:k]
+
+
 def bm25_oracle(
     docs_tokens: dict[int, list[str]], query_terms: list[str], k: int
 ) -> list[tuple[int, float]]:
@@ -128,6 +196,9 @@ def bm25_duckdb_sql(
     round_dp: int = 6, require_all: bool = False, df_source_sql: str | None = None,
     phrase: list[str] | None = None,
     prefix_expand: tuple[str, int] | None = None,
+    bool_spec: dict | None = None,
+    fuzzy_expand: tuple[str, int, int, int] | None = None,
+    wildcard_expand: tuple[str, int] | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (oracle side of the
     driver's correctness gate). ``tokens_sql`` is a fragment producing the
@@ -159,9 +230,41 @@ def bm25_duckdb_sql(
     BM25Query.topk_prefix: the scored term set becomes the corpus's
     distinct tokens starting with ``prefix``, lexicographic first-N —
     the deterministic ES multi-term rewrite. Mutually exclusive with
-    ``terms``-driven filtering (pass terms=[] then) and df_source_sql."""
-    if prefix_expand is not None and df_source_sql is not None:
-        raise ValueError("prefix_expand does not compose with df_source_sql")
+    ``terms``-driven filtering (pass terms=[] then) and df_source_sql.
+
+    ``bool_spec`` = {"must": [...], "should": [...], "must_not": [...],
+    "msm": int} mirrors BM25Query.topk_bool (the ES ``bool`` query): the
+    tf CTE covers ALL three clause sets (must_not postings are needed to
+    detect exclusion), the score sums only must+should contributions,
+    and the HAVING enforces n_must = |must|, n_should >= msm, n_not = 0
+    over the one-row-per-(doc, matched term) counts. Mutually exclusive
+    with ``terms``/``require_all``/``phrase``/``prefix_expand``.
+
+    ``fuzzy_expand`` = (term, max_edits, prefix_length, max_expansions)
+    mirrors BM25Query.topk_fuzzy: the scored set becomes the distinct
+    corpus tokens within plain Levenshtein ``max_edits`` of ``term``
+    (sharing its first ``prefix_length`` chars), ordered (distance,
+    term) first-N — DuckDB's levenshtein() is the same plain metric the
+    engine's _levenshtein_bounded computes. ``wildcard_expand`` =
+    (pattern, max_expansions) mirrors topk_wildcard: ``*``/``?`` map to
+    LIKE ``%``/``_`` (terms are [a-z0-9], so the translation is exact),
+    lexicographic first-N. Both behave like prefix_expand (pass
+    terms=[]; no df_source_sql)."""
+    expanders = [x is not None
+                 for x in (prefix_expand, fuzzy_expand, wildcard_expand)]
+    if sum(expanders) > 1:
+        raise ValueError("at most one of prefix/fuzzy/wildcard_expand")
+    if any(expanders) and df_source_sql is not None:
+        raise ValueError("term expansion does not compose with df_source_sql")
+    if bool_spec is not None and (terms or require_all or phrase or prefix_expand):
+        raise ValueError("bool_spec does not compose with terms/require_all/"
+                         "phrase/prefix_expand")
+    if bool_spec is not None:
+        terms = sorted(
+            set(bool_spec.get("must", []))
+            | set(bool_spec.get("should", []))
+            | set(bool_spec.get("must_not", []))
+        )
     terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
     expansion_cte = ""
@@ -176,6 +279,32 @@ def bm25_duckdb_sql(
 ),
 """
         tf_pred = "t.term IN (SELECT term FROM expansion)"
+    if fuzzy_expand is not None:
+        fq, fd, fpl, fmax = fuzzy_expand
+        fq_sql = fq.replace("'", "''")
+        pfx_cond = (
+            f" AND t.term LIKE '{fq_sql[:int(fpl)]}%'" if int(fpl) > 0 else ""
+        )
+        expansion_cte = f"""expansion AS (
+  SELECT term FROM (
+    SELECT DISTINCT t.term AS term, levenshtein(t.term, '{fq_sql}') AS dist
+    FROM toks, unnest(tokens) AS t(term)
+    WHERE levenshtein(t.term, '{fq_sql}') <= {int(fd)}{pfx_cond}
+  ) ORDER BY dist, term LIMIT {int(fmax)}
+),
+"""
+        tf_pred = "t.term IN (SELECT term FROM expansion)"
+    if wildcard_expand is not None:
+        wp, wmax = wildcard_expand
+        like = wp.lower().replace("*", "%").replace("?", "_").replace("'", "''")
+        expansion_cte = f"""expansion AS (
+  SELECT DISTINCT t.term AS term
+  FROM toks, unnest(tokens) AS t(term)
+  WHERE t.term LIKE '{like}'
+  ORDER BY term LIMIT {int(wmax)}
+),
+"""
+        tf_pred = "t.term IN (SELECT term FROM expansion)"
     phrase_pred = ""
     if phrase:
         needle = " " + " ".join(phrase) + " "
@@ -184,6 +313,38 @@ def bm25_duckdb_sql(
             f"' ' || array_to_string(tokens, ' ') || ' ', "
             f"'{needle.replace(chr(39), chr(39) * 2)}') > 0)"
         )
+    contrib_sql = (
+        f"ln(1.0 + (stats.n_docs - __DF__ + 0.5) / (__DF__ + 0.5))"
+        f" * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
+    )
+    score_sql = f"sum({contrib_sql})"
+    if bool_spec is not None:
+        def _inlist(ts):
+            return ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(ts)))
+
+        m = sorted(set(bool_spec.get("must", [])))
+        s = sorted(set(bool_spec.get("should", [])))
+        nn = sorted(set(bool_spec.get("must_not", [])))
+        msm = int(bool_spec.get("msm", 0))
+        scoring = _inlist(m + s)
+        score_sql = (
+            f"sum(CASE WHEN tf.term IN ({scoring}) THEN {contrib_sql} "
+            "ELSE 0.0 END)"
+        )
+        conds = []
+        if m:
+            conds.append(
+                f"count(CASE WHEN tf.term IN ({_inlist(m)}) THEN 1 END) = {len(m)}"
+            )
+        if msm > 0:
+            conds.append(
+                f"count(CASE WHEN tf.term IN ({_inlist(s)}) THEN 1 END) >= {msm}"
+            )
+        if nn:
+            conds.append(
+                f"count(CASE WHEN tf.term IN ({_inlist(nn)}) THEN 1 END) = 0"
+            )
+        having = "HAVING " + " AND ".join(conds) if conds else ""
     if df_source_sql is None:
         df_cte = "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
         df_expr = "df.df"
@@ -213,9 +374,7 @@ stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 {df_cte},
 scored AS (
   SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - {df_expr} + 0.5) / ({df_expr} + 0.5))
-              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
-            ) AS score
+         {score_sql.replace("__DF__", df_expr)} AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   WHERE 1=1 {phrase_pred}
   GROUP BY tf.doc_id

@@ -528,6 +528,268 @@ class BM25Query:
         fn = self.topk_pruned if strategy == "pruned" else self.topk_exact
         return fn(" ".join(terms), k)
 
+    # ---------- boolean retrieval (ES bool query analogue) ----------
+
+    def topk_bool(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = 10,
+        minimum_should_match: int | None = None,
+        strategy: str = "pruned",
+    ) -> DataFrame:
+        """ES ``bool`` query top-k: a doc qualifies iff it contains EVERY
+        ``must`` term, at least ``minimum_should_match`` distinct
+        ``should`` terms, and NO ``must_not`` term; its score is the BM25
+        sum over its matched must+should terms (must_not clauses filter,
+        never score — exactly the ES contract). This is the full bool
+        surface the reference's sink serves through Elasticsearch
+        (README.md:13 "documents streamed in become searchable");
+        ``topk_pruned(mode="all")`` is the must-only special case.
+
+        Semantics pinned down (all mirrored by the DuckDB oracle in
+        functions/bm25.py and the pure-Python bm25_bool_oracle):
+        - ``minimum_should_match`` defaults to 1 when there are no must
+          clauses and at least one should clause, else 0 (the ES
+          default); it counts DISTINCT matched should terms.
+        - a must term absent from the corpus empties the result (ES
+          bool.must); an absent should term can never match but keeps
+          its place in the msm requirement (a clause that cannot match
+          still needs replacing by one that does); an absent must_not
+          term is a no-op.
+        - a term may appear in only ONE clause class: must/should/
+          must_not overlap raises ValueError (a must+must_not overlap is
+          vacuously empty in ES; a must+should overlap double-scores —
+          both are degenerate for a single-field term query, so the
+          engine rejects them loudly rather than guessing).
+        - must and should cannot both be empty: a pure must_not query is
+          an unbounded match-all complement (ES scores it constant 0
+          over the whole corpus) — rejected as unsupported at scale.
+
+        Scale shape: candidates are decided per shard exactly like
+        topk_pruned (a doc's postings all live in one shard, so the
+        must-conjunction, should-count and must_not-exclusion are all
+        shard-local); must_not postings are decoded id-streams only
+        (their tf/dl payloads are never touched); the block-max UB over
+        matched must+should blocks stays a sound score bound, so the
+        two-phase pruning is unchanged."""
+        if strategy not in ("pruned", "exact"):
+            raise ValueError(
+                f"topk_bool: unknown strategy {strategy!r} "
+                "(expected 'pruned' or 'exact')"
+            )
+        self._ensure_fresh()
+        m = sorted(set(self.analyze(must)))
+        s = sorted(set(self.analyze(should)))
+        n = sorted(set(self.analyze(must_not)))
+        overlap = (set(m) & set(s)) | (set(m) | set(s)) & set(n)
+        if overlap:
+            raise ValueError(
+                f"topk_bool: term(s) {sorted(overlap)!r} appear in more "
+                "than one clause class (must/should/must_not)"
+            )
+        if not m and not s:
+            raise ValueError(
+                "topk_bool: needs at least one must or should clause — a "
+                "pure must_not query is an unbounded match-all complement"
+            )
+        msm = minimum_should_match
+        if msm is None:
+            msm = 1 if (not m and s) else 0
+        if msm < 0:
+            raise ValueError(f"topk_bool: minimum_should_match {msm} < 0")
+        empty = self.spark.createDataFrame([], schema="doc_id long, score double")
+        if msm > len(s):
+            return empty  # can never be satisfied
+        idfs = self._term_stats(m + s)
+        if any(t not in idfs for t in m):
+            return empty  # a must term absent from the whole corpus
+        live_s = [t for t in s if t in idfs]
+        if len(live_s) < msm:
+            return empty  # too few matchable should clauses left
+        n_live = [t for t in n if t in self._df_map] if self._df_map is not None \
+            else [t for t in n if self._term_stats([t])]
+        if strategy == "exact":
+            scored = self._exact_scored_bool(idfs, m, live_s, n_live, msm)
+            return scored.orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            ).limit(k)
+        kernel = _make_bool_shard_kernel(
+            idfs, m, live_s, n_live, msm, self.avgdl, k, self._tomb
+        )
+        blocks = self._candidate_blocks(sorted(idfs) + n_live).select(
+            "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
+            "max_tf", "min_dl"
+        )
+        local = self._per_shard(blocks, kernel, "doc_id long, score double")
+        return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def _exact_scored_bool(
+        self,
+        idfs: dict[str, float],
+        must: list[str],
+        should: list[str],
+        must_not: list[str],
+        msm: int,
+    ) -> DataFrame:
+        """Declarative bool scoring: one decode pass over all three clause
+        sets' postings, then a per-doc aggregate — score sums only
+        must+should contributions (must_not terms carry weight 0 via the
+        map miss), clause counts become HAVING-style filters. One row per
+        (term, doc) by construction, so count == distinct matched terms."""
+        idf_map = F.create_map(
+            *[x for t, w in sorted(idfs.items()) for x in (F.lit(t), F.lit(float(w)))]
+        )
+        cls_pairs = [(t, 0) for t in must] + [(t, 1) for t in should] + \
+            [(t, 2) for t in must_not]
+        cls_map = F.create_map(
+            *[x for t, c in sorted(cls_pairs) for x in (F.lit(t), F.lit(c))]
+        )
+        postings = self.decoded_postings(sorted({t for t, _ in cls_pairs}))
+        k1, b = F.lit(K1), F.lit(B)
+        contrib = F.coalesce(idf_map[F.col("term")], F.lit(0.0)) * F.col("tf") / (
+            F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.lit(self.avgdl))
+        )
+        cls = cls_map[F.col("term")]
+        scored = (
+            postings.withColumn("contrib", contrib)
+            .withColumn("_cls", cls)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.sum((F.col("_cls") == 0).cast("int")).alias("_nm"),
+                F.sum((F.col("_cls") == 1).cast("int")).alias("_ns"),
+                F.sum((F.col("_cls") == 2).cast("int")).alias("_nn"),
+            )
+            .filter(
+                (F.col("_nm") == len(must))
+                & (F.col("_ns") >= msm)
+                & (F.col("_nn") == 0)
+            )
+        )
+        return scored.select("doc_id", "score")
+
+    # ---------- fuzzy retrieval (ES fuzzy query, scoring rewrite) ----------
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 1, prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[str]:
+        """Dictionary terms within plain Levenshtein distance
+        ``max_edits`` of ``term`` (canonicalized with the same analyzer),
+        sharing its first ``prefix_length`` characters, DETERMINISTICALLY
+        capped: the first ``max_expansions`` ordered by (distance, term)
+        — closest terms first, the ES fuzzy rewrite's preference made
+        reproducible so oracle SQL (DuckDB ``levenshtein``) can mirror it
+        exactly. Distance is PLAIN Levenshtein (no transpositions — the
+        ES default counts a transposition as one edit; documented
+        difference, both engine and oracle use the same metric). Served
+        from the epoch-cached driver dictionary (zero Spark jobs); huge
+        vocabularies fall back to one pruned dictionary scan."""
+        toks = tokenize_py(term)
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy term must canonicalize to exactly one token, got {toks!r}"
+            )
+        if max_edits < 0 or prefix_length < 0:
+            raise ValueError("max_edits and prefix_length must be >= 0")
+        p = toks[0]
+        pfx = p[:prefix_length]
+        if not hasattr(self, "_df_map"):
+            self._load_dictionary()
+        if self._df_map is not None:
+            vocab = self._df_map.keys()
+        else:
+            cond = F.col("term").startswith(pfx) if pfx else F.lit(True)
+            # length pruning is pushable; the distance filter runs driver-
+            # side on the (already small) pre-filtered term set
+            vocab = [
+                r["term"]
+                for r in self._dict_df.filter(cond)
+                .filter(F.abs(F.length("term") - len(p)) <= max_edits)
+                .select("term").distinct().collect()
+            ]
+        hits = []
+        for t in vocab:
+            if pfx and not t.startswith(pfx):
+                continue
+            if abs(len(t) - len(p)) > max_edits:
+                continue
+            d = _levenshtein_bounded(t, p, max_edits)
+            if d <= max_edits:
+                hits.append((d, t))
+        hits.sort()
+        return [t for _, t in hits[:max_expansions]]
+
+    def topk_fuzzy(
+        self, term: str, k: int = 10, max_edits: int = 1,
+        prefix_length: int = 0, max_expansions: int = 50,
+        strategy: str = "pruned",
+    ) -> DataFrame:
+        """Fuzzy top-k (ES ``fuzzy`` query with a scoring boolean
+        rewrite): expand to at most ``max_expansions`` dictionary terms
+        within ``max_edits`` (closest-first, deterministic), then
+        disjunctive BM25 over the expansion — each expanded term scores
+        with its own corpus idf, like topk_prefix. The expansion is
+        decided driver-side; the postings scan stays pruned to the
+        expanded terms, so cost scales with the expansion's df sum,
+        never the vocabulary."""
+        self._ensure_fresh()
+        terms = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], schema="doc_id long, score double")
+        fn = self.topk_pruned if strategy == "pruned" else self.topk_exact
+        return fn(" ".join(terms), k)
+
+    # ---------- wildcard retrieval (ES wildcard query) ----------
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """Dictionary terms matching ``pattern`` (``*`` = any run incl.
+        empty, ``?`` = exactly one char; pattern is lowercased and must
+        otherwise be [a-z0-9]), DETERMINISTICALLY capped: lexicographic
+        first ``max_expansions`` — the ES wildcard rewrite made
+        reproducible. A leading ``*`` cannot use the term sort order but
+        the vocabulary lives in the epoch-cached driver dictionary, so
+        the scan is a driver-local pass, not a Spark job."""
+        import fnmatch
+        import re as _re
+
+        p = pattern.lower()
+        if not _re.fullmatch(r"[a-z0-9*?]+", p):
+            raise ValueError(
+                "wildcard pattern must be [a-z0-9*?]+ after lowercasing, "
+                f"got {pattern!r}"
+            )
+        if not hasattr(self, "_df_map"):
+            self._load_dictionary()
+        if self._df_map is not None:
+            hits = sorted(t for t in self._df_map if fnmatch.fnmatchcase(t, p))
+            return hits[:max_expansions]
+        like = p.replace("%", "").replace("_", "")  # terms are [a-z0-9]
+        like = like.replace("*", "%").replace("?", "_")
+        return [
+            r["term"]
+            for r in self._dict_df.filter(F.col("term").like(like))
+            .select("term").distinct().orderBy("term")
+            .limit(max_expansions).collect()
+        ]
+
+    def topk_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 50,
+        strategy: str = "pruned",
+    ) -> DataFrame:
+        """Wildcard top-k (ES ``wildcard`` query, scoring rewrite):
+        deterministic lexicographic first-N expansion, then disjunctive
+        BM25 over the expansion with per-term corpus idf — the same
+        shape as topk_prefix (prefix is the ``p*`` special case)."""
+        self._ensure_fresh()
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], schema="doc_id long, score double")
+        fn = self.topk_pruned if strategy == "pruned" else self.topk_exact
+        return fn(" ".join(terms), k)
+
     # ---------- phrase retrieval (ES match_phrase analogue) ----------
 
     def topk_phrase(self, query: str, k: int = 10, source: DataFrame | None = None) -> DataFrame:
@@ -690,6 +952,30 @@ class BM25Query:
         )
 
 
+def _levenshtein_bounded(a: str, b: str, bound: int) -> int:
+    """Plain Levenshtein distance with an early exit: returns bound+1 as
+    soon as the minimum of a DP row exceeds ``bound`` (the expansion only
+    needs <=/> bound, so the exact value past it is irrelevant). Matches
+    DuckDB's levenshtein() on the <= bound range, which is what the
+    oracle SQL mirrors."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > bound:
+        return bound + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur) > bound:
+            return bound + 1
+        prev = cur
+    return prev[lb]
+
+
 def _check_mode(mode: str) -> None:
     if mode not in ("any", "all"):
         raise ValueError(f"BM25Query: unknown match mode {mode!r} "
@@ -848,6 +1134,138 @@ def _run_chunk(chunk_qids, qterms, idfs, avgdl, k, per_term, ids_of,
         out_q.extend([qid] * len(order))
         out_d.extend(cand[order].tolist())
         out_s.extend(sc[order].tolist())
+
+
+def _make_bool_shard_kernel(
+    idfs: dict[str, float],
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    msm: int,
+    avgdl: float,
+    k: int,
+    tomb_ref: "np.ndarray | None" = None,
+):
+    """Per-shard kernel for the ES ``bool`` query (see BM25Query.topk_bool).
+
+    Same two-phase block-max shape as _make_shard_kernel, generalized:
+    Phase A decodes the id streams of the SCORING terms (must+should),
+    accumulating per-doc UB plus per-clause-class match counts (one
+    posting per (term, doc), so the count equals distinct matched terms
+    of that class); docs failing n_must == |must| or n_should >= msm are
+    dropped BEFORE threshold selection, keeping the pruning sound on the
+    reduced set. must_not postings are decoded as id streams ONLY (their
+    tf/dl payloads never touched) and excluded exactly like tombstones.
+    A shard missing one of the must terms contributes nothing (the count
+    can never reach |must|), mirroring the conjunctive kernel."""
+    from go_dcp_elasticsearch_spark.index.segments import (
+        drop_tombstoned,
+        resolve_tomb,
+    )
+
+    scoring_sorted = sorted(idfs)
+    must_set = set(must)
+    n_must = len(must)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []})
+        tomb = resolve_tomb(tomb_ref)
+        per_term: dict[str, list] = {}
+        for row in pdf.itertuples(index=False):
+            per_term.setdefault(row.term, []).append(row)
+        # Phase A: ids + per-posting UB + clause-class of each posting
+        all_ids, all_ubs, all_cls = [], [], []
+        decoded = {}
+        for t in scoring_sorted:
+            if t not in per_term:
+                continue
+            w = idfs[t]
+            c = 0 if t in must_set else 1
+            for row in per_term[t]:
+                gaps = varbyte_decode(bytes(row.ids_vb))
+                ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                decoded[(t, row.seg, row.block_id)] = (ids, row)
+                all_ids.append(ids)
+                all_ubs.append(
+                    np.full(len(ids), w * _block_ub(row.max_tf, row.min_dl, avgdl))
+                )
+                all_cls.append(np.full(len(ids), c, dtype=np.int8))
+        if not all_ids:
+            return empty
+        ids_cat = np.concatenate(all_ids)
+        ubs_cat = np.concatenate(all_ubs)
+        cls_cat = np.concatenate(all_cls)
+        uniq, inv = np.unique(ids_cat, return_inverse=True)
+        ub = np.zeros(len(uniq))
+        np.add.at(ub, inv, ubs_cat)
+        keep = np.ones(len(uniq), dtype=bool)
+        if n_must:
+            cnt_m = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt_m, inv[cls_cat == 0], 1)
+            keep &= cnt_m == n_must
+        if msm:
+            cnt_s = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt_s, inv[cls_cat == 1], 1)
+            keep &= cnt_s >= msm
+        uniq, ub = uniq[keep], ub[keep]
+        if not len(uniq):
+            return empty
+        # must_not exclusion: id streams only, payloads never decoded
+        excl_parts = []
+        for t in must_not:
+            for row in per_term.get(t, []):
+                gaps = varbyte_decode(bytes(row.ids_vb))
+                excl_parts.append(np.cumsum(gaps, dtype=np.uint64).astype(np.int64))
+        if excl_parts:
+            excl = np.unique(np.concatenate(excl_parts))
+            keep = drop_tombstoned(uniq, excl)
+            uniq, ub = uniq[keep], ub[keep]
+            if not len(uniq):
+                return empty
+        if tomb is not None and len(tomb):
+            keep = drop_tombstoned(uniq, tomb)
+            uniq, ub = uniq[keep], ub[keep]
+            if not len(uniq):
+                return empty
+
+        def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
+            scores = np.zeros(len(doc_subset))
+            for t in scoring_sorted:
+                if t not in per_term:
+                    continue
+                w = idfs[t]
+                for row in per_term[t]:
+                    ids, r = decoded[(t, row.seg, row.block_id)]
+                    lo = np.searchsorted(doc_subset, ids[0])
+                    hi = np.searchsorted(doc_subset, ids[-1], side="right")
+                    if lo == hi:
+                        continue
+                    tfs = varbyte_decode(bytes(r.tfs_vb)).astype(np.float64)
+                    dls = varbyte_decode(bytes(r.dls_vb)).astype(np.float64)
+                    pos = np.searchsorted(doc_subset, ids)
+                    mask = (pos < len(doc_subset)) & (
+                        doc_subset[np.minimum(pos, len(doc_subset) - 1)] == ids
+                    )
+                    tfn = tfs[mask] / (
+                        tfs[mask] + K1 * (1.0 - B + B * dls[mask] / avgdl)
+                    )
+                    scores[pos[mask]] += w * tfn
+            return scores
+
+        if len(uniq) <= k:
+            cand = uniq
+        else:
+            top_by_ub = uniq[np.argsort(-ub)[:k]]
+            top_by_ub.sort()
+            lam_scores = exact_scores(top_by_ub)
+            lam = np.sort(lam_scores)[-k] if len(lam_scores) >= k else 0.0
+            cand = uniq[ub >= lam - 1e-12]
+        cand = np.sort(cand)
+        sc = exact_scores(cand)
+        order = np.lexsort((cand, -sc))[:k]
+        return pd.DataFrame({"doc_id": cand[order], "score": sc[order]})
+
+    return kernel
 
 
 def _make_shard_kernel(

@@ -223,3 +223,123 @@ def test_prefix_expansion_semantics(spark, built):
     assert q.topk_prefix("zzznope", 5).count() == 0
     with pytest.raises(ValueError, match="one token"):
         q.expand_prefix("two words")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy retrieval (ES fuzzy query, closest-first scoring rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_rank_identity(spark, built):
+    from go_dcp_elasticsearch_spark.functions.bm25 import (
+        bm25_fuzzy_oracle,
+        levenshtein_py,
+    )
+
+    index_dir, _, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    # a query term whose edit-1 neighborhood (excluding itself) is
+    # non-empty, so the fuzzy match genuinely expands
+    term = next(
+        t for t in vocab
+        if sum(1 for v in vocab if v != t and levenshtein_py(v, t) <= 1) >= 1
+    )
+    for max_edits, pfx_len, cap in [(1, 0, 50), (2, 0, 3), (2, 1, 50)]:
+        want = bm25_fuzzy_oracle(docs_tokens, term, max_edits, pfx_len, cap, 10)
+        assert want, (term, max_edits)
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in q.topk_fuzzy(
+                term, 10, max_edits=max_edits, prefix_length=pfx_len,
+                max_expansions=cap,
+            ).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], (term, max_edits)
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (term, max_edits, gd)
+        exact = [
+            int(r["doc_id"])
+            for r in q.topk_fuzzy(
+                term, 10, max_edits=max_edits, prefix_length=pfx_len,
+                max_expansions=cap, strategy="exact",
+            ).collect()
+        ]
+        assert exact == [g[0] for g in got]
+
+
+def test_fuzzy_expansion_semantics(spark, built):
+    from go_dcp_elasticsearch_spark.functions.bm25 import levenshtein_py
+
+    index_dir, _, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    term = vocab[len(vocab) // 2]
+    # closest-first (distance, term) order, deterministic truncation
+    exp = sorted(
+        (levenshtein_py(v, term), v) for v in vocab
+        if levenshtein_py(v, term) <= 2
+    )
+    want = [t for _, t in exp]
+    assert q.expand_fuzzy(term, max_edits=2, max_expansions=500) == want
+    assert q.expand_fuzzy(term, max_edits=2, max_expansions=2) == want[:2]
+    # the exact term itself is distance 0 and always first
+    assert q.expand_fuzzy(term, max_edits=0) == [term]
+    assert q.expand_fuzzy("zzzzzzzznope", max_edits=1) == []
+    assert q.topk_fuzzy("zzzzzzzznope", 5, max_edits=1).count() == 0
+    with pytest.raises(ValueError, match="one token"):
+        q.expand_fuzzy("two words")
+    with pytest.raises(ValueError, match=">= 0"):
+        q.expand_fuzzy(term, max_edits=-1)
+
+
+# ---------------------------------------------------------------------------
+# wildcard retrieval (ES wildcard query, scoring rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_wildcard_rank_identity(spark, built):
+    import fnmatch
+
+    from go_dcp_elasticsearch_spark.functions.bm25 import bm25_wildcard_oracle
+
+    index_dir, _, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    # pattern from the fixture's own vocabulary: first char + '*' + last
+    # char of a term whose pattern matches >= 2 vocab terms
+    pat = next(
+        t[0] + "*" + t[-1] for t in vocab if len(t) >= 3
+        and sum(1 for v in vocab if fnmatch.fnmatchcase(v, t[0] + "*" + t[-1])) >= 2
+    )
+    for pattern, cap in [(pat, 50), (pat, 2), ("?" + pat[0] + "*", 10)]:
+        want = bm25_wildcard_oracle(docs_tokens, pattern, cap, 10)
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in q.topk_wildcard(pattern, 10, max_expansions=cap).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], (pattern, cap)
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (pattern, cap, gd)
+
+
+def test_wildcard_semantics(spark, built):
+    import fnmatch
+
+    index_dir, _, docs_tokens = built
+    q = BM25Query(spark, index_dir)
+    vocab = sorted({t for toks in docs_tokens.values() for t in toks})
+    t0 = next(t for t in vocab if len(t) >= 3)
+    pat = t0[0] + "*"
+    want = [t for t in vocab if fnmatch.fnmatchcase(t, pat)]
+    assert q.expand_wildcard(pat, 500) == want
+    assert q.expand_wildcard(pat, 2) == want[:2]  # lexicographic first-N
+    # '?' is exactly-one-char: length-constrained matches only
+    qpat = "?" * len(t0)
+    assert q.expand_wildcard(qpat, 500) == [t for t in vocab if len(t) == len(t0)][:500]
+    assert q.expand_wildcard("zz*nope", 50) == []
+    assert q.topk_wildcard("zz*nope", 5).count() == 0
+    with pytest.raises(ValueError, match="wildcard pattern"):
+        q.expand_wildcard("bad pattern!")
+    # uppercase is canonicalized like the analyzer, not rejected
+    assert q.expand_wildcard(pat.upper(), 500) == want

@@ -121,6 +121,12 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     hits = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
     assert len(hits) == 5 and hits[0]["doc_id"] == 282
 
+    r = submit("query", "--index", idx, "--mode", "bool", "--must", "spark",
+               "--should", "window", "--must-not", "customer", "--k", "5")
+    assert r.returncode == 0, r.stderr[-3000:]
+    hits = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert 0 < len(hits) <= 5
+
 
 def test_verify_null_content_is_ok_not_missing(spark, tmp_path):
     """Review regression (round 3): a row present on BOTH sides with NULL
