@@ -62,6 +62,14 @@ BOOL_SHOULD = "dup window"
 BOOL_NOT = "customer"
 BOOL_MSM = 1
 
+# bool filter-context gate query: filter clauses require but never score
+# (ES filter context), so hits matching only the filter carry score 0.0
+# and the rare "dup" should-boost reorders the rest — zero-score ties,
+# the filter conjunction and the boost all exercised in one query.
+BOOLF_SHOULD = "dup"
+BOOLF_FILTER = "spark window"
+BOOLF_NOT = "customer"
+
 # fuzzy gate query (ES fuzzy, closest-first scoring rewrite): "spar" at
 # max_edits=2 reaches spark (d=1) plus several d=2 terms (part, scan, …)
 # in the fixture vocabulary, so the (distance, term)-ordered cap at 3
@@ -277,6 +285,34 @@ def _q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _oracle_index(spark, sf_dir)
     q = BM25Query(spark, idx_dir)
     hits = q.topk_pruned(" ".join(BM25_TERMS), BM25_K + 64, mode="all")
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_bool_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool filter context through the full engine: filter clauses
+    require membership but never score (id-stream decodes with UB 0 in
+    the pruned kernel), so filter-only matches surface at score 0.0 and
+    the should clause re-ranks the docs it boosts — the ES
+    filter-context contract. Same k+64 margin + public re-rank as the
+    other index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_bool(
+        should=BOOLF_SHOULD, filter=BOOLF_FILTER, must_not=BOOLF_NOT,
+        k=BM25_K + 64, minimum_should_match=0,
+    )
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
         F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
@@ -1210,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conj": _q_bm25_topk_conj,
         "phrase_topk": _q_phrase_topk,
         "bool_topk": _q_bool_topk,
+        "bool_filter_topk": _q_bool_filter_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "wildcard_topk": _q_wildcard_topk,
         "prefix_topk": _q_prefix_topk,
@@ -1366,6 +1403,15 @@ def oracle_sql() -> dict[str, str]:
                 "should": BOOL_SHOULD.split(),
                 "must_not": BOOL_NOT.split(),
                 "msm": BOOL_MSM,
+            },
+        ),
+        "bool_filter_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", [], BM25_K,
+            bool_spec={
+                "should": BOOLF_SHOULD.split(),
+                "filter": BOOLF_FILTER.split(),
+                "must_not": BOOLF_NOT.split(),
+                "msm": 0,
             },
         ),
         "fuzzy_topk": bm25_duckdb_sql(

@@ -106,8 +106,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="bool mode: optional terms (scored; at least --msm "
                         "must match)")
     q.add_argument("--must-not", default="", dest="must_not",
-                   help="bool mode: terms that must NOT match (filter only, "
+                   help="bool mode: terms that must NOT match (exclusion, "
                         "never scored)")
+    q.add_argument("--filter", default="",
+                   help="bool mode: terms that must ALL match but never "
+                        "score (ES filter context)")
     q.add_argument("--msm", type=int, default=None,
                    help="bool mode: minimum_should_match (default: 1 when "
                         "only should clauses, else 0)")
@@ -201,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
                             "not --text/--text-file")
                 hits = qq.topk_bool(
                     must=args.must, should=args.should,
-                    must_not=args.must_not, k=args.k,
+                    must_not=args.must_not, filter=args.filter, k=args.k,
                     minimum_should_match=args.msm, strategy=args.strategy,
                 )
                 for row in hits.collect():

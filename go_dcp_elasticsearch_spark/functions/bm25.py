@@ -131,20 +131,28 @@ def bm25_bool_oracle(
     must_not: list[str],
     msm: int,
     k: int,
+    filt: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Pure-Python ES ``bool`` query top-k oracle: a doc qualifies iff it
-    contains EVERY ``must`` term, at least ``msm`` distinct ``should``
-    terms, and NO ``must_not`` term; its score is the BM25 sum over the
-    matched must+should terms (must_not never scores). Corpus-wide
-    df/avgdl, exactly like bm25_oracle."""
+    contains EVERY ``must`` term, EVERY ``filt`` (filter) term, at least
+    ``msm`` distinct ``should`` terms, and NO ``must_not`` term; its
+    score is the BM25 sum over the matched must+should terms (filter and
+    must_not never score). With a filter present, a passing doc that
+    matches no scoring term still qualifies at score 0.0 — the ES
+    filter-context contract. Corpus-wide df/avgdl, like bm25_oracle."""
     m, s, n = sorted(set(must)), sorted(set(should)), sorted(set(must_not))
-    ranked = bm25_oracle(docs_tokens, m + s, len(docs_tokens))
+    fl = sorted(set(filt or []))
+    scores = dict(bm25_oracle(docs_tokens, m + s, len(docs_tokens)))
     out = []
-    for d, sc in ranked:
+    for d in docs_tokens:
         toks = set(docs_tokens[d])
-        if all(t in toks for t in m) and sum(t in toks for t in s) >= msm \
+        if d not in scores and not (fl and all(t in toks for t in fl)):
+            continue  # no scoring match and no filter-context membership
+        if all(t in toks for t in m) and all(t in toks for t in fl) \
+                and sum(t in toks for t in s) >= msm \
                 and not any(t in toks for t in n):
-            out.append((d, sc))
+            out.append((d, scores.get(d, 0.0)))
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
     return out[:k]
 
 
@@ -264,6 +272,7 @@ def bm25_duckdb_sql(
             set(bool_spec.get("must", []))
             | set(bool_spec.get("should", []))
             | set(bool_spec.get("must_not", []))
+            | set(bool_spec.get("filter", []))
         )
     terms_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
@@ -325,24 +334,31 @@ def bm25_duckdb_sql(
         m = sorted(set(bool_spec.get("must", [])))
         s = sorted(set(bool_spec.get("should", [])))
         nn = sorted(set(bool_spec.get("must_not", [])))
+        fl = sorted(set(bool_spec.get("filter", [])))
         msm = int(bool_spec.get("msm", 0))
-        scoring = _inlist(m + s)
-        score_sql = (
-            f"sum(CASE WHEN tf.term IN ({scoring}) THEN {contrib_sql} "
-            "ELSE 0.0 END)"
-        )
+        if m + s:
+            score_sql = (
+                f"sum(CASE WHEN tf.term IN ({_inlist(m + s)}) "
+                f"THEN {contrib_sql} ELSE 0.0 END)"
+            )
+        else:
+            score_sql = "0.0"  # filter-only: ES filter-context score
         conds = []
         if m:
             conds.append(
                 f"count(CASE WHEN tf.term IN ({_inlist(m)}) THEN 1 END) = {len(m)}"
             )
-        if msm > 0:
+        if msm > 0 and s:
             conds.append(
                 f"count(CASE WHEN tf.term IN ({_inlist(s)}) THEN 1 END) >= {msm}"
             )
         if nn:
             conds.append(
                 f"count(CASE WHEN tf.term IN ({_inlist(nn)}) THEN 1 END) = 0"
+            )
+        if fl:
+            conds.append(
+                f"count(CASE WHEN tf.term IN ({_inlist(fl)}) THEN 1 END) = {len(fl)}"
             )
         having = "HAVING " + " AND ".join(conds) if conds else ""
     if df_source_sql is None:

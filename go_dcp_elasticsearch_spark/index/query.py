@@ -535,15 +535,22 @@ class BM25Query:
         must: str = "",
         should: str = "",
         must_not: str = "",
+        filter: str = "",
         k: int = 10,
         minimum_should_match: int | None = None,
         strategy: str = "pruned",
     ) -> DataFrame:
         """ES ``bool`` query top-k: a doc qualifies iff it contains EVERY
-        ``must`` term, at least ``minimum_should_match`` distinct
-        ``should`` terms, and NO ``must_not`` term; its score is the BM25
-        sum over its matched must+should terms (must_not clauses filter,
-        never score — exactly the ES contract). This is the full bool
+        ``must`` term, EVERY ``filter`` term, at least
+        ``minimum_should_match`` distinct ``should`` terms, and NO
+        ``must_not`` term; its score is the BM25 sum over its matched
+        must+should terms (``filter`` and ``must_not`` clauses filter,
+        never score — exactly the ES contract: filter = must without
+        scoring, the clause ES serves from its filter cache). A
+        filter-ONLY query (no must/should) is supported and returns
+        constant score 0.0 ordered by doc_id, like ES's filter-context
+        hits — it stays bounded because the candidates come from the
+        filter terms' own postings. This is the full bool
         surface the reference's sink serves through Elasticsearch
         (README.md:13 "documents streamed in become searchable");
         ``topk_pruned(mode="all")`` is the must-only special case.
@@ -559,21 +566,23 @@ class BM25Query:
           still needs replacing by one that does); an absent must_not
           term is a no-op.
         - a term may appear in only ONE clause class: must/should/
-          must_not overlap raises ValueError (a must+must_not overlap is
-          vacuously empty in ES; a must+should overlap double-scores —
-          both are degenerate for a single-field term query, so the
-          engine rejects them loudly rather than guessing).
-        - must and should cannot both be empty: a pure must_not query is
-          an unbounded match-all complement (ES scores it constant 0
-          over the whole corpus) — rejected as unsupported at scale.
+          filter/must_not overlap raises ValueError (a must+must_not
+          overlap is vacuously empty in ES; a must+should overlap
+          double-scores; a must+filter overlap double-requires — all
+          degenerate for a single-field term query, so the engine
+          rejects them loudly rather than guessing).
+        - must, should and filter cannot ALL be empty: a pure must_not
+          query is an unbounded match-all complement — rejected as
+          unsupported at scale.
 
         Scale shape: candidates are decided per shard exactly like
         topk_pruned (a doc's postings all live in one shard, so the
-        must-conjunction, should-count and must_not-exclusion are all
-        shard-local); must_not postings are decoded id-streams only
-        (their tf/dl payloads are never touched); the block-max UB over
-        matched must+should blocks stays a sound score bound, so the
-        two-phase pruning is unchanged."""
+        must-conjunction, filter-conjunction, should-count and
+        must_not-exclusion are all shard-local); filter and must_not
+        postings are decoded id-streams only (their tf/dl payloads are
+        never touched); the block-max UB over matched must+should blocks
+        stays a sound score bound, so the two-phase pruning is
+        unchanged."""
         if strategy not in ("pruned", "exact"):
             raise ValueError(
                 f"topk_bool: unknown strategy {strategy!r} "
@@ -583,42 +592,56 @@ class BM25Query:
         m = sorted(set(self.analyze(must)))
         s = sorted(set(self.analyze(should)))
         n = sorted(set(self.analyze(must_not)))
-        overlap = (set(m) & set(s)) | (set(m) | set(s)) & set(n)
+        f = sorted(set(self.analyze(filter)))
+        sets = {"must": set(m), "should": set(s), "must_not": set(n),
+                "filter": set(f)}
+        overlap = set()
+        names = list(sets)
+        for i, a in enumerate(names):
+            for b_ in names[i + 1:]:
+                overlap |= sets[a] & sets[b_]
         if overlap:
             raise ValueError(
                 f"topk_bool: term(s) {sorted(overlap)!r} appear in more "
-                "than one clause class (must/should/must_not)"
+                "than one clause class (must/should/filter/must_not)"
             )
-        if not m and not s:
+        if not m and not s and not f:
             raise ValueError(
-                "topk_bool: needs at least one must or should clause — a "
-                "pure must_not query is an unbounded match-all complement"
+                "topk_bool: needs at least one must, should or filter "
+                "clause — a pure must_not query is an unbounded match-all "
+                "complement"
             )
         msm = minimum_should_match
         if msm is None:
-            msm = 1 if (not m and s) else 0
+            msm = 1 if (not m and not f and s) else 0
         if msm < 0:
             raise ValueError(f"topk_bool: minimum_should_match {msm} < 0")
         empty = self.spark.createDataFrame([], schema="doc_id long, score double")
         if msm > len(s):
             return empty  # can never be satisfied
-        idfs = self._term_stats(m + s)
+        idfs = self._term_stats(m + s)  # empty input -> {} but loads the dict
         if any(t not in idfs for t in m):
             return empty  # a must term absent from the whole corpus
         live_s = [t for t in s if t in idfs]
         if len(live_s) < msm:
             return empty  # too few matchable should clauses left
-        n_live = [t for t in n if t in self._df_map] if self._df_map is not None \
-            else [t for t in n if self._term_stats([t])]
+        if self._df_map is not None:
+            n_live = [t for t in n if t in self._df_map]
+            f_dead = [t for t in f if t not in self._df_map]
+        else:
+            n_live = [t for t in n if self._term_stats([t])]
+            f_dead = [t for t in f if not self._term_stats([t])]
+        if f_dead:
+            return empty  # a filter term absent from the whole corpus
         if strategy == "exact":
-            scored = self._exact_scored_bool(idfs, m, live_s, n_live, msm)
+            scored = self._exact_scored_bool(idfs, m, live_s, n_live, msm, f)
             return scored.orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
             ).limit(k)
         kernel = _make_bool_shard_kernel(
-            idfs, m, live_s, n_live, msm, self.avgdl, k, self._tomb
+            idfs, m, live_s, n_live, msm, self.avgdl, k, self._tomb, filt=f
         )
-        blocks = self._candidate_blocks(sorted(idfs) + n_live).select(
+        blocks = self._candidate_blocks(sorted(idfs) + n_live + f).select(
             "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
             "max_tf", "min_dl"
         )
@@ -632,23 +655,32 @@ class BM25Query:
         should: list[str],
         must_not: list[str],
         msm: int,
+        filt: list[str] | None = None,
     ) -> DataFrame:
-        """Declarative bool scoring: one decode pass over all three clause
+        """Declarative bool scoring: one decode pass over all clause
         sets' postings, then a per-doc aggregate — score sums only
-        must+should contributions (must_not terms carry weight 0 via the
-        map miss), clause counts become HAVING-style filters. One row per
-        (term, doc) by construction, so count == distinct matched terms."""
-        idf_map = F.create_map(
-            *[x for t, w in sorted(idfs.items()) for x in (F.lit(t), F.lit(float(w)))]
-        )
+        must+should contributions (filter/must_not terms carry weight 0
+        via the map miss), clause counts become HAVING-style filters. One
+        row per (term, doc) by construction, so count == distinct matched
+        terms. A filter-only call (empty idfs) yields constant 0.0
+        scores, the ES filter-context contract."""
+        filt = filt or []
         cls_pairs = [(t, 0) for t in must] + [(t, 1) for t in should] + \
-            [(t, 2) for t in must_not]
+            [(t, 2) for t in must_not] + [(t, 3) for t in filt]
         cls_map = F.create_map(
             *[x for t, c in sorted(cls_pairs) for x in (F.lit(t), F.lit(c))]
         )
         postings = self.decoded_postings(sorted({t for t, _ in cls_pairs}))
         k1, b = F.lit(K1), F.lit(B)
-        contrib = F.coalesce(idf_map[F.col("term")], F.lit(0.0)) * F.col("tf") / (
+        if idfs:
+            idf_map = F.create_map(
+                *[x for t, w in sorted(idfs.items())
+                  for x in (F.lit(t), F.lit(float(w)))]
+            )
+            weight = F.coalesce(idf_map[F.col("term")], F.lit(0.0))
+        else:
+            weight = F.lit(0.0)  # filter-only: ES filter-context score
+        contrib = weight * F.col("tf") / (
             F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.lit(self.avgdl))
         )
         cls = cls_map[F.col("term")]
@@ -661,11 +693,13 @@ class BM25Query:
                 F.sum((F.col("_cls") == 0).cast("int")).alias("_nm"),
                 F.sum((F.col("_cls") == 1).cast("int")).alias("_ns"),
                 F.sum((F.col("_cls") == 2).cast("int")).alias("_nn"),
+                F.sum((F.col("_cls") == 3).cast("int")).alias("_nf"),
             )
             .filter(
                 (F.col("_nm") == len(must))
                 & (F.col("_ns") >= msm)
                 & (F.col("_nn") == 0)
+                & (F.col("_nf") == len(filt))
             )
         )
         return scored.select("doc_id", "score")
@@ -1145,27 +1179,32 @@ def _make_bool_shard_kernel(
     avgdl: float,
     k: int,
     tomb_ref: "np.ndarray | None" = None,
+    filt: list[str] | None = None,
 ):
     """Per-shard kernel for the ES ``bool`` query (see BM25Query.topk_bool).
 
     Same two-phase block-max shape as _make_shard_kernel, generalized:
-    Phase A decodes the id streams of the SCORING terms (must+should),
-    accumulating per-doc UB plus per-clause-class match counts (one
-    posting per (term, doc), so the count equals distinct matched terms
-    of that class); docs failing n_must == |must| or n_should >= msm are
-    dropped BEFORE threshold selection, keeping the pruning sound on the
-    reduced set. must_not postings are decoded as id streams ONLY (their
-    tf/dl payloads never touched) and excluded exactly like tombstones.
-    A shard missing one of the must terms contributes nothing (the count
-    can never reach |must|), mirroring the conjunctive kernel."""
+    Phase A decodes the id streams of the scoring terms (must+should)
+    AND the filter terms (UB contribution 0 — they gate membership, not
+    score), accumulating per-doc UB plus per-clause-class match counts
+    (one posting per (term, doc), so the count equals distinct matched
+    terms of that class); docs failing n_must == |must|, n_filter ==
+    |filter| or n_should >= msm are dropped BEFORE threshold selection,
+    keeping the pruning sound on the reduced set. filter and must_not
+    tf/dl payloads are never touched. A shard missing one of the
+    must/filter terms contributes nothing (the count can never reach the
+    requirement), mirroring the conjunctive kernel. Filter-only queries
+    (empty idfs) yield constant 0.0 scores ordered by doc_id."""
     from go_dcp_elasticsearch_spark.index.segments import (
         drop_tombstoned,
         resolve_tomb,
     )
 
+    filt = filt or []
     scoring_sorted = sorted(idfs)
     must_set = set(must)
     n_must = len(must)
+    n_filt = len(filt)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": [], "score": []})
@@ -1190,6 +1229,13 @@ def _make_bool_shard_kernel(
                     np.full(len(ids), w * _block_ub(row.max_tf, row.min_dl, avgdl))
                 )
                 all_cls.append(np.full(len(ids), c, dtype=np.int8))
+        for t in filt:
+            for row in per_term.get(t, []):
+                gaps = varbyte_decode(bytes(row.ids_vb))
+                ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                all_ids.append(ids)
+                all_ubs.append(np.zeros(len(ids)))
+                all_cls.append(np.full(len(ids), 3, dtype=np.int8))
         if not all_ids:
             return empty
         ids_cat = np.concatenate(all_ids)
@@ -1207,6 +1253,10 @@ def _make_bool_shard_kernel(
             cnt_s = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(cnt_s, inv[cls_cat == 1], 1)
             keep &= cnt_s >= msm
+        if n_filt:
+            cnt_f = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt_f, inv[cls_cat == 3], 1)
+            keep &= cnt_f == n_filt
         uniq, ub = uniq[keep], ub[keep]
         if not len(uniq):
             return empty

@@ -112,7 +112,7 @@ def test_bool_rejects_degenerate(spark, bool_idx):
         q.topk_bool(must="buffer", must_not="buffer")
     with pytest.raises(ValueError, match="more than one clause class"):
         q.topk_bool(must="buffer", should="buffer")
-    with pytest.raises(ValueError, match="must or should"):
+    with pytest.raises(ValueError, match="must, should or filter"):
         q.topk_bool(must_not="buffer")
     with pytest.raises(ValueError, match="unknown strategy"):
         q.topk_bool(must="buffer", strategy="zzz")
@@ -165,3 +165,52 @@ def test_bool_with_pending_segments(spark, tmp_path):
     old_hits = q.topk_bool(must="buffer", must_not="zzforbidden", k=200)
     old_ids = {int(r["doc_id"]) for r in old_hits.collect()}
     assert int(victim["doc_id"]) not in old_ids
+
+
+FILTER_CASES = [
+    # (must, should, must_not, filter, msm)
+    ("buffer", "", "var7", "var3", 0),          # filter + exclusion
+    ("", "var3 var11", "", "buffer", 0),        # shoulds boost over filter
+    ("", "", "", "var3 buffer", 0),             # filter-only: score 0.0
+    ("", "var3", "", "buffer", 0),              # msm defaults 0 w/ filter
+]
+
+
+@pytest.mark.parametrize("must,should,must_not,filt,msm", FILTER_CASES)
+def test_bool_filter_rank_identity(spark, bool_idx, must, should, must_not,
+                                   filt, msm):
+    """filter clause (ES filter context): requires membership, never
+    scores; filter-only hits carry score 0.0 ordered by doc_id."""
+    idx, toks = bool_idx
+    q = BM25Query(spark, idx)
+    exp = [(d, round(s, 9)) for d, s in bm25_bool_oracle(
+        toks, tokenize_py(must), tokenize_py(should), tokenize_py(must_not),
+        msm, 10, filt=tokenize_py(filt),
+    )]
+    for strategy in ("pruned", "exact"):
+        got = _got(q, strategy, must=must, should=should, must_not=must_not,
+                   filter=filt, minimum_should_match=msm)
+        assert got == exp, (strategy, must, should, must_not, filt)
+
+
+def test_bool_filter_semantics(spark, bool_idx):
+    idx, toks = bool_idx
+    q = BM25Query(spark, idx)
+    # filter-only: every hit scores exactly 0.0, ascending doc_id
+    rows = q.topk_bool(filter="buffer", k=10).collect()
+    assert rows and all(float(r["score"]) == 0.0 for r in rows)
+    ids = [int(r["doc_id"]) for r in rows]
+    assert ids == sorted(ids)
+    # a filter term absent from the corpus empties the result
+    assert q.topk_bool(filter="qzxabsent buffer").count() == 0
+    # filter-context membership: a doc passing the filter but matching
+    # no scoring term still qualifies (score 0) when msm permits
+    n_filter_only = q.topk_bool(filter="buffer", k=10_000).count()
+    n_with_should = q.topk_bool(should="var3", filter="buffer",
+                                minimum_should_match=0, k=10_000).count()
+    assert n_with_should == n_filter_only
+    # clause overlap across filter and other classes rejected
+    with pytest.raises(ValueError, match="more than one clause class"):
+        q.topk_bool(must="buffer", filter="buffer")
+    with pytest.raises(ValueError, match="more than one clause class"):
+        q.topk_bool(filter="buffer", must_not="buffer")
