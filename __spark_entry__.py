@@ -70,6 +70,14 @@ BOOLF_SHOULD = "dup"
 BOOLF_FILTER = "spark window"
 BOOLF_NOT = "customer"
 
+# keyword-field gate query: the oracle index carries lang:<value> field
+# postings (IndexBuilder field_cols=["lang"]); filtering on lang:en is a
+# posting-list operation in the engine and a plain column predicate in
+# the SQL mirror — the ES keyword-field term query served natively.
+FIELD_SHOULD = "dup"
+FIELD_FILTER = "lang:en"
+FIELD_NOT = "customer"
+
 # fuzzy gate query (ES fuzzy, closest-first scoring rewrite): "spar" at
 # max_edits=2 reaches spark (d=1) plus several d=2 terms (part, scan, …)
 # in the fixture vocabulary, so the (distance, term)-ordered cap at 3
@@ -209,7 +217,9 @@ def _fixture_fingerprint(sf_dir: str) -> str:
     from go_dcp_elasticsearch_spark.index.builder import INDEX_FORMAT_VERSION
 
     path = f"{sf_dir}/documents.parquet"
-    parts = [f"fmt{INDEX_FORMAT_VERSION}"]
+    # fields=lang: the oracle index carries keyword-field postings (round
+    # 6); the tag invalidates caches built before the feature existed
+    parts = [f"fmt{INDEX_FORMAT_VERSION}+fields=lang"]
     if os.path.isdir(path):
         for fn in sorted(os.listdir(path)):
             st = os.stat(os.path.join(path, fn))
@@ -241,7 +251,7 @@ def _oracle_index(spark: SparkSession, sf_dir: str) -> str:
                 stale = f.read().strip() != fp
         if stale:
             shutil.rmtree(idx_dir, ignore_errors=True)
-    IndexBuilder(spark, idx_dir, n_shards=4).build(
+    IndexBuilder(spark, idx_dir, n_shards=4, field_cols=["lang"]).build(
         load_documents_corpus(spark, sf_dir), resume=True
     )
     with open(fp_file, "w") as f:
@@ -311,6 +321,35 @@ def _q_bool_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = BM25Query(spark, idx_dir)
     hits = q.topk_bool(
         should=BOOLF_SHOULD, filter=BOOLF_FILTER, must_not=BOOLF_NOT,
+        k=BM25_K + 64, minimum_should_match=0,
+    )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_bool_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-field filter through the full engine: the index carries
+    one lang:<value> posting per doc (field_cols=["lang"], tf=1, never
+    scored, dl/avgdl untouched), so filtering on metadata is a pure
+    posting-list operation — the ES keyword-field term query. Combined
+    here with a should boost and a text must_not; the SQL mirror uses
+    the plain lang column predicate. Same k+64 margin + public re-rank
+    as the other index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_bool(
+        should=FIELD_SHOULD, filter=FIELD_FILTER, must_not=FIELD_NOT,
         k=BM25_K + 64, minimum_should_match=0,
     )
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
@@ -1247,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "bool_topk": _q_bool_topk,
         "bool_filter_topk": _q_bool_filter_topk,
+        "bool_field_topk": _q_bool_field_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "wildcard_topk": _q_wildcard_topk,
         "prefix_topk": _q_prefix_topk,
@@ -1405,6 +1445,37 @@ def oracle_sql() -> dict[str, str]:
                 "msm": BOOL_MSM,
             },
         ),
+        # keyword-field filter: engine filters via lang:<value> postings;
+        # the mirror uses the plain column predicate. LEFT JOIN keeps
+        # filter-context docs with no scoring match at score 0.0 (the
+        # tf-CTE-based builder can't express that universe, hence
+        # handwritten).
+        "bool_field_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens, lang FROM documents),
+dl AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  WHERE t.term IN ('{FIELD_SHOULD}')
+  GROUP BY doc_id, t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT t.doc_id, {round6_sql("coalesce(s.score, 0.0)")} AS score
+FROM toks t LEFT JOIN scored s USING (doc_id)
+WHERE lower(t.lang) = '{FIELD_FILTER.split(":", 1)[1]}'
+  AND NOT list_contains(t.tokens, '{FIELD_NOT}')
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_K}
+""",
         "bool_filter_topk": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", [], BM25_K,
             bool_spec={

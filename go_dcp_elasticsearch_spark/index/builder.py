@@ -309,13 +309,32 @@ def assign_doc_ids_input_order(corpus: DataFrame) -> DataFrame:
     return out
 
 
-def posting_chunks_fixed_shard_with_sentinels():
+def inject_field_terms(counters, pdf, field_cols) -> None:
+    """Add one synthetic keyword-field posting per (doc, field) to each
+    doc's term counter: ``col:value`` with the raw value lowercased (ES
+    keyword-field semantics — NOT analyzed). The ``:`` separator can
+    never appear in an analyzed content token ([a-z0-9]+), so the field
+    namespace cannot collide with text terms. MUST be called AFTER
+    doc_len extraction: field terms are filter-context postings (tf=1)
+    and must not perturb dl/avgdl/BM25 stats. NULL/NaN values emit no
+    posting (the doc simply has no value for that field)."""
+    for col in field_cols or ():
+        for c, v in zip(counters, pdf[col]):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            c[f"{col}:{str(v).lower()}"] = 1
+
+
+def posting_chunks_fixed_shard_with_sentinels(field_cols=None):
     """posting_chunks_fixed_shard + per-doc DOC_SENTINEL rows (sha256 +
     doc_len) — the routing-mode arm of the fused single-scan build."""
-    return posting_chunks_fixed_shard(with_doc_sentinels=True)
+    return posting_chunks_fixed_shard(
+        with_doc_sentinels=True, field_cols=field_cols
+    )
 
 
-def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: bool = False):
+def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: bool = False,
+                               field_cols: list[str] | None = None):
     """Chunk kernel that trusts a precomputed ``shard`` COLUMN instead of
     deriving shards from the doc-id range formula — used by (a) incremental
     rebuilds, where shard assignments are preserved from the original
@@ -344,6 +363,13 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
         for pdf in iterator:
             pdf = pdf.sort_values("doc_id")
             counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
+            # doc_len BEFORE field-term injection: keyword-field postings
+            # must not perturb dl/avgdl (they are filter terms, never
+            # scored)
+            doc_lens = np.fromiter(
+                (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
+            )
+            inject_field_terms(counters, pdf, field_cols)
             sizes = np.fromiter(
                 (len(c) for c in counters), dtype=np.int64, count=len(counters)
             )
@@ -354,9 +380,6 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
                     chain.from_iterable(c.values() for c in counters),
                     dtype=np.int64, count=n,
                 )
-            )
-            doc_lens = np.fromiter(
-                (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
             )
             batch_ids = pdf["doc_id"].to_numpy()
             batch_sh = pdf["shard"].to_numpy().astype(np.int32)
@@ -534,6 +557,7 @@ class IndexBuilder:
         id_mode: str = "sorted",
         routing_col: str | None = None,
         n_range_parts: int | None = None,
+        field_cols: list[str] | None = None,
     ):
         """``id_mode``:
         - "sorted" (default): doc_id = rank of (repo, path) in global sort
@@ -553,6 +577,17 @@ class IndexBuilder:
         ``n_range_parts``: partition count for the sorted-id corpus
         shuffle. Default: the session's shuffle partitions (a FIXED small
         constant would mean multi-TB range partitions at 10^12 rows).
+
+        ``field_cols``: keyword-field indexing (the ES keyword-mapping
+        analogue) — for each listed corpus column, every doc gets one
+        synthetic posting ``col:value`` (value lowercased, NOT analyzed)
+        in the same inverted index, making metadata filterable via
+        BM25Query.topk_bool(filter="col:value") at posting-list cost.
+        Field postings carry tf=1 and do NOT affect dl/avgdl/BM25 stats;
+        the ``:`` separator keeps the namespace disjoint from analyzed
+        content tokens ([a-z0-9]+), and term expansions (prefix/fuzzy/
+        wildcard) skip it. Recorded in _meta so incremental applies
+        maintain the field postings for changed docs.
         """
         self.spark = spark
         self.paths = IndexPaths(index_dir)
@@ -565,6 +600,15 @@ class IndexBuilder:
         self.id_mode = id_mode
         self.routing_col = routing_col
         self.n_range_parts = n_range_parts
+        import re as _re
+
+        for c in field_cols or ():
+            if not _re.fullmatch(r"[a-z][a-z0-9_]*", c) or c == "content":
+                raise ValueError(
+                    f"field_cols entries must be lowercase identifiers "
+                    f"(not 'content'), got {c!r}"
+                )
+        self.field_cols = list(field_cols or [])
         self.lineage = LineageLog(spark, self.paths.lineage)
         self.metrics = MetricsLog(spark, self.paths.metrics)
 
@@ -614,7 +658,8 @@ class IndexBuilder:
 
         return corpus_ids.select("doc_id", "content").mapInPandas(kernel, schema=TF_SCHEMA)
 
-    def _posting_chunks(self, n_docs: int, with_doc_sentinels: bool = False):
+    def _posting_chunks(self, n_docs: int, with_doc_sentinels: bool = False,
+                        field_cols: list[str] | None = None):
         """SPIMI map side proper: per source partition, build LOCAL posting
         lists and emit them pre-encoded (varbyte blocks), one row per
         (term, shard, block).
@@ -655,6 +700,11 @@ class IndexBuilder:
             sent_frames = []
             for pdf in iterator:
                 counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
+                # doc_len BEFORE field-term injection (see inject_field_terms)
+                doc_lens = np.fromiter(
+                    (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
+                )
+                inject_field_terms(counters, pdf, field_cols)
                 sizes = np.fromiter(
                     (len(c) for c in counters), dtype=np.int64, count=len(counters)
                 )
@@ -666,9 +716,6 @@ class IndexBuilder:
                         dtype=np.int64,
                         count=n,
                     )
-                )
-                doc_lens = np.fromiter(
-                    (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
                 )
                 batch_ids = pdf["doc_id"].to_numpy()
                 did_parts.append(np.repeat(batch_ids, sizes))
@@ -1010,15 +1057,23 @@ class IndexBuilder:
         if "docs" not in done or "postings" not in done:
             if self.routing_col:
                 chunks_src = corpus_ids.select(
-                    "doc_id", "content", shard_expr.alias("shard")
+                    "doc_id", "content", *self.field_cols,
+                    shard_expr.alias("shard"),
                 )
                 all_rows = chunks_src.mapInPandas(
-                    posting_chunks_fixed_shard_with_sentinels(),
+                    posting_chunks_fixed_shard_with_sentinels(
+                        field_cols=self.field_cols
+                    ),
                     schema=CHUNK_SCHEMA,
                 )
             else:
-                all_rows = corpus_ids.select("doc_id", "content").mapInPandas(
-                    self._posting_chunks(n_docs, with_doc_sentinels=True),
+                all_rows = corpus_ids.select(
+                    "doc_id", "content", *self.field_cols
+                ).mapInPandas(
+                    self._posting_chunks(
+                        n_docs, with_doc_sentinels=True,
+                        field_cols=self.field_cols,
+                    ),
                     schema=CHUNK_SCHEMA,
                 )
             all_rows = all_rows.persist()
@@ -1149,6 +1204,7 @@ class IndexBuilder:
                     "id_mode": self.id_mode,
                     "routing_col": self.routing_col,
                     "routing_n_shards": self.n_shards if self.routing_col else None,
+                    "field_cols": self.field_cols,
                 }
             ),
             overwrite=True,

@@ -496,11 +496,16 @@ class BM25Query:
         if not hasattr(self, "_df_map"):
             self._load_dictionary()
         if self._df_map is not None:
-            hits = sorted(t for t in self._df_map if t.startswith(p))
+            # keyword-field terms (col:value) are a separate namespace —
+            # never part of a text multi-term rewrite
+            hits = sorted(
+                t for t in self._df_map if ":" not in t and t.startswith(p)
+            )
             return hits[:max_expansions]
         return [
             r["term"]
             for r in self._dict_df.filter(F.col("term").startswith(p))
+            .filter(~F.col("term").contains(":"))
             .select("term")
             .distinct()
             .orderBy("term")
@@ -527,6 +532,20 @@ class BM25Query:
             return self.spark.createDataFrame([], schema="doc_id long, score double")
         fn = self.topk_pruned if strategy == "pruned" else self.topk_exact
         return fn(" ".join(terms), k)
+
+    def _clause_terms(self, text: str) -> list[str]:
+        """Analyze a non-scoring clause (filter / must_not): whitespace
+        tokens containing ``:`` are KEYWORD-FIELD terms (``col:value``,
+        IndexBuilder field_cols) and pass through lowercased-verbatim —
+        the ES term-query-on-keyword-field semantics, NOT analyzed;
+        everything else goes through the canonical analyzer."""
+        out: list[str] = []
+        for w in (text or "").split():
+            if ":" in w:
+                out.append(w.lower())
+            else:
+                out.extend(tokenize_py(w))
+        return out
 
     # ---------- boolean retrieval (ES bool query analogue) ----------
 
@@ -589,10 +608,18 @@ class BM25Query:
                 "(expected 'pruned' or 'exact')"
             )
         self._ensure_fresh()
+        for name, text in (("must", must), ("should", should)):
+            bad = [w for w in (text or "").split() if ":" in w]
+            if bad:
+                raise ValueError(
+                    f"topk_bool: keyword-field term(s) {bad!r} in the "
+                    f"scoring '{name}' clause — field terms never score "
+                    "(ES keyword fields); put them in filter= or must_not="
+                )
         m = sorted(set(self.analyze(must)))
         s = sorted(set(self.analyze(should)))
-        n = sorted(set(self.analyze(must_not)))
-        f = sorted(set(self.analyze(filter)))
+        n = sorted(set(self._clause_terms(must_not)))
+        f = sorted(set(self._clause_terms(filter)))
         sets = {"must": set(m), "should": set(s), "must_not": set(n),
                 "filter": set(f)}
         overlap = set()
@@ -741,11 +768,14 @@ class BM25Query:
             vocab = [
                 r["term"]
                 for r in self._dict_df.filter(cond)
+                .filter(~F.col("term").contains(":"))
                 .filter(F.abs(F.length("term") - len(p)) <= max_edits)
                 .select("term").distinct().collect()
             ]
         hits = []
         for t in vocab:
+            if ":" in t:
+                continue  # keyword-field namespace, never fuzzy-matched
             if pfx and not t.startswith(pfx):
                 continue
             if abs(len(t) - len(p)) > max_edits:
@@ -798,13 +828,17 @@ class BM25Query:
         if not hasattr(self, "_df_map"):
             self._load_dictionary()
         if self._df_map is not None:
-            hits = sorted(t for t in self._df_map if fnmatch.fnmatchcase(t, p))
+            hits = sorted(
+                t for t in self._df_map
+                if ":" not in t and fnmatch.fnmatchcase(t, p)
+            )
             return hits[:max_expansions]
         like = p.replace("%", "").replace("_", "")  # terms are [a-z0-9]
         like = like.replace("*", "%").replace("?", "_")
         return [
             r["term"]
             for r in self._dict_df.filter(F.col("term").like(like))
+            .filter(~F.col("term").contains(":"))
             .select("term").distinct().orderBy("term")
             .limit(max_expansions).collect()
         ]

@@ -614,6 +614,7 @@ def apply_changes_to_index(
     meta = read_index_meta(spark, index_dir)
     routing_col = meta.get("routing_col")
     routing_mod = int(meta.get("routing_n_shards") or 0)
+    field_cols = list(meta.get("field_cols") or [])
     # update/delete-only deltas (the common CDC case) skip the whole
     # insert-rank machinery — its range-partition sampling + counts jobs
     # are pure fixed overhead when the feed holds no new keys (the probe
@@ -752,8 +753,10 @@ def apply_changes_to_index(
         _delete_shard_partitions(spark, docs_path, emptied, refresh=False)
         _delete_shard_partitions(spark, b.paths.postings, rebuild_shards)
 
-        chunks = shard_corpus.select("doc_id", "content", "shard").mapInPandas(
-            _chunks_with_fixed_shard(b, None), schema=CHUNK_SCHEMA
+        chunks = shard_corpus.select(
+            "doc_id", "content", "shard", *field_cols
+        ).mapInPandas(
+            _chunks_with_fixed_shard(b, None, field_cols), schema=CHUNK_SCHEMA
         )
         postings = chunks.repartition(
             max(len(rebuild_shards) * 4, 8), F.col("term"), F.col("shard")
@@ -993,6 +996,7 @@ def _apply_changes_delta(
     meta = read_index_meta(spark, index_dir)
     routing_col = meta.get("routing_col")
     routing_mod = int(meta.get("routing_n_shards") or 0)
+    field_cols = list(meta.get("field_cols") or [])
     seg = next_segment_id(spark, paths)
     seg_postings_dir = f"{paths.delta_postings}/seg={seg}"
     seg_docs_dir = f"{paths.delta_docs}/seg={seg}"
@@ -1045,9 +1049,10 @@ def _apply_changes_delta(
         # sentinels (sha256 + doc_len) — the fused-build shape; persisted
         # content-free so the docs part reuses it without re-tokenizing
         all_rows = (
-            delta_corpus.select("doc_id", "content", "shard")
+            delta_corpus.select("doc_id", "content", "shard", *field_cols)
             .mapInPandas(
-                posting_chunks_fixed_shard_with_sentinels(), schema=CHUNK_SCHEMA
+                posting_chunks_fixed_shard_with_sentinels(field_cols),
+                schema=CHUNK_SCHEMA,
             )
             .persist()
         )
@@ -1580,14 +1585,17 @@ def _split_shards(spark, index_dir: str, b, split_plan: dict[int, int]) -> int:
     return nxt - (max_label + 1)
 
 
-def _chunks_with_fixed_shard(builder, avgdl: float):
+def _chunks_with_fixed_shard(builder, avgdl: float,
+                             field_cols: list[str] | None = None):
     """Chunk kernel trusting the precomputed ``shard`` column (shard
     assignments are preserved from the original build, so the range-shard
     formula can't be reapplied after inserts). Shared with the builder's
-    routing-placement mode."""
+    routing-placement mode. ``field_cols``: keyword-field postings are
+    re-emitted for rebuilt docs (read from _meta, so incremental applies
+    keep the field namespace consistent with the original build)."""
     from go_dcp_elasticsearch_spark.index.builder import posting_chunks_fixed_shard
 
-    return posting_chunks_fixed_shard(avgdl)
+    return posting_chunks_fixed_shard(avgdl, field_cols=field_cols)
 
 
 def incremental_index_delta(
