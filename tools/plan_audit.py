@@ -39,7 +39,9 @@ def main() -> None:
     spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     idx = tempfile.mkdtemp(prefix="plan_idx_")
-    IndexBuilder(spark, idx, n_shards=4).build(synth_corpus(spark, 2000))
+    IndexBuilder(spark, idx, n_shards=4, field_cols=["lang"]).build(
+        synth_corpus(spark, 2000)
+    )
     q = BM25Query(spark, idx)
 
     sections: list[tuple[str, str, str]] = []
@@ -77,6 +79,19 @@ def main() -> None:
         "`PushedFilters: [In(term, ...)]`; no vocabulary-wide scan appears "
         "anywhere in the plan.",
         explain_str(pf),
+    ))
+
+    bq = q.topk_bool(must="getValue", should="buffer",
+                     must_not="localVar3", filter="lang:go", k=10)
+    sections.append((
+        "Bool top-k with keyword-field filter (round 6: four-clause ES bool)",
+        "Checks: ONE postings scan serves all four clause classes — "
+        "`PushedFilters: [In(term, ...)]` carries the scoring terms AND the "
+        "must_not term AND the `lang:go` keyword-field term (metadata "
+        "filtering is a posting-list operation, not a docs-table scan or "
+        "broadcast); same single-Exchange per-shard kernel shape as the "
+        "pruned top-k; final operator TakeOrderedAndProject.",
+        explain_str(bq),
     ))
 
     emb = spark.createDataFrame(
