@@ -78,6 +78,29 @@ FIELD_SHOULD = "dup"
 FIELD_FILTER = "lang:en"
 FIELD_NOT = "customer"
 
+# range gate queries (ES range query over numeric doc-values): the
+# oracle index carries n_chars as a docvalue column (IndexBuilder
+# docvalue_cols=["n_chars"]); the bounds are a pushed parquet predicate
+# on the docs scan in the engine and a plain column predicate in the
+# SQL mirror. range_topk exercises the scored semi-join path (must
+# bounds candidates); range_filter_topk the filter-context-universe
+# path (no must/filter, msm 0: ALL range docs qualify, should only
+# boosts, score-0 hits surface, must_not excludes).
+RANGE_MUST = "spark"
+RANGE_SHOULD = "dup"
+RANGE_GTE, RANGE_LT = 150, 320
+RANGEU_SHOULD = "spark"
+RANGEU_NOT = "window"
+RANGEU_GTE, RANGEU_LT = 150, 260
+
+# aggregation gate queries (ES aggs analogue): terms/stats over the
+# docs matching a must query, histogram over match_all — the engine
+# reduces the full match set (never the top-k page), the mirror is the
+# equivalent GROUP BY over the token-qualified documents.
+AGG_MUST = "spark"
+AGG_TERMS_SIZE = 5
+AGG_HIST_INTERVAL = 50.0
+
 # fuzzy gate query (ES fuzzy, closest-first scoring rewrite): "spar" at
 # max_edits=2 reaches spark (d=1) plus several d=2 terms (part, scan, …)
 # in the fixture vocabulary, so the (distance, term)-ordered cap at 3
@@ -217,9 +240,10 @@ def _fixture_fingerprint(sf_dir: str) -> str:
     from go_dcp_elasticsearch_spark.index.builder import INDEX_FORMAT_VERSION
 
     path = f"{sf_dir}/documents.parquet"
-    # fields=lang: the oracle index carries keyword-field postings (round
-    # 6); the tag invalidates caches built before the feature existed
-    parts = [f"fmt{INDEX_FORMAT_VERSION}+fields=lang"]
+    # fields=lang + dv=n_chars: the oracle index carries keyword-field
+    # postings and numeric doc-values (round 6); the tag invalidates
+    # caches built before either feature existed
+    parts = [f"fmt{INDEX_FORMAT_VERSION}+fields=lang+dv=n_chars"]
     if os.path.isdir(path):
         for fn in sorted(os.listdir(path)):
             st = os.stat(os.path.join(path, fn))
@@ -251,9 +275,10 @@ def _oracle_index(spark: SparkSession, sf_dir: str) -> str:
                 stale = f.read().strip() != fp
         if stale:
             shutil.rmtree(idx_dir, ignore_errors=True)
-    IndexBuilder(spark, idx_dir, n_shards=4, field_cols=["lang"]).build(
-        load_documents_corpus(spark, sf_dir), resume=True
-    )
+    IndexBuilder(
+        spark, idx_dir, n_shards=4, field_cols=["lang"],
+        docvalue_cols=["n_chars"],
+    ).build(load_documents_corpus(spark, sf_dir), resume=True)
     with open(fp_file, "w") as f:
         f.write(fp)
     return idx_dir
@@ -363,6 +388,102 @@ def _q_bool_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(BM25_K)
     )
+
+
+def _q_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range query through the full engine, scored semi-join path:
+    the must clause bounds the candidates (postings), the n_chars
+    doc-value bounds push into the docs parquet scan and semi-join in.
+    Same k+64 margin + public re-rank as the other index-backed gate
+    queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_bool(
+        must=RANGE_MUST, should=RANGE_SHOULD, k=BM25_K + 64,
+        minimum_should_match=0,
+        range={"n_chars": {"gte": RANGE_GTE, "lt": RANGE_LT}},
+    )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_range_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range query, filter-context-universe path: no must/filter
+    terms and msm 0, so EVERY doc inside the n_chars bounds qualifies —
+    the should clause only boosts, score-0 hits surface ordered by
+    doc_id, and must_not excludes via its id-streams. Same k+64 margin
+    + public re-rank as the other index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_bool(
+        should=RANGEU_SHOULD, must_not=RANGEU_NOT, k=BM25_K + 64,
+        minimum_should_match=0,
+        range={"n_chars": {"gte": RANGEU_GTE, "lt": RANGEU_LT}},
+    )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_agg_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation through the full engine: top-N (value,
+    doc_count) buckets of the lang keyword field over EVERY doc matching
+    the must query (not the top-k page), ordered (doc_count desc, value
+    asc) — the ES _count/_key order. No id mapping needed: aggregation
+    output carries no doc ids."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    return q.agg_terms("lang", size=AGG_TERMS_SIZE, must=AGG_MUST)
+
+
+def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation through the full engine: (count, min, max,
+    avg, sum) of the n_chars doc-value over every doc matching the must
+    query. avg is rounded to 6dp on both sides (float association order
+    differs between engines)."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    out = q.agg_stats("n_chars", must=AGG_MUST)
+    return out.select(
+        "count", "min", "max",
+        round6_expr(F.col("avg")).alias("avg"), "sum",
+    )
+
+
+def _q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation through the full engine over match_all:
+    bucket = floor(n_chars/interval)*interval, non-empty buckets only
+    (ES min_doc_count=1), ordered by bucket."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    return q.agg_histogram("n_chars", AGG_HIST_INTERVAL)
 
 
 def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,6 +1408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_topk": _q_bool_topk,
         "bool_filter_topk": _q_bool_filter_topk,
         "bool_field_topk": _q_bool_field_topk,
+        "range_topk": _q_range_topk,
+        "range_filter_topk": _q_range_filter_topk,
+        "agg_terms": _q_agg_terms,
+        "agg_stats": _q_agg_stats,
+        "agg_histogram": _q_agg_histogram,
         "fuzzy_topk": _q_fuzzy_topk,
         "wildcard_topk": _q_wildcard_topk,
         "prefix_topk": _q_prefix_topk,
@@ -1445,6 +1571,51 @@ def oracle_sql() -> dict[str, str]:
                 "msm": BOOL_MSM,
             },
         ),
+        "range_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", [], BM25_K,
+            bool_spec={
+                "must": RANGE_MUST.split(),
+                "should": RANGE_SHOULD.split(),
+                "msm": 0,
+            },
+            range_where=f"n_chars >= {RANGE_GTE} AND n_chars < {RANGE_LT}",
+        ),
+        "range_filter_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", [], BM25_K,
+            bool_spec={
+                "should": RANGEU_SHOULD.split(),
+                "must_not": RANGEU_NOT.split(),
+                "msm": 0,
+            },
+            range_where=f"n_chars >= {RANGEU_GTE} AND n_chars < {RANGEU_LT}",
+            range_universe=True,
+        ),
+        "agg_terms": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens, lang FROM documents)
+SELECT lang AS value, count(*) AS doc_count
+FROM toks
+WHERE list_contains(tokens, '{AGG_MUST}')
+GROUP BY lang
+ORDER BY doc_count DESC, value ASC
+LIMIT {AGG_TERMS_SIZE}
+""",
+        "agg_stats": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens, n_chars FROM documents)
+SELECT count(n_chars) AS count,
+       CAST(min(n_chars) AS DOUBLE) AS min,
+       CAST(max(n_chars) AS DOUBLE) AS max,
+       {round6_sql("avg(n_chars)")} AS avg,
+       CAST(sum(n_chars) AS DOUBLE) AS sum
+FROM toks
+WHERE list_contains(tokens, '{AGG_MUST}')
+""",
+        "agg_histogram": f"""
+SELECT CAST(floor(n_chars / {AGG_HIST_INTERVAL}) * {AGG_HIST_INTERVAL} AS DOUBLE) AS bucket,
+       count(*) AS doc_count
+FROM documents
+GROUP BY 1
+ORDER BY bucket ASC
+""",
         # keyword-field filter: engine filters via lang:<value> postings;
         # the mirror uses the plain column predicate. LEFT JOIN keeps
         # filter-context docs with no scoring match at score 0.0 (the

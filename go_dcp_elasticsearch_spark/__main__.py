@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True, help="output index directory")
     b.add_argument("--shards", type=int, default=8)
     b.add_argument("--id-mode", choices=["sorted", "input"], default="sorted")
+    b.add_argument("--field-cols", default=None,
+                   help="comma-separated corpus columns indexed as keyword "
+                        "fields (col:value postings, ES keyword mapping)")
+    b.add_argument("--docvalue-cols", default=None,
+                   help="comma-separated NUMERIC corpus columns carried "
+                        "into the docs table for range queries (ES "
+                        "doc_values)")
     b.add_argument("--routing-col", default=None,
                    help="B5: place docs by hash(<col>) instead of id ranges")
     b.add_argument("--resume", action="store_true", help="skip lineage-committed stages")
@@ -114,7 +121,33 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--msm", type=int, default=None,
                    help="bool mode: minimum_should_match (default: 1 when "
                         "only should clauses, else 0)")
+    q.add_argument("--range", default=None, dest="range_spec",
+                   help="bool mode: ES range clause as JSON, e.g. "
+                        "'{\"n_chars\": {\"gte\": 100, \"lt\": 500}}' — "
+                        "numeric doc-value bounds (IndexBuilder "
+                        "docvalue_cols; doc_len always available), filter "
+                        "context (never scores)")
     q.add_argument("--master", default=None)
+
+    g = sub.add_parser("agg", help="ES-style aggregation over the docs "
+                                   "matching a bool query (terms/stats/"
+                                   "histogram)")
+    g.add_argument("--index", required=True)
+    g.add_argument("--agg", required=True, choices=["terms", "stats", "histogram"])
+    g.add_argument("--field", required=True,
+                   help="docs-table column to aggregate (keyword for terms; "
+                        "numeric doc-value for stats/histogram)")
+    g.add_argument("--size", type=int, default=10, help="terms: bucket cap")
+    g.add_argument("--interval", type=float, default=None,
+                   help="histogram: bucket width (required)")
+    g.add_argument("--must", default="")
+    g.add_argument("--should", default="")
+    g.add_argument("--must-not", default="", dest="must_not")
+    g.add_argument("--filter", default="")
+    g.add_argument("--msm", type=int, default=None)
+    g.add_argument("--range", default=None, dest="range_spec",
+                   help="ES range clause as JSON (see query --range)")
+    g.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
 
@@ -137,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
                 "(doc_id, text, lang) -> (repo, path, commit, lang, content)",
                 file=sys.stderr,
             )
+            produced = {"repo", "path", "commit", "lang", "content", "seq_no"}
+            extras = sorted(cols - {"doc_id", "text", "lang"} - produced)
             return df.select(
                 F.lit("corpus").alias("repo"),
                 F.format_string("doc/%012d", F.col("doc_id")).alias("path"),
@@ -144,6 +179,9 @@ def main(argv: list[str] | None = None) -> int:
                 (F.col("lang") if "lang" in cols else F.lit("text")).alias("lang"),
                 F.col("text").alias("content"),
                 F.col("doc_id").cast("long").alias("seq_no"),
+                # extra metadata columns (e.g. n_chars) pass through so
+                # --field-cols / --docvalue-cols can reference them
+                *[F.col(c) for c in extras],
             )
         raise SystemExit(
             f"--corpus {path}: expected columns (repo, path, content[, commit, "
@@ -167,6 +205,12 @@ def main(argv: list[str] | None = None) -> int:
             summary = IndexBuilder(
                 spark, args.index, n_shards=args.shards, id_mode=args.id_mode,
                 routing_col=args.routing_col,
+                field_cols=(
+                    args.field_cols.split(",") if args.field_cols else None
+                ),
+                docvalue_cols=(
+                    args.docvalue_cols.split(",") if args.docvalue_cols else None
+                ),
             ).build(corpus, resume=args.resume)
             print(json.dumps(summary))
         elif args.cmd == "apply":
@@ -194,18 +238,51 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(compact_index(
                 spark, args.index, target_docs_per_shard=args.target_docs_per_shard
             )))
+        elif args.cmd == "agg":
+            from go_dcp_elasticsearch_spark.index import BM25Query
+
+            rng = None
+            if args.range_spec:
+                try:
+                    rng = json.loads(args.range_spec)
+                except json.JSONDecodeError as e:
+                    p.error(f"--range is not valid JSON: {e}")
+            qq = BM25Query(spark, args.index)
+            bool_kw = dict(
+                must=args.must, should=args.should, must_not=args.must_not,
+                filter=args.filter, minimum_should_match=args.msm, range=rng,
+            )
+            if args.agg == "terms":
+                out = qq.agg_terms(args.field, size=args.size, **bool_kw)
+            elif args.agg == "stats":
+                out = qq.agg_stats(args.field, **bool_kw)
+            else:
+                if args.interval is None:
+                    p.error("--agg histogram requires --interval")
+                out = qq.agg_histogram(args.field, args.interval, **bool_kw)
+            for row in out.collect():
+                print(json.dumps(row.asDict()))
         else:
             from go_dcp_elasticsearch_spark.index import BM25Query
 
             qq = BM25Query(spark, args.index)
+            if args.range_spec and args.mode != "bool":
+                p.error("--range requires --mode bool")
             if args.mode == "bool":
                 if args.text or args.text_file:
                     p.error("--mode bool takes --must/--should/--must-not, "
                             "not --text/--text-file")
+                rng = None
+                if args.range_spec:
+                    try:
+                        rng = json.loads(args.range_spec)
+                    except json.JSONDecodeError as e:
+                        p.error(f"--range is not valid JSON: {e}")
                 hits = qq.topk_bool(
                     must=args.must, should=args.should,
                     must_not=args.must_not, filter=args.filter, k=args.k,
                     minimum_should_match=args.msm, strategy=args.strategy,
+                    range=rng,
                 )
                 for row in hits.collect():
                     print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))

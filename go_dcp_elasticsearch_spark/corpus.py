@@ -126,4 +126,7 @@ def load_documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
         F.col("doc_id").cast("int").alias("seq_no"),
+        # numeric metadata passthrough: IndexBuilder(docvalue_cols=
+        # ["n_chars"]) makes it range-filterable (ES range query)
+        F.col("n_chars").cast("long").alias("n_chars"),
     )

@@ -132,6 +132,7 @@ def bm25_bool_oracle(
     msm: int,
     k: int,
     filt: list[str] | None = None,
+    allowed: set[int] | None = None,
 ) -> list[tuple[int, float]]:
     """Pure-Python ES ``bool`` query top-k oracle: a doc qualifies iff it
     contains EVERY ``must`` term, EVERY ``filt`` (filter) term, at least
@@ -139,15 +140,26 @@ def bm25_bool_oracle(
     score is the BM25 sum over the matched must+should terms (filter and
     must_not never score). With a filter present, a passing doc that
     matches no scoring term still qualifies at score 0.0 — the ES
-    filter-context contract. Corpus-wide df/avgdl, like bm25_oracle."""
+    filter-context contract. Corpus-wide df/avgdl, like bm25_oracle.
+
+    ``allowed``: the ES range-clause analogue — doc ids satisfying the
+    range bounds (filter context). When given, membership requires it,
+    and — like a term filter — it admits score-0.0 docs that match no
+    scoring clause."""
     m, s, n = sorted(set(must)), sorted(set(should)), sorted(set(must_not))
     fl = sorted(set(filt or []))
     scores = dict(bm25_oracle(docs_tokens, m + s, len(docs_tokens)))
     out = []
     for d in docs_tokens:
         toks = set(docs_tokens[d])
-        if d not in scores and not (fl and all(t in toks for t in fl)):
+        if (
+            d not in scores
+            and not (fl and all(t in toks for t in fl))
+            and allowed is None
+        ):
             continue  # no scoring match and no filter-context membership
+        if allowed is not None and d not in allowed:
+            continue  # outside the range bounds
         if all(t in toks for t in m) and all(t in toks for t in fl) \
                 and sum(t in toks for t in s) >= msm \
                 and not any(t in toks for t in n):
@@ -207,6 +219,8 @@ def bm25_duckdb_sql(
     bool_spec: dict | None = None,
     fuzzy_expand: tuple[str, int, int, int] | None = None,
     wildcard_expand: tuple[str, int] | None = None,
+    range_where: str | None = None,
+    range_universe: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (oracle side of the
     driver's correctness gate). ``tokens_sql`` is a fragment producing the
@@ -257,7 +271,18 @@ def bm25_duckdb_sql(
     (pattern, max_expansions) mirrors topk_wildcard: ``*``/``?`` map to
     LIKE ``%``/``_`` (terms are [a-z0-9], so the translation is exact),
     lexicographic first-N. Both behave like prefix_expand (pass
-    terms=[]; no df_source_sql)."""
+    terms=[]; no df_source_sql).
+
+    ``range_where`` mirrors topk_bool(range=...): a raw SQL predicate
+    over the source table's columns (e.g. ``n_chars >= 150 AND n_chars
+    < 320``) restricting the result set in filter context (never
+    scoring; df/avgdl stay corpus-wide). With ``range_universe=False``
+    the predicate narrows the scored candidates (some term clause
+    bounds the result — the engine's semi-join path). With
+    ``range_universe=True`` the qualifying set IS the range set: all
+    range docs appear, scoring clauses only boost and score-0 docs
+    keep rank by doc_id — the engine's filter-context-universe path;
+    only valid when no must/filter terms exist and msm is 0."""
     expanders = [x is not None
                  for x in (prefix_expand, fuzzy_expand, wildcard_expand)]
     if sum(expanders) > 1:
@@ -314,6 +339,22 @@ def bm25_duckdb_sql(
 ),
 """
         tf_pred = "t.term IN (SELECT term FROM expansion)"
+    if range_universe:
+        if not range_where:
+            raise ValueError("range_universe requires range_where")
+        bs = bool_spec or {}
+        if bs.get("must") or bs.get("filter") or int(bs.get("msm", 0)) > 0:
+            raise ValueError(
+                "range_universe is the no-must/no-filter/msm-0 form — a "
+                "term clause that bounds the result needs the semi-join "
+                "form (range_universe=False)"
+            )
+    range_pred = ""
+    if range_where and not range_universe:
+        range_pred = (
+            f"AND tf.doc_id IN (SELECT {doc_id_col} FROM {source_table} "
+            f"WHERE {range_where})"
+        )
     phrase_pred = ""
     if phrase:
         needle = " " + " ".join(phrase) + " "
@@ -375,6 +416,26 @@ df AS (
   GROUP BY t.term
 )"""
         df_expr = "LEAST(df.df, stats.n_docs)"
+    if range_universe:
+        nn = sorted(set((bool_spec or {}).get("must_not", [])))
+        nn_list = ", ".join("'" + t.replace("'", "''") + "'" for t in nn)
+        nn_pred = (
+            f"  AND u.doc_id NOT IN (SELECT doc_id FROM tf "
+            f"WHERE tf.term IN ({nn_list}))\n"
+            if nn
+            else ""
+        )
+        final = f"""SELECT u.doc_id, {round6_sql("coalesce(s.score, 0.0)")} AS score
+FROM (SELECT {doc_id_col} AS doc_id FROM {source_table} WHERE {range_where}) u
+LEFT JOIN scored s USING (doc_id)
+WHERE 1=1
+{nn_pred}ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+    else:
+        final = f"""SELECT doc_id, {round6_sql("score")} AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
     return f"""
 WITH toks AS (
   SELECT {doc_id_col} AS doc_id, {tokens_sql} AS tokens FROM {source_table}
@@ -392,12 +453,9 @@ scored AS (
   SELECT tf.doc_id,
          {score_sql.replace("__DF__", df_expr)} AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-  WHERE 1=1 {phrase_pred}
+  WHERE 1=1 {phrase_pred} {range_pred}
   GROUP BY tf.doc_id
   {having}
 )
-SELECT doc_id, {round6_sql("score")} AS score
-FROM scored
-ORDER BY score DESC, doc_id ASC
-LIMIT {k}
+{final}
 """

@@ -449,6 +449,32 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
     return kernel
 
 
+#: Spark SQL type names accepted for docvalue (range-filterable) columns
+NUMERIC_DOCVALUE_TYPES = (
+    "byte", "short", "int", "integer", "long", "bigint",
+    "float", "double",
+)
+
+
+def _validate_docvalue_cols(df: DataFrame, cols: list[str], op: str) -> None:
+    """Fail fast (driver-side, zero jobs) when a docvalue column is
+    missing from ``df`` or is not a plain numeric type — a late
+    AnalysisException inside a write stage would otherwise surface after
+    real work was done."""
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(
+                f"{op}: docvalue column {c!r} missing from the corpus "
+                f"(columns: {sorted(by_name)})"
+            )
+        if by_name[c] not in NUMERIC_DOCVALUE_TYPES:
+            raise ValueError(
+                f"{op}: docvalue column {c!r} must be numeric "
+                f"({'/'.join(NUMERIC_DOCVALUE_TYPES)}), got {by_name[c]}"
+            )
+
+
 def read_index_meta(spark, index_dir: str) -> dict:
     """The index's durable build configuration (``_meta/index.json``,
     Hadoop FS): format_version, routing_col + routing modulus, id_mode.
@@ -558,6 +584,7 @@ class IndexBuilder:
         routing_col: str | None = None,
         n_range_parts: int | None = None,
         field_cols: list[str] | None = None,
+        docvalue_cols: list[str] | None = None,
     ):
         """``id_mode``:
         - "sorted" (default): doc_id = rank of (repo, path) in global sort
@@ -588,6 +615,18 @@ class IndexBuilder:
         content tokens ([a-z0-9]+), and term expansions (prefix/fuzzy/
         wildcard) skip it. Recorded in _meta so incremental applies
         maintain the field postings for changed docs.
+
+        ``docvalue_cols``: NUMERIC doc-values (the ES BKD/doc_values
+        analogue for range queries) — each listed corpus column is
+        carried verbatim into the docs table, columnar and partition-
+        pruned, so BM25Query.topk_bool(range={col: {gte/gt/lte/lt}})
+        evaluates the bound as a pushed parquet predicate on the docs
+        scan and intersects it with the scored candidates (ES evaluates
+        a range query against the BKD doc-id set the same way). Numeric
+        types are validated at build; recorded in _meta so both
+        incremental apply paths preserve the values for changed docs.
+        Postings, dl/avgdl and scores are bit-identical with and
+        without doc-values — they live only in the forward store.
         """
         self.spark = spark
         self.paths = IndexPaths(index_dir)
@@ -609,6 +648,16 @@ class IndexBuilder:
                     f"(not 'content'), got {c!r}"
                 )
         self.field_cols = list(field_cols or [])
+        reserved = {"doc_id", "content", "content_sha256", "doc_len",
+                    "shard", "seq_no", "repo", "path", "commit", "lang"}
+        for c in docvalue_cols or ():
+            if not _re.fullmatch(r"[a-z][a-z0-9_]*", c) or c in reserved:
+                raise ValueError(
+                    f"docvalue_cols entries must be lowercase identifiers "
+                    f"outside the reserved docs-table columns {sorted(reserved)}, "
+                    f"got {c!r}"
+                )
+        self.docvalue_cols = list(docvalue_cols or [])
         self.lineage = LineageLog(spark, self.paths.lineage)
         self.metrics = MetricsLog(spark, self.paths.metrics)
 
@@ -991,6 +1040,8 @@ class IndexBuilder:
         skips stages whose lineage rows exist (idempotent re-run).
         """
         t0 = time.time()
+        if self.docvalue_cols:
+            _validate_docvalue_cols(corpus, self.docvalue_cols, "build")
         done = self.lineage.completed_stages() if resume else set()
         if done:
             # format guard: never resume into an index laid out by an older
@@ -1093,11 +1144,19 @@ class IndexBuilder:
                 # positions of the (deterministically ordered) source, so the
                 # pruned scan yields identical ids at a fraction of the IO.
                 meta = assign_doc_ids_input_order(
-                    corpus.select("repo", "path", "commit", "lang")
-                ).select("doc_id", "repo", "path", "commit", "lang")
+                    corpus.select(
+                        "repo", "path", "commit", "lang", *self.docvalue_cols
+                    )
+                ).select(
+                    "doc_id", "repo", "path", "commit", "lang",
+                    *self.docvalue_cols,
+                )
             else:
                 # sorted mode: corpus_ids reads the persisted shuffle output
-                meta = corpus_ids.select("doc_id", "repo", "path", "commit", "lang")
+                meta = corpus_ids.select(
+                    "doc_id", "repo", "path", "commit", "lang",
+                    *self.docvalue_cols,
+                )
             docs = meta.join(doc_rows, "doc_id")
             # full-table replace regardless of the session's partition
             # overwrite mode (a dynamic-mode conf would otherwise leave
@@ -1205,6 +1264,7 @@ class IndexBuilder:
                     "routing_col": self.routing_col,
                     "routing_n_shards": self.n_shards if self.routing_col else None,
                     "field_cols": self.field_cols,
+                    "docvalue_cols": self.docvalue_cols,
                 }
             ),
             overwrite=True,

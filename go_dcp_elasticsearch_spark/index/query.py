@@ -177,6 +177,9 @@ class BM25Query:
         # segment committed after this refresh becomes visible on the
         # next epoch bump, never half-visible mid-query
         self._segs = list_segments(spark, self.paths)
+        # docs-table schema cache for range (doc-values) validation —
+        # loaded lazily on the first range/agg call, pinned per epoch
+        self._docs_fields: dict[str, str] | None = None
         # tombstones ship to the score kernels as a BROADCAST, not a
         # closure capture: one Arrow-serialized copy per executor per
         # epoch instead of one per task per query (at the hard compaction
@@ -547,7 +550,244 @@ class BM25Query:
                 out.extend(tokenize_py(w))
         return out
 
+    # ---------- range filtering (ES range query over doc-values) ----------
+
+    _RANGE_OPS = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__",
+                  "lte": "__le__"}
+
+    def _docs_schema_fields(self) -> dict[str, str]:
+        """column -> simpleString type of the docs table, cached per
+        epoch (one parquet footer read, no data job)."""
+        if self._docs_fields is None:
+            self._docs_fields = {
+                f.name: f.dataType.simpleString()
+                for f in self.spark.read.parquet(self.paths.docs).schema.fields
+            }
+        return self._docs_fields
+
+    def _range_pred(self, spec: dict):
+        """Validate an ES-style range spec ``{col: {gt/gte/lt/lte: num}}``
+        against the docs table's numeric columns (docvalue_cols plus the
+        always-present ``doc_len``) and return the ANDed Column predicate.
+        Validation is driver-side (schema footer only); the predicate is
+        pushed into the docs parquet scan by Catalyst."""
+        import numbers
+
+        from go_dcp_elasticsearch_spark.index.builder import (
+            NUMERIC_DOCVALUE_TYPES,
+        )
+
+        if not isinstance(spec, dict) or not spec:
+            raise ValueError(
+                "range must be a non-empty dict {column: {gt/gte/lt/lte: "
+                f"number}}, got {spec!r}"
+            )
+        fields = self._docs_schema_fields()
+        pred = None
+        for col, bounds in sorted(spec.items()):
+            if col not in fields:
+                raise ValueError(
+                    f"range: column {col!r} is not in the docs table "
+                    f"(available numeric doc-values: "
+                    f"{sorted(c for c, t in fields.items() if t in NUMERIC_DOCVALUE_TYPES)}); "
+                    "build the index with IndexBuilder(docvalue_cols=[...])"
+                )
+            if fields[col] not in NUMERIC_DOCVALUE_TYPES:
+                raise ValueError(
+                    f"range: column {col!r} has type {fields[col]} — range "
+                    "queries need a numeric doc-value column"
+                )
+            if col in ("doc_id", "shard"):
+                raise ValueError(
+                    f"range: {col!r} is an internal engine column, not a "
+                    "doc-value"
+                )
+            if not isinstance(bounds, dict) or not bounds:
+                raise ValueError(
+                    f"range[{col!r}] must be a non-empty dict of "
+                    f"gt/gte/lt/lte bounds, got {bounds!r}"
+                )
+            for op, v in sorted(bounds.items()):
+                if op not in self._RANGE_OPS:
+                    raise ValueError(
+                        f"range[{col!r}]: unknown bound {op!r} "
+                        "(expected gt/gte/lt/lte)"
+                    )
+                if isinstance(v, bool) or not isinstance(v, numbers.Real):
+                    raise ValueError(
+                        f"range[{col!r}][{op!r}] must be a number, got {v!r}"
+                    )
+                c = getattr(F.col(col), self._RANGE_OPS[op])(F.lit(v))
+                pred = c if pred is None else (pred & c)
+        return pred
+
+    def _range_doc_ids(self, range_spec: dict) -> DataFrame:
+        """doc_ids of LIVE docs satisfying the range spec — a column-
+        pruned docs scan with the bounds pushed into parquet (row-group
+        min/max skipping), over the handle's pinned segment snapshot."""
+        from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+        view = read_docs(self.spark, self.paths, segs=self._segs)
+        return view.filter(self._range_pred(range_spec)).select("doc_id")
+
     # ---------- boolean retrieval (ES bool query analogue) ----------
+
+    def _parse_bool(
+        self,
+        must: str,
+        should: str,
+        must_not: str,
+        filter: str,
+        minimum_should_match: int | None,
+        range: dict | None,
+        op: str,
+    ) -> dict:
+        """Shared clause parsing + validation for topk_bool/match_frame:
+        analyze the four clause classes, reject degenerate combinations,
+        resolve the ES minimum_should_match default (range counts as a
+        filter-context clause), resolve idf/df liveness. Returns a dict
+        with ``empty=True`` when the result is provably empty (dead must
+        term, unsatisfiable msm, dead filter term)."""
+        self._ensure_fresh()
+        for name, text in (("must", must), ("should", should)):
+            bad = [w for w in (text or "").split() if ":" in w]
+            if bad:
+                raise ValueError(
+                    f"{op}: keyword-field term(s) {bad!r} in the "
+                    f"scoring '{name}' clause — field terms never score "
+                    "(ES keyword fields); put them in filter= or must_not="
+                )
+        m = sorted(set(self.analyze(must)))
+        s = sorted(set(self.analyze(should)))
+        n = sorted(set(self._clause_terms(must_not)))
+        f = sorted(set(self._clause_terms(filter)))
+        sets = {"must": set(m), "should": set(s), "must_not": set(n),
+                "filter": set(f)}
+        overlap = set()
+        names = list(sets)
+        for i, a in enumerate(names):
+            for b_ in names[i + 1:]:
+                overlap |= sets[a] & sets[b_]
+        if overlap:
+            raise ValueError(
+                f"{op}: term(s) {sorted(overlap)!r} appear in more "
+                "than one clause class (must/should/filter/must_not)"
+            )
+        if not m and not s and not f and range is None:
+            raise ValueError(
+                f"{op}: needs at least one must, should, filter or "
+                "range clause — a pure must_not query is an unbounded "
+                "match-all complement"
+            )
+        # validate the range spec up front (driver-side schema check), so
+        # a malformed spec raises even when a dead must term would make
+        # the result empty anyway
+        rng_pred = self._range_pred(range) if range is not None else None
+        msm = minimum_should_match
+        if msm is None:
+            # ES default: 1 only when should is the sole qualifying
+            # clause — must/filter/range presence all drop it to 0
+            msm = 1 if (not m and not f and range is None and s) else 0
+        if msm < 0:
+            raise ValueError(f"{op}: minimum_should_match {msm} < 0")
+        out = {
+            "m": m, "s": s, "n": n, "f": f, "msm": msm,
+            "rng_pred": rng_pred, "empty": False,
+            "idfs": {}, "live_s": [], "n_live": [],
+        }
+        if msm > len(s):
+            out["empty"] = True  # can never be satisfied
+            return out
+        idfs = self._term_stats(m + s)  # empty input -> {} but loads the dict
+        out["idfs"] = idfs
+        if any(t not in idfs for t in m):
+            out["empty"] = True  # a must term absent from the whole corpus
+            return out
+        live_s = [t for t in s if t in idfs]
+        out["live_s"] = live_s
+        if len(live_s) < msm:
+            out["empty"] = True  # too few matchable should clauses left
+            return out
+        if self._df_map is not None:
+            n_live = [t for t in n if t in self._df_map]
+            f_dead = [t for t in f if t not in self._df_map]
+        else:
+            n_live = [t for t in n if self._term_stats([t])]
+            f_dead = [t for t in f if not self._term_stats([t])]
+        out["n_live"] = n_live
+        if f_dead:
+            out["empty"] = True  # a filter term absent from the whole corpus
+        return out
+
+    def match_frame(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filter: str = "",
+        minimum_should_match: int | None = None,
+        range: dict | None = None,
+        match_all: bool = False,
+    ) -> DataFrame:
+        """(doc_id, score) of EVERY doc matching the bool query — the
+        aggregation input (ES runs aggregations over the full match set,
+        not the top-k page). Identical qualification semantics to
+        topk_bool, served by the exact declarative path (scores for all
+        matches; block-max pruning is a top-k optimization and does not
+        apply). ``match_all=True`` with no clauses is the ES match_all
+        query: every live doc at score 0.0 — a column-pruned docs scan,
+        no postings touched.
+
+        Scale shape: candidates are bounded by the clause terms' postings
+        (or the pushed-predicate docs scan for range/match_all); the
+        result is a frame, never collected — aggregations reduce it."""
+        no_clauses = not (must or should or must_not or filter) and range is None
+        if no_clauses:
+            if not match_all:
+                raise ValueError(
+                    "match_frame: no clauses given — pass match_all=True "
+                    "for the ES match_all query (every live doc, score 0)"
+                )
+            self._ensure_fresh()
+            from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+            return read_docs(self.spark, self.paths, segs=self._segs).select(
+                "doc_id", F.lit(0.0).alias("score")
+            )
+        p = self._parse_bool(
+            must, should, must_not, filter, minimum_should_match, range,
+            op="match_frame",
+        )
+        empty = self.spark.createDataFrame([], schema="doc_id long, score double")
+        if p["empty"]:
+            return empty
+        m, s, f = p["m"], p["s"], p["f"]
+        msm, idfs = p["msm"], p["idfs"]
+        live_s, n_live = p["live_s"], p["n_live"]
+        rng_pred = p["rng_pred"]
+        if rng_pred is None:
+            return self._exact_scored_bool(idfs, m, live_s, n_live, msm, f)
+        from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+        rng_ids = (
+            read_docs(self.spark, self.paths, segs=self._segs)
+            .filter(rng_pred)
+            .select("doc_id")
+        )
+        if m or f or msm > 0:
+            scored = self._exact_scored_bool(idfs, m, live_s, n_live, msm, f)
+            return scored.join(rng_ids, "doc_id", "semi")
+        hits = rng_ids
+        if n_live:
+            excl = self.decoded_postings(n_live).select("doc_id")
+            hits = hits.join(excl, "doc_id", "left_anti")
+        if live_s:
+            scored = self._exact_scored_bool(idfs, [], live_s, n_live, 0, [])
+            return hits.join(scored, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            )
+        return hits.select("doc_id", F.lit(0.0).alias("score"))
 
     def topk_bool(
         self,
@@ -558,6 +798,7 @@ class BM25Query:
         k: int = 10,
         minimum_should_match: int | None = None,
         strategy: str = "pruned",
+        range: dict | None = None,
     ) -> DataFrame:
         """ES ``bool`` query top-k: a doc qualifies iff it contains EVERY
         ``must`` term, EVERY ``filter`` term, at least
@@ -594,6 +835,22 @@ class BM25Query:
           query is an unbounded match-all complement — rejected as
           unsupported at scale.
 
+        ``range``: ES range-query clause in filter context —
+        ``{col: {gt/gte/lt/lte: number}}`` over the index's numeric
+        doc-values (IndexBuilder docvalue_cols; ``doc_len`` is always
+        available). Matching docs must also satisfy every bound; range
+        clauses never score. A range-ONLY query (no must/should/filter)
+        is supported and returns score-0.0 hits ordered by doc_id,
+        bounded by a pushed-predicate docs scan + TakeOrdered (never a
+        global sort). Like ES — which intersects the BKD-tree doc-id
+        set with the scorer rather than driving WAND from it — a range
+        clause routes the scored side to the exact declarative path:
+        candidates stay bounded by the scoring/filter terms' postings,
+        and the range side is a column-pruned docs scan with the bounds
+        pushed into parquet row-group skipping, semi-joined on doc_id
+        (AQE broadcasts whichever side is small). The ``strategy``
+        parameter only picks the physical plan for range-free queries.
+
         Scale shape: candidates are decided per shard exactly like
         topk_pruned (a doc's postings all live in one shard, so the
         must-conjunction, filter-conjunction, should-count and
@@ -607,59 +864,63 @@ class BM25Query:
                 f"topk_bool: unknown strategy {strategy!r} "
                 "(expected 'pruned' or 'exact')"
             )
-        self._ensure_fresh()
-        for name, text in (("must", must), ("should", should)):
-            bad = [w for w in (text or "").split() if ":" in w]
-            if bad:
-                raise ValueError(
-                    f"topk_bool: keyword-field term(s) {bad!r} in the "
-                    f"scoring '{name}' clause — field terms never score "
-                    "(ES keyword fields); put them in filter= or must_not="
-                )
-        m = sorted(set(self.analyze(must)))
-        s = sorted(set(self.analyze(should)))
-        n = sorted(set(self._clause_terms(must_not)))
-        f = sorted(set(self._clause_terms(filter)))
-        sets = {"must": set(m), "should": set(s), "must_not": set(n),
-                "filter": set(f)}
-        overlap = set()
-        names = list(sets)
-        for i, a in enumerate(names):
-            for b_ in names[i + 1:]:
-                overlap |= sets[a] & sets[b_]
-        if overlap:
-            raise ValueError(
-                f"topk_bool: term(s) {sorted(overlap)!r} appear in more "
-                "than one clause class (must/should/filter/must_not)"
-            )
-        if not m and not s and not f:
-            raise ValueError(
-                "topk_bool: needs at least one must, should or filter "
-                "clause — a pure must_not query is an unbounded match-all "
-                "complement"
-            )
-        msm = minimum_should_match
-        if msm is None:
-            msm = 1 if (not m and not f and s) else 0
-        if msm < 0:
-            raise ValueError(f"topk_bool: minimum_should_match {msm} < 0")
+        p = self._parse_bool(
+            must, should, must_not, filter, minimum_should_match, range,
+            op="topk_bool",
+        )
         empty = self.spark.createDataFrame([], schema="doc_id long, score double")
-        if msm > len(s):
-            return empty  # can never be satisfied
-        idfs = self._term_stats(m + s)  # empty input -> {} but loads the dict
-        if any(t not in idfs for t in m):
-            return empty  # a must term absent from the whole corpus
-        live_s = [t for t in s if t in idfs]
-        if len(live_s) < msm:
-            return empty  # too few matchable should clauses left
-        if self._df_map is not None:
-            n_live = [t for t in n if t in self._df_map]
-            f_dead = [t for t in f if t not in self._df_map]
-        else:
-            n_live = [t for t in n if self._term_stats([t])]
-            f_dead = [t for t in f if not self._term_stats([t])]
-        if f_dead:
-            return empty  # a filter term absent from the whole corpus
+        if p["empty"]:
+            return empty
+        m, s, f = p["m"], p["s"], p["f"]
+        msm, idfs = p["msm"], p["idfs"]
+        live_s, n_live = p["live_s"], p["n_live"]
+        rng_pred = p["rng_pred"]
+        if rng_pred is not None:
+            from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+            rng_ids = (
+                read_docs(self.spark, self.paths, segs=self._segs)
+                .filter(rng_pred)
+                .select("doc_id")
+            )
+            if m or f or msm > 0:
+                # some term clause bounds the result: every qualifying
+                # doc has posting rows, so the scored frame is a superset
+                # and the range side semi-joins in
+                scored = self._exact_scored_bool(
+                    idfs, m, live_s, n_live, msm, f
+                )
+                return (
+                    scored.join(rng_ids, "doc_id", "semi")
+                    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .limit(k)
+                )
+            # filter-context universe IS the range set (no must/filter
+            # terms, msm 0): every range doc qualifies — should clauses
+            # only boost, must_not excludes via its id-streams — so
+            # score-0 docs surface too, the ES contract.
+            hits = rng_ids
+            if n_live:
+                excl = self.decoded_postings(n_live).select("doc_id")
+                hits = hits.join(excl, "doc_id", "left_anti")
+            if live_s:
+                scored = self._exact_scored_bool(
+                    idfs, [], live_s, n_live, 0, []
+                )
+                return (
+                    hits.join(scored, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+                    )
+                    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .limit(k)
+                )
+            return (
+                hits.orderBy(F.col("doc_id").asc())
+                .limit(k)
+                .select("doc_id", F.lit(0.0).alias("score"))
+            )
         if strategy == "exact":
             scored = self._exact_scored_bool(idfs, m, live_s, n_live, msm, f)
             return scored.orderBy(
@@ -730,6 +991,158 @@ class BM25Query:
             )
         )
         return scored.select("doc_id", "score")
+
+    # ---------- search aggregations (ES aggs analogue) ----------
+
+    def _agg_field_check(self, field: str, numeric: bool, op: str) -> None:
+        from go_dcp_elasticsearch_spark.index.builder import (
+            NUMERIC_DOCVALUE_TYPES,
+        )
+
+        fields = self._docs_schema_fields()
+        if field in ("doc_id", "shard"):
+            raise ValueError(
+                f"{op}: {field!r} is an internal engine column, not an "
+                "aggregatable field"
+            )
+        if field not in fields:
+            raise ValueError(
+                f"{op}: field {field!r} is not in the docs table "
+                f"(available: {sorted(set(fields) - {'doc_id', 'shard'})})"
+            )
+        if numeric and fields[field] not in NUMERIC_DOCVALUE_TYPES:
+            raise ValueError(
+                f"{op}: field {field!r} has type {fields[field]} — this "
+                "aggregation needs a numeric doc-value column"
+            )
+
+    def _agg_universe(
+        self, field: str, must: str, should: str, must_not: str,
+        filter: str, minimum_should_match: int | None, range: dict | None,
+    ) -> DataFrame:
+        """The matching docs' ``field`` values (the aggregation input).
+        No clauses = the ES match_all default: a column-pruned docs scan,
+        zero postings work. Range-only skips the id join too — the
+        bounds are a pushed docs-scan predicate. Otherwise the match set
+        comes from match_frame (bounded by the clause terms' postings)
+        and semi-joins into the pruned docs scan."""
+        from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+        self._ensure_fresh()
+        docs = read_docs(self.spark, self.paths, segs=self._segs)
+        term_free = not (must or should or must_not or filter)
+        if term_free and range is None:
+            return docs.select(field)
+        if term_free and not minimum_should_match:
+            return docs.filter(self._range_pred(range)).select(field)
+        ids = self.match_frame(
+            must, should, must_not, filter, minimum_should_match, range
+        ).select("doc_id")
+        return docs.join(ids, "doc_id", "semi").select(field)
+
+    def agg_terms(
+        self,
+        field: str,
+        size: int = 10,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filter: str = "",
+        minimum_should_match: int | None = None,
+        range: dict | None = None,
+    ) -> DataFrame:
+        """ES ``terms`` aggregation: the top-``size`` (value, doc_count)
+        buckets of ``field`` over every doc matching the bool query
+        (the ES match_all default when no clause is given), ordered
+        doc_count desc then value asc — the ES _count ordering with the
+        _key tie-break pinned so results are deterministic. Null field
+        values are skipped (the ES missing-value default).
+
+        Scale shape: one shuffle for the match semi-join (skipped for
+        match_all/range-only), one partial-aggregated groupBy on the
+        bucket key, TakeOrdered for the top-``size`` — never a global
+        sort; like every ES terms agg this is exact here because the
+        groupBy is global (ES's shard_size approximation error does not
+        apply)."""
+        if size <= 0:
+            raise ValueError(f"agg_terms: size must be > 0, got {size}")
+        self._agg_field_check(field, numeric=False, op="agg_terms")
+        u = self._agg_universe(
+            field, must, should, must_not, filter, minimum_should_match,
+            range,
+        )
+        return (
+            u.filter(F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+            .limit(size)
+        )
+
+    def agg_stats(
+        self,
+        field: str,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filter: str = "",
+        minimum_should_match: int | None = None,
+        range: dict | None = None,
+    ) -> DataFrame:
+        """ES ``stats`` aggregation: ONE row (count, min, max, avg, sum)
+        of a numeric doc-value over every doc matching the bool query
+        (match_all when no clause). Nulls are skipped (count counts
+        values, the ES contract). A single partial-aggregated job."""
+        self._agg_field_check(field, numeric=True, op="agg_stats")
+        u = self._agg_universe(
+            field, must, should, must_not, filter, minimum_should_match,
+            range,
+        )
+        c = F.col(field)
+        return u.agg(
+            F.count(c).alias("count"),
+            F.min(c).cast("double").alias("min"),
+            F.max(c).cast("double").alias("max"),
+            F.avg(c).alias("avg"),
+            F.sum(c).cast("double").alias("sum"),
+        )
+
+    def agg_histogram(
+        self,
+        field: str,
+        interval: float,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filter: str = "",
+        minimum_should_match: int | None = None,
+        range: dict | None = None,
+    ) -> DataFrame:
+        """ES ``histogram`` aggregation: (bucket, doc_count) rows over a
+        numeric doc-value, bucket = floor(value/interval)*interval (the
+        ES key formula), ordered by bucket asc. Only non-empty buckets
+        are emitted (ES min_doc_count=1 semantics — the gap-filling
+        min_doc_count=0 mode would materialize unbounded key ranges at
+        scale). Nulls skipped."""
+        if not (interval > 0):
+            raise ValueError(
+                f"agg_histogram: interval must be > 0, got {interval}"
+            )
+        self._agg_field_check(field, numeric=True, op="agg_histogram")
+        u = self._agg_universe(
+            field, must, should, must_not, filter, minimum_should_match,
+            range,
+        )
+        bucket = (
+            F.floor(F.col(field) / F.lit(float(interval)))
+            * F.lit(float(interval))
+        ).cast("double")
+        return (
+            u.filter(F.col(field).isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("bucket").asc())
+        )
 
     # ---------- fuzzy retrieval (ES fuzzy query, scoring rewrite) ----------
 

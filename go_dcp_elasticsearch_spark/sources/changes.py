@@ -615,6 +615,15 @@ def apply_changes_to_index(
     routing_col = meta.get("routing_col")
     routing_mod = int(meta.get("routing_n_shards") or 0)
     field_cols = list(meta.get("field_cols") or [])
+    docvalue_cols = list(meta.get("docvalue_cols") or [])
+    if docvalue_cols:
+        from go_dcp_elasticsearch_spark.index.builder import (
+            _validate_docvalue_cols,
+        )
+
+        _validate_docvalue_cols(
+            new_corpus, docvalue_cols, "apply_changes_to_index"
+        )
     # update/delete-only deltas (the common CDC case) skip the whole
     # insert-rank machinery — its range-partition sampling + counts jobs
     # are pure fixed overhead when the feed holds no new keys (the probe
@@ -721,6 +730,7 @@ def apply_changes_to_index(
         *key_cols,
         F.col("commit"),
         F.col("lang"),
+        *[F.col(c) for c in docvalue_cols],
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         F.size(tokenize_expr("content")).cast("long").alias("doc_len"),
         F.col("shard"),
@@ -997,6 +1007,19 @@ def _apply_changes_delta(
     routing_col = meta.get("routing_col")
     routing_mod = int(meta.get("routing_n_shards") or 0)
     field_cols = list(meta.get("field_cols") or [])
+    docvalue_cols = list(meta.get("docvalue_cols") or [])
+    if docvalue_cols and n_alive:
+        # fail fast with a clear contract error: the alive branch below
+        # selects the docvalue columns from new_corpus generically (they
+        # are part of base_cols), and a missing one would only surface as
+        # a late AnalysisException inside the segment write
+        from go_dcp_elasticsearch_spark.index.builder import (
+            _validate_docvalue_cols,
+        )
+
+        _validate_docvalue_cols(
+            new_corpus, docvalue_cols, "apply_changes_to_index(delta)"
+        )
     seg = next_segment_id(spark, paths)
     seg_postings_dir = f"{paths.delta_postings}/seg={seg}"
     seg_docs_dir = f"{paths.delta_docs}/seg={seg}"

@@ -112,7 +112,7 @@ def test_bool_rejects_degenerate(spark, bool_idx):
         q.topk_bool(must="buffer", must_not="buffer")
     with pytest.raises(ValueError, match="more than one clause class"):
         q.topk_bool(must="buffer", should="buffer")
-    with pytest.raises(ValueError, match="must, should or filter"):
+    with pytest.raises(ValueError, match="must, should, filter or range"):
         q.topk_bool(must_not="buffer")
     with pytest.raises(ValueError, match="unknown strategy"):
         q.topk_bool(must="buffer", strategy="zzz")

@@ -39,9 +39,13 @@ def main() -> None:
     spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     idx = tempfile.mkdtemp(prefix="plan_idx_")
-    IndexBuilder(spark, idx, n_shards=4, field_cols=["lang"]).build(
-        synth_corpus(spark, 2000)
-    )
+
+    def _nc(df):
+        return df.withColumn("nc", F.length("content").cast("long"))
+
+    IndexBuilder(
+        spark, idx, n_shards=4, field_cols=["lang"], docvalue_cols=["nc"]
+    ).build(_nc(synth_corpus(spark, 2000)))
     q = BM25Query(spark, idx)
 
     sections: list[tuple[str, str, str]] = []
@@ -92,6 +96,43 @@ def main() -> None:
         "broadcast); same single-Exchange per-shard kernel shape as the "
         "pruned top-k; final operator TakeOrderedAndProject.",
         explain_str(bq),
+    ))
+
+    rq = q.topk_bool(must="getValue", should="buffer", k=10,
+                     range={"nc": {"gte": 100, "lt": 2000}})
+    sections.append((
+        "Range top-k (round 6: numeric doc-values, scored semi-join path)",
+        "Checks: the DOCS scan carries the range bounds in `PushedFilters: "
+        "[..GreaterThanOrEqual(nc,100), LessThan(nc,2000)..]` (parquet "
+        "row-group min/max skipping) with ReadSchema pruned to (doc_id, nc) "
+        "— content_sha256 and the rest are never read; the POSTINGS scan "
+        "keeps `PushedFilters: [In(term, ...)]` (candidates stay bounded by "
+        "the scoring terms); the two sides meet in a doc_id semi-join with "
+        "no forced broadcast (AQE sizes it); final operator "
+        "TakeOrderedAndProject — the ES BKD∩scorer intersection shape.",
+        explain_str(rq),
+    ))
+
+    ro = q.topk_bool(range={"nc": {"gte": 100, "lt": 300}}, k=10)
+    sections.append((
+        "Range-only query (round 6: filter context, pushed-predicate scan)",
+        "Checks: NO postings scan anywhere — the plan is exactly one docs "
+        "parquet scan with the bounds in PushedFilters and ReadSchema "
+        "pruned to doc_id+nc, topped by TakeOrderedAndProject (score-0 "
+        "hits by doc_id; per-partition heaps, never a global sort).",
+        explain_str(ro),
+    ))
+
+    ag = q.agg_terms("lang", size=5, must="getValue")
+    sections.append((
+        "Terms aggregation (round 6: ES aggs over the full match set)",
+        "Checks: the match set comes from the postings scan "
+        "(`PushedFilters: [In(term, ...)]`), semi-joins into a docs scan "
+        "whose ReadSchema is pruned to (doc_id, lang); the groupBy shows a "
+        "partial_count HashAggregate BELOW the exchange (map-side combine) "
+        "and the top-N is TakeOrderedAndProject — one tiny shuffle of "
+        "(value, partial count) rows, never the docs themselves.",
+        explain_str(ag),
     ))
 
     emb = spark.createDataFrame(
@@ -171,14 +212,16 @@ def main() -> None:
     base_docs = spark.read.parquet(f"{idx}/docs")
     victims = base_docs.orderBy("doc_id").limit(2).collect()
     keys = [(r["repo"], r["path"]) for r in victims]
-    corpus2 = synth_corpus(spark, 2000).withColumn(
-        "content",
-        F.when(
-            F.concat_ws("|", "repo", "path").isin(
-                [f"{r}|{p}" for r, p in keys]
-            ),
-            F.lit("deltaAuditToken buffer"),
-        ).otherwise(F.col("content")),
+    corpus2 = _nc(
+        synth_corpus(spark, 2000).withColumn(
+            "content",
+            F.when(
+                F.concat_ws("|", "repo", "path").isin(
+                    [f"{r}|{p}" for r, p in keys]
+                ),
+                F.lit("deltaAuditToken buffer"),
+            ).otherwise(F.col("content")),
+        )
     )
     feed = spark.createDataFrame(
         [(r, p, "index", 99) for r, p in keys],
