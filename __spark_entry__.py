@@ -446,6 +446,31 @@ def _q_range_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_after_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after deep pagination through the full engine: page 1's
+    last (score, doc_id) becomes the cursor and page 2 returns the next
+    BM25_K hits — rank-identical to the oracle's OFFSET page. Engine ids
+    equal public ids on this fixture (zero-padded path order), so the
+    cursor's doc_id tie-break matches the oracle's ORDER BY doc_id."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    text = " ".join(BM25_TERMS)
+    p1 = q.topk_pruned(text, BM25_K).collect()
+    cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    hits = q.topk_pruned(text, BM25_K, after=cursor)
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+    )
+
+
 def _q_agg_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms aggregation through the full engine: top-N (value,
     doc_count) buckets of the lang keyword field over EVERY doc matching
@@ -1410,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_field_topk": _q_bool_field_topk,
         "range_topk": _q_range_topk,
         "range_filter_topk": _q_range_filter_topk,
+        "search_after_topk": _q_search_after_topk,
         "agg_terms": _q_agg_terms,
         "agg_stats": _q_agg_stats,
         "agg_histogram": _q_agg_histogram,
@@ -1590,6 +1616,13 @@ def oracle_sql() -> dict[str, str]:
             range_where=f"n_chars >= {RANGEU_GTE} AND n_chars < {RANGEU_LT}",
             range_universe=True,
         ),
+        "search_after_topk": f"""
+SELECT doc_id, score FROM (
+{bm25_duckdb_sql(_TOKS_SQL, "documents", "doc_id", BM25_TERMS, 2 * BM25_K)}
+) page1and2
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_K} OFFSET {BM25_K}
+""",
         "agg_terms": f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens, lang FROM documents)
 SELECT lang AS value, count(*) AS doc_count

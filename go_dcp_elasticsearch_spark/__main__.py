@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
                         "numeric doc-value bounds (IndexBuilder "
                         "docvalue_cols; doc_len always available), filter "
                         "context (never scores)")
+    q.add_argument("--after-score", type=float, default=None,
+                   help="ES search_after cursor: the previous page's last "
+                        "hit's score (with --after-doc; any/all modes)")
+    q.add_argument("--after-doc", type=int, default=None,
+                   help="ES search_after cursor: the previous page's last "
+                        "hit's doc_id (with --after-score)")
     q.add_argument("--master", default=None)
 
     g = sub.add_parser("agg", help="ES-style aggregation over the docs "
@@ -268,6 +274,8 @@ def main(argv: list[str] | None = None) -> int:
             qq = BM25Query(spark, args.index)
             if args.range_spec and args.mode != "bool":
                 p.error("--range requires --mode bool")
+            if args.after_score is not None and args.mode not in ("any", "all"):
+                p.error("--after-score/--after-doc serve --mode any/all")
             if args.mode == "bool":
                 if args.text or args.text_file:
                     p.error("--mode bool takes --must/--should/--must-not, "
@@ -327,8 +335,13 @@ def main(argv: list[str] | None = None) -> int:
                         strategy=args.strategy,
                     )
                 else:
+                    after = None
+                    if (args.after_score is None) != (args.after_doc is None):
+                        p.error("--after-score and --after-doc go together")
+                    if args.after_score is not None:
+                        after = (args.after_score, args.after_doc)
                     fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
-                    hits = fn(args.text, args.k, mode=args.mode)
+                    hits = fn(args.text, args.k, mode=args.mode, after=after)
                 for row in hits.collect():
                     print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
             else:

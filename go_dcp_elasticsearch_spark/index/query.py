@@ -382,15 +382,24 @@ class BM25Query:
             decode, schema=DECODED_SCHEMA
         )
 
-    def topk_exact(self, query: str, k: int = 10, mode: str = "any") -> DataFrame:
+    def topk_exact(
+        self, query: str, k: int = 10, mode: str = "any",
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
         """Exact BM25 top-k; JVM-side scoring, broadcast dictionary join.
 
         ``mode="any"`` (default) is the disjunctive BM25 top-k;
         ``mode="all"`` keeps only docs containing EVERY query term — the
         Elasticsearch ``bool.must`` semantics. A query term absent from
         the whole corpus makes an "all" query empty (ES behaves the
-        same)."""
+        same).
+
+        ``after``: the ES ``search_after`` cursor — the (score, doc_id)
+        sort values of the LAST hit of the previous page; only hits
+        strictly after it in (score desc, doc_id asc) order return. See
+        AFTER_EPS for the tie tolerance."""
         _check_mode(mode)
+        _check_after(after)
         self._ensure_fresh()
         terms = self.analyze(query)
         if not terms:
@@ -399,6 +408,8 @@ class BM25Query:
         if not idfs or (mode == "all" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], schema="doc_id long, score double")
         scored = self._exact_scored(idfs, len(terms) if mode == "all" else 0)
+        if after is not None:
+            scored = scored.filter(_after_cond(after))
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def _exact_scored(self, idfs: dict[str, float], require_n: int) -> DataFrame:
@@ -455,15 +466,32 @@ class BM25Query:
 
     # ---------- strategy 2: shard-parallel block-max pruning ----------
 
-    def topk_pruned(self, query: str, k: int = 10, mode: str = "any") -> DataFrame:
+    def topk_pruned(
+        self, query: str, k: int = 10, mode: str = "any",
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
         """Block-max pruned top-k: per-shard kernel + global merge.
 
         ``mode="all"`` = conjunctive (every query term must match — ES
         ``bool.must``). Conjunction is decided entirely per shard: a doc
         lives in exactly one shard, so ALL its postings for all terms are
         in that shard's blocks — no cross-shard coordination needed, and
-        a shard missing one of the terms simply yields nothing."""
+        a shard missing one of the terms simply yields nothing.
+
+        ``after``: the ES ``search_after`` deep-pagination cursor — the
+        (score, doc_id) sort values of the previous page's LAST hit;
+        only hits strictly after it in (score desc, doc_id asc) order
+        return, so page N+1 costs the same as page 1 (no from+size
+        over-fetch). Pruning stays sound under a cursor: a passing doc's
+        score is <= the cursor score, so each doc's block-max UB is
+        CLAMPED to the cursor score before threshold selection, and the
+        threshold lambda is taken over cursor-passing probe docs only —
+        both bounds still dominate every passing doc's true score.
+        Cursor ties use the AFTER_EPS tolerance (pruned and exact paths
+        agree on scores to well below it; ES compares the sort values it
+        itself returned, same contract)."""
         _check_mode(mode)
+        _check_after(after)
         self._ensure_fresh()
         terms = self.analyze(query)
         if not terms:
@@ -472,7 +500,9 @@ class BM25Query:
         if not idfs or (mode == "all" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], schema="doc_id long, score double")
         require_n = len(terms) if mode == "all" else 0
-        kernel = _make_shard_kernel(idfs, self.avgdl, k, self._tomb, require_n)
+        kernel = _make_shard_kernel(
+            idfs, self.avgdl, k, self._tomb, require_n, after=after
+        )
         blocks = self._candidate_blocks(list(idfs)).select(
             "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
             "max_tf", "min_dl"
@@ -1457,6 +1487,55 @@ def _levenshtein_bounded(a: str, b: str, bound: int) -> int:
     return prev[lb]
 
 
+# search_after tie tolerance: a cursor-passing doc either scores below
+# the cursor by more than this, or within it AND has a larger doc_id.
+# The pruned and exact paths compute BM25 in different float association
+# orders (numpy accumulation vs Spark SQL sum) and agree to ~1e-12 —
+# three orders below this — so a cursor taken from either path selects
+# the identical next page on both. ES compares the sort values it itself
+# returned; this is the same contract with the cross-path drift made
+# explicit.
+AFTER_EPS = 1e-9
+
+
+def _check_after(after) -> None:
+    import numbers
+
+    if after is None:
+        return
+    if (
+        not isinstance(after, (tuple, list))
+        or len(after) != 2
+        or isinstance(after[0], bool)
+        or not isinstance(after[0], numbers.Real)
+        or isinstance(after[1], bool)
+        or not isinstance(after[1], numbers.Integral)
+    ):
+        raise ValueError(
+            "after must be the previous page's last (score: float, "
+            f"doc_id: int) sort values, got {after!r}"
+        )
+
+
+def _after_cond(after: tuple[float, int]):
+    """Column predicate: hit sorts strictly after the cursor in
+    (score desc, doc_id asc) order, with the AFTER_EPS tie tolerance."""
+    a_s, a_d = float(after[0]), int(after[1])
+    s = F.col("score")
+    return (s < F.lit(a_s - AFTER_EPS)) | (
+        (F.abs(s - F.lit(a_s)) <= F.lit(AFTER_EPS))
+        & (F.col("doc_id") > F.lit(a_d))
+    )
+
+
+def _after_mask(sc: "np.ndarray", ids: "np.ndarray", after) -> "np.ndarray":
+    """Numpy twin of _after_cond (kernel side)."""
+    a_s, a_d = float(after[0]), int(after[1])
+    return (sc < a_s - AFTER_EPS) | (
+        (np.abs(sc - a_s) <= AFTER_EPS) & (ids > a_d)
+    )
+
+
 def _check_mode(mode: str) -> None:
     if mode not in ("any", "all"):
         raise ValueError(f"BM25Query: unknown match mode {mode!r} "
@@ -1768,6 +1847,7 @@ def _make_bool_shard_kernel(
 def _make_shard_kernel(
     idfs: dict[str, float], avgdl: float, k: int,
     tomb_ref: "np.ndarray | None" = None, require_n: int = 0,
+    after: tuple[float, int] | None = None,
 ):
     """Build the per-shard numpy kernel (runs inside applyInPandas).
 
@@ -1786,6 +1866,12 @@ def _make_shard_kernel(
     by construction, so the count equals the number of distinct matched
     terms; filtered BEFORE threshold selection, which keeps the pruning
     sound on the reduced candidate set.
+    ``after``: search_after cursor (see topk_pruned). Soundness under a
+    cursor: every passing doc scores <= cursor+eps, so UB is clamped to
+    that cap (still an upper bound for passing docs); lambda is the kth
+    best score among cursor-PASSING probe docs (fewer than k passing →
+    lambda 0, prune-free fallback); the final mask drops non-passing
+    candidates before selection.
     """
     from go_dcp_elasticsearch_spark.index.segments import (
         drop_tombstoned,
@@ -1835,6 +1921,11 @@ def _make_shard_kernel(
             uniq, ub = uniq[keep], ub[keep]
             if not len(uniq):
                 return pd.DataFrame({"doc_id": [], "score": []})
+        if after is not None:
+            # a cursor-passing doc's score is <= cursor+eps: clamping UB
+            # to that cap keeps it an upper bound for every passing doc
+            # and lets blocks far above the cursor stop inflating probes
+            ub = np.minimum(ub, float(after[0]) + AFTER_EPS)
 
         def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
             """Exact BM25 for a sorted doc_id subset (term-lex accumulation)."""
@@ -1869,10 +1960,19 @@ def _make_shard_kernel(
             top_by_ub = uniq[np.argsort(-ub)[:k]]
             top_by_ub.sort()
             lam_scores = exact_scores(top_by_ub)
+            if after is not None:
+                # lambda must come from cursor-PASSING docs only — a
+                # non-passing probe's high score would prune the very
+                # docs this page wants
+                pass_m = _after_mask(lam_scores, top_by_ub, after)
+                lam_scores = lam_scores[pass_m]
             lam = np.sort(lam_scores)[-k] if len(lam_scores) >= k else 0.0
             cand = uniq[ub >= lam - 1e-12]
         cand = np.sort(cand)
         sc = exact_scores(cand)
+        if after is not None:
+            pass_m = _after_mask(sc, cand, after)
+            cand, sc = cand[pass_m], sc[pass_m]
         order = np.lexsort((cand, -sc))[:k]
         return pd.DataFrame({"doc_id": cand[order], "score": sc[order]})
 
