@@ -93,6 +93,13 @@ RANGEU_SHOULD = "spark"
 RANGEU_NOT = "window"
 RANGEU_GTE, RANGEU_LT = 150, 260
 
+# highlight gate query (ES highlight analogue): deterministic
+# token-stream fragment around the FIRST query-term match, window tokens
+# each side, every query term inside wrapped in <em></em> — the rule is
+# exactly SQL-expressible (list_position/list_slice/list_transform),
+# unlike ES's fuzzy sentence windows.
+HL_WINDOW = 4
+
 # aggregation gate queries (ES aggs analogue): terms/stats over the
 # docs matching a must query, histogram over match_all — the engine
 # reduces the full match set (never the top-k page), the mirror is the
@@ -468,6 +475,37 @@ def _q_search_after_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.withColumnRenamed("doc_id", "engine_id")
         .join(docs, "engine_id")
         .select("doc_id", round6_expr(F.col("score")).alias("score"))
+    )
+
+
+def _q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight through the full engine: top-k hits joined (hit-side
+    broadcast) to the source content under the per-row sha256 invariant,
+    one fragment around the first match, matched terms wrapped. Engine
+    ids equal public ids on this fixture."""
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    text = " ".join(BM25_TERMS)
+    hits = q.topk_pruned(text, BM25_K)
+    hl = q.highlight(
+        hits, text, load_documents_corpus(spark, sf_dir),
+        window=HL_WINDOW, max_fragments=1,
+    )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hl.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select(
+            "doc_id",
+            round6_expr(F.col("score")).alias("score"),
+            F.element_at("fragments", 1).alias("fragment"),
+        )
     )
 
 
@@ -1436,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_topk": _q_range_topk,
         "range_filter_topk": _q_range_filter_topk,
         "search_after_topk": _q_search_after_topk,
+        "highlight_topk": _q_highlight_topk,
         "agg_terms": _q_agg_terms,
         "agg_stats": _q_agg_stats,
         "agg_histogram": _q_agg_histogram,
@@ -1616,6 +1655,27 @@ def oracle_sql() -> dict[str, str]:
             range_where=f"n_chars >= {RANGEU_GTE} AND n_chars < {RANGEU_LT}",
             range_universe=True,
         ),
+        "highlight_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents),
+hits AS (
+{bm25_duckdb_sql(_TOKS_SQL, "documents", "doc_id", BM25_TERMS, BM25_K)}
+),
+hl AS (
+  SELECT h.doc_id, h.score, t.tokens,
+         least({", ".join(f"coalesce(nullif(list_position(t.tokens, '{x}'), 0), 1000000000)" for x in BM25_TERMS)}) AS m1,
+         len(t.tokens) AS n
+  FROM hits h JOIN toks t USING (doc_id)
+)
+SELECT doc_id, score,
+       array_to_string(
+         list_transform(
+           list_slice(tokens, greatest(1, m1 - {HL_WINDOW}), least(n, m1 + {HL_WINDOW})),
+           tk -> CASE WHEN tk IN ({", ".join(f"'{x}'" for x in BM25_TERMS)})
+                      THEN '<em>' || tk || '</em>' ELSE tk END
+         ), ' ') AS fragment
+FROM hl
+ORDER BY score DESC, doc_id ASC
+""",
         "search_after_topk": f"""
 SELECT doc_id, score FROM (
 {bm25_duckdb_sql(_TOKS_SQL, "documents", "doc_id", BM25_TERMS, 2 * BM25_K)}

@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
                         "numeric doc-value bounds (IndexBuilder "
                         "docvalue_cols; doc_len always available), filter "
                         "context (never scores)")
+    q.add_argument("--highlight", action="store_true",
+                   help="any/all modes: attach snippet fragments around "
+                        "the matched terms (ES highlight; requires "
+                        "--corpus, the source the index was built from)")
+    q.add_argument("--highlight-window", type=int, default=5,
+                   help="tokens each side of a match in a fragment")
     q.add_argument("--after-score", type=float, default=None,
                    help="ES search_after cursor: the previous page's last "
                         "hit's score (with --after-doc; any/all modes)")
@@ -276,6 +282,8 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--range requires --mode bool")
             if args.after_score is not None and args.mode not in ("any", "all"):
                 p.error("--after-score/--after-doc serve --mode any/all")
+            if args.highlight and args.mode not in ("any", "all"):
+                p.error("--highlight serves --mode any/all")
             if args.mode == "bool":
                 if args.text or args.text_file:
                     p.error("--mode bool takes --must/--should/--must-not, "
@@ -342,8 +350,17 @@ def main(argv: list[str] | None = None) -> int:
                         after = (args.after_score, args.after_doc)
                     fn = qq.topk_pruned if args.strategy == "pruned" else qq.topk_exact
                     hits = fn(args.text, args.k, mode=args.mode, after=after)
+                    if args.highlight:
+                        if not args.corpus:
+                            p.error("--highlight requires --corpus (the "
+                                    "source table; the index stores "
+                                    "content_sha256, not content)")
+                        hits = qq.highlight(
+                            hits, args.text, _load_corpus(spark, args.corpus),
+                            window=args.highlight_window,
+                        )
                 for row in hits.collect():
-                    print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
+                    print(json.dumps(row.asDict()))
             else:
                 p.error("query requires --text or --text-file")
         return 0

@@ -1392,6 +1392,111 @@ class BM25Query:
         hits = cand.mapInPandas(verify, schema="doc_id long, score double")
         return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def highlight(
+        self,
+        hits: DataFrame,
+        query: str,
+        source: DataFrame,
+        window: int = 5,
+        max_fragments: int = 1,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> DataFrame:
+        """ES ``highlight`` analogue: per hit, snippet fragments around
+        the query terms' occurrences, matched terms wrapped in
+        ``pre_tag``/``post_tag``. Deterministic spec (so an SQL oracle
+        can mirror it exactly — ES's unified highlighter picks fuzzy
+        sentence windows): fragments are built over the CANONICAL TOKEN
+        STREAM, not raw text — the analyzed stream is what the index
+        scored, and [a-z0-9]+ tokenization makes byte-offset mapping
+        ambiguous anyway. A fragment covers ``window`` tokens each side
+        of a matched position, fragments are taken first-match-first and
+        never overlap (a match inside the previous fragment is skipped),
+        at most ``max_fragments`` per doc; EVERY query-term token inside
+        a fragment is wrapped. Docs with no match get an empty list.
+
+        Like topk_phrase, the content comes from the caller's ``source``
+        frame (the index stores content_sha256, not content) and the
+        per-row sha invariant is enforced on every highlighted doc.
+        Returns ``hits``'s columns plus ``fragments array<string>``.
+
+        Scale shape: bounded by the hits frame (top-k sized) — hits
+        broadcast into the docs metadata join, and only the hit keys'
+        content rows are read from the source."""
+        from go_dcp_elasticsearch_spark.index.segments import read_docs
+
+        if source is None:
+            raise ValueError(
+                "highlight needs the source corpus frame (repo, path, "
+                "content): the index stores content_sha256, not content"
+            )
+        if window < 0 or max_fragments <= 0:
+            raise ValueError(
+                "highlight: window must be >= 0 and max_fragments >= 1"
+            )
+        self._ensure_fresh()
+        terms = set(self.analyze(query))
+        if not terms:
+            raise ValueError(f"highlight: query {query!r} has no tokens")
+        meta = read_docs(self.spark, self.paths, self._segs).select(
+            "doc_id", "repo", "path", "content_sha256"
+        )
+        if "seq_no" in source.columns:
+            from go_dcp_elasticsearch_spark.index.builder import (
+                dedup_last_write_wins,
+            )
+
+            source = dedup_last_write_wins(source)
+        hit_cols = list(hits.columns)
+        cand = (
+            meta.join(F.broadcast(hits), "doc_id")
+            .join(source.select("repo", "path", "content"), ["repo", "path"])
+        )
+        w, mf = int(window), int(max_fragments)
+        pre, post = str(pre_tag), str(post_tag)
+        out_schema = cand.select(
+            *hit_cols, F.array().cast("array<string>").alias("fragments")
+        ).schema
+
+        def kernel(iterator):
+            import hashlib
+
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                frags_col = []
+                for content, sha in zip(pdf["content"], pdf["content_sha256"]):
+                    text = content or ""
+                    got = hashlib.sha256(text.encode("utf-8")).hexdigest()
+                    if got != sha:
+                        raise ValueError(
+                            "highlight: source content sha256 mismatch "
+                            f"(indexed {sha[:12]}…, source {got[:12]}…) — "
+                            "the source frame diverged from the index"
+                        )
+                    toks = tokenize_py(text)
+                    frags: list[str] = []
+                    prev_end = -1
+                    for i, t in enumerate(toks):
+                        if len(frags) >= mf:
+                            break
+                        if t not in terms or i <= prev_end:
+                            continue
+                        lo, hi = max(0, i - w), min(len(toks), i + w + 1)
+                        frags.append(
+                            " ".join(
+                                (pre + tk + post) if tk in terms else tk
+                                for tk in toks[lo:hi]
+                            )
+                        )
+                        prev_end = hi - 1
+                    frags_col.append(frags)
+                out = pdf[hit_cols].copy()
+                out["fragments"] = frags_col
+                yield out
+
+        return cand.mapInPandas(kernel, schema=out_schema)
+
     def with_meta(self, hits: DataFrame) -> DataFrame:
         """Join top-k hits back to the forward store: the engine's doc_id
         is internal; callers get the reference's identity (repo, path)
