@@ -538,6 +538,16 @@ def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation (exact mode for the gate; the default
+    is the same HyperLogLog++ sketch family ES uses)."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    return q.agg_cardinality("lang", exact=True, must=AGG_MUST)
+
+
 def _q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES histogram aggregation through the full engine over match_all:
     bucket = floor(n_chars/interval)*interval, non-empty buckets only
@@ -1478,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms": _q_agg_terms,
         "agg_stats": _q_agg_stats,
         "agg_histogram": _q_agg_histogram,
+        "agg_cardinality": _q_agg_cardinality,
         "fuzzy_topk": _q_fuzzy_topk,
         "wildcard_topk": _q_wildcard_topk,
         "prefix_topk": _q_prefix_topk,
@@ -1699,6 +1710,12 @@ SELECT count(n_chars) AS count,
        CAST(max(n_chars) AS DOUBLE) AS max,
        {round6_sql("avg(n_chars)")} AS avg,
        CAST(sum(n_chars) AS DOUBLE) AS sum
+FROM toks
+WHERE list_contains(tokens, '{AGG_MUST}')
+""",
+        "agg_cardinality": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens, lang FROM documents)
+SELECT count(DISTINCT lang) AS value
 FROM toks
 WHERE list_contains(tokens, '{AGG_MUST}')
 """,

@@ -187,6 +187,36 @@ def main() -> None:
         # new-in-round-2 workload: keep the HEADLINE total comparable with
         # earlier rounds (build + query set + operator suite only)
         extra_sec = timings["incremental_apply_sec"]
+
+        # --- round-6 search surfaces (excluded from the headline):
+        # range filter (doc_len is a built-in doc-value, so the build
+        # stays byte-identical), search_after page 2, terms aggregation
+        # over the match set, highlight over the top-k. The corpus for
+        # highlight is the POST-apply state (sha invariant).
+        t0 = time.time()
+        q.topk_bool(must="table",
+                    range={"doc_len": {"gte": 30, "lt": 60}}, k=10).collect()
+        timings["topk_range_sec"] = round(time.time() - t0, 4)
+        extra_sec += timings["topk_range_sec"]
+
+        p1 = q.topk_pruned(QUERY_SET[0], 10).collect()
+        cur = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+        t0 = time.time()
+        q.topk_pruned(QUERY_SET[0], 10, after=cur).collect()
+        timings["topk_page2_sec"] = round(time.time() - t0, 4)
+        extra_sec += timings["topk_page2_sec"]
+
+        t0 = time.time()
+        q.agg_terms("lang", size=5, must="table").collect()
+        timings["agg_terms_sec"] = round(time.time() - t0, 4)
+        extra_sec += timings["agg_terms_sec"]
+
+        t0 = time.time()
+        q.highlight(
+            q.topk_pruned(QUERY_SET[0], 10), QUERY_SET[0], new_corpus
+        ).collect()
+        timings["highlight_sec"] = round(time.time() - t0, 4)
+        extra_sec += timings["highlight_sec"]
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -1137,6 +1137,39 @@ class BM25Query:
             F.sum(c).cast("double").alias("sum"),
         )
 
+    def agg_cardinality(
+        self,
+        field: str,
+        exact: bool = False,
+        rsd: float = 0.05,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filter: str = "",
+        minimum_should_match: int | None = None,
+        range: dict | None = None,
+    ) -> DataFrame:
+        """ES ``cardinality`` aggregation: distinct values of ``field``
+        over the matching docs — approximate by default via
+        HyperLogLog++ (``approx_count_distinct``; the SAME sketch family
+        ES uses, ``rsd`` = relative standard deviation ≈ ES
+        precision_threshold's error band), map-side mergeable so the
+        shuffle carries one sketch per partition, never the values.
+        ``exact=True`` switches to count_distinct (adds a dedup
+        exchange; the SQL-mirrorable mode the gate checks). One row,
+        column ``value``."""
+        self._agg_field_check(field, numeric=False, op="agg_cardinality")
+        u = self._agg_universe(
+            field, must, should, must_not, filter, minimum_should_match,
+            range,
+        )
+        c = F.col(field)
+        agg = (
+            F.count_distinct(c) if exact
+            else F.approx_count_distinct(c, rsd=float(rsd))
+        )
+        return u.agg(agg.cast("long").alias("value"))
+
     def agg_histogram(
         self,
         field: str,

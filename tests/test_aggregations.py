@@ -225,3 +225,20 @@ def test_agg_composes_with_delta_segments(spark, tmp_path):
         q.agg_stats("nc", must="zzaggtoken").collect()[0]["count"]
     )
     assert grown == n_changed
+
+
+def test_agg_cardinality_exact_and_approx(spark, agg_idx):
+    idx, toks, meta = agg_idx
+    q = BM25Query(spark, idx)
+    ids = _match_ids(toks, must="buffer")
+    exp = len({meta[d][0] for d in ids})
+    exact = int(q.agg_cardinality("lang", exact=True,
+                                  must="buffer").collect()[0]["value"])
+    assert exact == exp
+    # HLL++ estimate: within the rsd band for a tiny cardinality it is
+    # exact in practice; allow generous slack to stay non-flaky
+    approx = int(q.agg_cardinality("lang", rsd=0.01,
+                                   must="buffer").collect()[0]["value"])
+    assert abs(approx - exp) <= max(1, exp // 5)
+    with pytest.raises(ValueError, match="not in the docs table"):
+        q.agg_cardinality("missing", must="buffer")
