@@ -1390,7 +1390,7 @@ def _q_routed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = spark.createDataFrame(
         [(r[0], r[1], r[2], r[3], r[4], 90_000_000 + i) for i, r in enumerate(ROUTED_INSERTS)],
         "repo string, path string, commit string, lang string, content string, seq_no long",
-    )
+    ).withColumn("n_chars", F.length("content").cast("long"))
     changes = ins.select(
         "repo", "path", F.lit("index").alias("action"), F.col("seq_no")
     )
