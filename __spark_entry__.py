@@ -46,6 +46,9 @@ BM25_TERMS = ["spark", "filter", "join"]
 # matches vs ~320 docs containing both terms, so the verify step provably
 # filters (measured at sf0.001 and sf0.01).
 PHRASE_TOKENS = ["table", "scan"]
+# phrase slop gate: the same pair with ONE token of in-order slack —
+# SQL-expressible for a 2-token phrase (tokens[i]=a and b within i+1+slop)
+PHRASE_SLOP = 1
 
 # prefix gate query (ES prefix / multi-term rewrite): the fixture
 # vocabulary has six s-terms (scan slow small sort spark stream), so the
@@ -654,6 +657,33 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = q.topk_phrase(
         " ".join(PHRASE_TOKENS), BM25_K + 64,
         source=load_documents_corpus(spark, sf_dir),
+    )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase (match_phrase slop analogue, in-order span-near):
+    the phrase tokens in order with at most PHRASE_SLOP extra tokens
+    inside the span. Same candidate bounding, sha enforcement and k+64
+    margin + public re-rank as the exact-phrase gate."""
+    from go_dcp_elasticsearch_spark.corpus import load_documents_corpus
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_phrase(
+        " ".join(PHRASE_TOKENS), BM25_K + 64,
+        source=load_documents_corpus(spark, sf_dir), slop=PHRASE_SLOP,
     )
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
@@ -1478,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "bm25_topk_conj": _q_bm25_topk_conj,
         "phrase_topk": _q_phrase_topk,
+        "phrase_slop_topk": _q_phrase_slop_topk,
         "bool_topk": _q_bool_topk,
         "bool_filter_topk": _q_bool_filter_topk,
         "bool_field_topk": _q_bool_field_topk,
@@ -1633,6 +1664,11 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", PHRASE_TOKENS, BM25_K,
             require_all=True, phrase=PHRASE_TOKENS,
+        ),
+        "phrase_slop_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", PHRASE_TOKENS, BM25_K,
+            require_all=True,
+            extra_doc_where="len(list_filter(range(1, len(tokens) + 1), i -> tokens[i] = 'table' AND (coalesce(tokens[i+1], '') = 'scan' OR coalesce(tokens[i+2], '') = 'scan'))) > 0",
         ),
         "prefix_topk": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", [], BM25_K,

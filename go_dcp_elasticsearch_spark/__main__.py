@@ -127,6 +127,10 @@ def main(argv: list[str] | None = None) -> int:
                         "numeric doc-value bounds (IndexBuilder "
                         "docvalue_cols; doc_len always available), filter "
                         "context (never scores)")
+    q.add_argument("--slop", type=int, default=0,
+                   help="phrase mode: in-order span-near slack (extra "
+                        "tokens allowed inside the phrase span; 0 = exact "
+                        "consecutive match)")
     q.add_argument("--highlight", action="store_true",
                    help="any/all modes: attach snippet fragments around "
                         "the matched terms (ES highlight; requires "
@@ -320,7 +324,9 @@ def main(argv: list[str] | None = None) -> int:
                         p.error("--mode phrase requires --corpus (the source "
                                 "table; the index stores only content_sha256)")
                     hits = qq.topk_phrase(
-                        args.text, args.k, source=_load_corpus(spark, args.corpus)
+                        args.text, args.k,
+                        source=_load_corpus(spark, args.corpus),
+                        slop=args.slop,
                     )
                 elif args.mode == "prefix":
                     hits = qq.topk_prefix(

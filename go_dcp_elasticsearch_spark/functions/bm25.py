@@ -58,15 +58,16 @@ def phrase_match_py(tokens: list[str], phrase: list[str]) -> bool:
 
 
 def bm25_phrase_oracle(
-    docs_tokens: dict[int, list[str]], phrase: list[str], k: int
+    docs_tokens: dict[int, list[str]], phrase: list[str], k: int,
+    match_fn=None,
 ) -> list[tuple[int, float]]:
     """Pure-Python phrase top-k oracle: BM25 over the phrase's distinct
     terms (corpus-wide df/avgdl — stats are NOT restricted to matches),
-    ranked only over docs passing phrase_match_py."""
+    ranked only over docs passing the match test (phrase_match_py by
+    default; pass ``match_fn(tokens) -> bool`` for slop variants)."""
     ranked = bm25_oracle(docs_tokens, sorted(set(phrase)), len(docs_tokens))
-    out = [
-        (d, s) for d, s in ranked if phrase_match_py(docs_tokens[d], phrase)
-    ]
+    test = match_fn or (lambda t: phrase_match_py(t, phrase))
+    out = [(d, s) for d, s in ranked if test(docs_tokens[d])]
     return out[:k]
 
 
@@ -221,6 +222,7 @@ def bm25_duckdb_sql(
     wildcard_expand: tuple[str, int] | None = None,
     range_where: str | None = None,
     range_universe: bool = False,
+    extra_doc_where: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (oracle side of the
     driver's correctness gate). ``tokens_sql`` is a fragment producing the
@@ -349,6 +351,14 @@ def bm25_duckdb_sql(
                 "term clause that bounds the result needs the semi-join "
                 "form (range_universe=False)"
             )
+    extra_pred = ""
+    if extra_doc_where:
+        # raw predicate over the toks CTE (doc_id, tokens) restricting
+        # the qualifying docs — e.g. a span-near (phrase slop) condition
+        extra_pred = (
+            f"AND tf.doc_id IN (SELECT doc_id FROM toks "
+            f"WHERE {extra_doc_where})"
+        )
     range_pred = ""
     if range_where and not range_universe:
         range_pred = (
@@ -453,7 +463,7 @@ scored AS (
   SELECT tf.doc_id,
          {score_sql.replace("__DF__", df_expr)} AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-  WHERE 1=1 {phrase_pred} {range_pred}
+  WHERE 1=1 {phrase_pred} {range_pred} {extra_pred}
   GROUP BY tf.doc_id
   {having}
 )

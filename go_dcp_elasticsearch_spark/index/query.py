@@ -1336,12 +1336,25 @@ class BM25Query:
 
     # ---------- phrase retrieval (ES match_phrase analogue) ----------
 
-    def topk_phrase(self, query: str, k: int = 10, source: DataFrame | None = None) -> DataFrame:
+    def topk_phrase(
+        self, query: str, k: int = 10, source: DataFrame | None = None,
+        slop: int = 0,
+    ) -> DataFrame:
         """Phrase top-k: docs whose token stream contains the query's
         tokens as a CONSECUTIVE subsequence, BM25-ranked over the phrase's
         distinct terms — the Elasticsearch ``match_phrase`` the reference's
         sink serves (its contract is "documents streamed in become
         searchable", README.md:13; phrase match is core ES search surface).
+
+        ``slop``: the match_phrase slop analogue with the IN-ORDER
+        span-near definition (Lucene SpanNearQuery(inOrder=true), made
+        deterministic — ES's sloppy phrase also counts transposition
+        moves, documented difference): the phrase tokens must occur in
+        order at strictly increasing positions p_1 < … < p_n with at
+        most ``slop`` extra tokens interleaved (p_n - p_1 - (n-1) <=
+        slop). slop=0 is the exact consecutive match. Verified with a
+        greedy earliest-match scan per candidate (for a fixed p_1 the
+        earliest completion minimizes the span, so greedy is exact).
 
         The index stores no positions (the documented trade — positional
         postings are future work), so the phrase test runs against the
@@ -1374,6 +1387,8 @@ class BM25Query:
                 "topk_phrase needs the source corpus frame (repo, path, "
                 "content): the index stores content_sha256, not content"
             )
+        if slop < 0:
+            raise ValueError(f"topk_phrase: slop must be >= 0, got {slop}")
         self._ensure_fresh()
         seq = tokenize_py(query)
         empty = self.spark.createDataFrame([], schema="doc_id long, score double")
@@ -1399,6 +1414,7 @@ class BM25Query:
             source.select("repo", "path", "content"), ["repo", "path"]
         )
         needle = " " + " ".join(seq) + " "
+        slop_n = int(slop)
 
         def verify(iterator):
             import hashlib
@@ -1416,8 +1432,12 @@ class BM25Query:
                             f"(indexed {sha[:12]}…, source {got[:12]}…) — "
                             "the source frame diverged from the index"
                         )
-                    hay = " " + " ".join(tokenize_py(text)) + " "
-                    keep.append(needle in hay)
+                    toks = tokenize_py(text)
+                    if slop_n == 0:
+                        hay = " " + " ".join(toks) + " "
+                        keep.append(needle in hay)
+                    else:
+                        keep.append(_span_near(toks, seq, slop_n))
                 out = pdf.loc[keep, ["doc_id", "score"]]
                 if len(out):
                     yield out
@@ -1599,6 +1619,35 @@ class BM25Query:
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )
+
+
+def _span_near(toks: list[str], seq: list[str], slop: int) -> bool:
+    """In-order span-near test: does ``seq`` occur at strictly increasing
+    positions in ``toks`` with span <= len(seq)-1 + slop? Greedy earliest
+    completion per start position is exact: for a fixed first position,
+    picking each later term's EARLIEST following occurrence minimizes the
+    final span."""
+    n = len(seq)
+    limit = n - 1 + slop
+    for p1, t in enumerate(toks):
+        if t != seq[0]:
+            continue
+        pos = p1
+        ok = True
+        for want in seq[1:]:
+            nxt = None
+            # bounded scan: past the span limit the start cannot match
+            for j in range(pos + 1, min(len(toks), p1 + limit + 1)):
+                if toks[j] == want:
+                    nxt = j
+                    break
+            if nxt is None:
+                ok = False
+                break
+            pos = nxt
+        if ok and pos - p1 <= limit:
+            return True
+    return False
 
 
 def _levenshtein_bounded(a: str, b: str, bound: int) -> int:

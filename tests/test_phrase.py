@@ -343,3 +343,84 @@ def test_wildcard_semantics(spark, built):
         q.expand_wildcard("bad pattern!")
     # uppercase is canonicalized like the analyzer, not rejected
     assert q.expand_wildcard(pat.upper(), 500) == want
+
+
+# ---------------------------------------------------------------- phrase slop
+
+
+def _span_brute(toks, seq, slop):
+    """Independent span-near oracle: DFS over ALL increasing position
+    tuples (not the engine's greedy-earliest), span <= len-1+slop."""
+    pos = [[i for i, t in enumerate(toks) if t == w] for w in seq]
+    if any(not p for p in pos):
+        return False
+    limit = len(seq) - 1 + slop
+
+    def rec(k, prev, start):
+        if k == len(seq):
+            return True
+        for p in pos[k]:
+            if p > prev and p - start <= limit:
+                if rec(k + 1, p, start):
+                    return True
+        return False
+
+    return any(rec(1, p1, p1) for p1 in pos[0])
+
+
+def _slop_phrase(docs_tokens):
+    """A 2-token in-order pair that matches MORE docs at slop=1 than at
+    slop=0 (so the slack provably bites) yet fewer than the conjunction."""
+    for toks in docs_tokens.values():
+        for i in range(len(toks) - 2):
+            a, b = toks[i], toks[i + 2]
+            if a == b:
+                continue
+            seq = [a, b]
+            n0 = sum(1 for t in docs_tokens.values() if _span_brute(t, seq, 0))
+            n1 = sum(1 for t in docs_tokens.values() if _span_brute(t, seq, 1))
+            nc = sum(1 for t in docs_tokens.values() if set(seq) <= set(t))
+            if n0 < n1 < nc:
+                return seq
+    raise AssertionError("no slop-discriminative pair in fixture corpus")
+
+
+@pytest.mark.parametrize("slop", [1, 2])
+def test_phrase_slop_rank_identity(spark, built, slop):
+    """topk_phrase(slop=s) == BM25 over the phrase terms filtered by the
+    independent DFS span-near oracle."""
+    d, corpus, docs_tokens = built
+    q = BM25Query(spark, d)
+    seq = _slop_phrase(docs_tokens)
+    exp = [
+        (doc, round(s, 9))
+        for doc, s in bm25_phrase_oracle(
+            docs_tokens, seq, 10,
+            match_fn=lambda t: _span_brute(t, seq, slop),
+        )
+    ]
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in q.topk_phrase(" ".join(seq), 10, source=corpus,
+                               slop=slop).collect()
+    ]
+    assert got == exp and got
+
+
+def test_phrase_slop_monotone_and_zero_is_exact(spark, built):
+    d, corpus, docs_tokens = built
+    q = BM25Query(spark, d)
+    seq = _slop_phrase(docs_tokens)
+    text = " ".join(seq)
+    ids = {}
+    for s in (0, 1, 2):
+        ids[s] = {int(r["doc_id"])
+                  for r in q.topk_phrase(text, 400, source=corpus,
+                                         slop=s).collect()}
+    assert ids[0] <= ids[1] <= ids[2]
+    assert ids[0] != ids[1], "fixture pair must gain matches at slop=1"
+    exact = {int(r["doc_id"])
+             for r in q.topk_phrase(text, 400, source=corpus).collect()}
+    assert ids[0] == exact
+    with pytest.raises(ValueError, match="slop must be >= 0"):
+        q.topk_phrase(text, 10, source=corpus, slop=-1)
