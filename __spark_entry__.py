@@ -253,7 +253,7 @@ def _fixture_fingerprint(sf_dir: str) -> str:
     # fields=lang + dv=n_chars: the oracle index carries keyword-field
     # postings and numeric doc-values (round 6); the tag invalidates
     # caches built before either feature existed
-    parts = [f"fmt{INDEX_FORMAT_VERSION}+fields=lang+dv=n_chars"]
+    parts = [f"fmt{INDEX_FORMAT_VERSION}+fields=lang+dv=n_chars+pos"]
     if os.path.isdir(path):
         for fn in sorted(os.listdir(path)):
             st = os.stat(os.path.join(path, fn))
@@ -287,7 +287,7 @@ def _oracle_index(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(idx_dir, ignore_errors=True)
     IndexBuilder(
         spark, idx_dir, n_shards=4, field_cols=["lang"],
-        docvalue_cols=["n_chars"],
+        docvalue_cols=["n_chars"], positions=True,
     ).build(load_documents_corpus(spark, sf_dir), resume=True)
     with open(fp_file, "w") as f:
         f.write(fp)
@@ -685,6 +685,29 @@ def _q_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ".join(PHRASE_TOKENS), BM25_K + 64,
         source=load_documents_corpus(spark, sf_dir), slop=PHRASE_SLOP,
     )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_phrase_pos_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-ONLY phrase (positional sidecar, ES index_options:positions
+    analogue): same semantics as phrase_topk but verified by span-near
+    over decoded position lists — no source table in the plan. Shares
+    phrase_topk's oracle SQL."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_phrase(" ".join(PHRASE_TOKENS), BM25_K + 64)
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
         F.col("doc_id").alias("engine_id"),
         F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
@@ -1509,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conj": _q_bm25_topk_conj,
         "phrase_topk": _q_phrase_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
+        "phrase_pos_topk": _q_phrase_pos_topk,
         "bool_topk": _q_bool_topk,
         "bool_filter_topk": _q_bool_filter_topk,
         "bool_field_topk": _q_bool_field_topk,
@@ -1662,6 +1686,10 @@ def oracle_sql() -> dict[str, str]:
             require_all=True,
         ),
         "phrase_topk": bm25_duckdb_sql(
+            _TOKS_SQL, "documents", "doc_id", PHRASE_TOKENS, BM25_K,
+            require_all=True, phrase=PHRASE_TOKENS,
+        ),
+        "phrase_pos_topk": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", PHRASE_TOKENS, BM25_K,
             require_all=True, phrase=PHRASE_TOKENS,
         ),

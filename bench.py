@@ -134,6 +134,17 @@ def main() -> None:
         q.topk_phrase("table scan", 10, source=corpus).collect()
         timings["topk_phrase_sec"] = round(time.time() - t0, 4)
 
+        # --- positional sidecar (round 6, headline-excluded): one extra
+        # content scan derives positions; phrase then runs INDEX-ONLY
+        from go_dcp_elasticsearch_spark.index.positions import build_positions
+
+        t0 = time.time()
+        build_positions(spark, idx_dir, corpus)
+        timings["positions_build_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        q.topk_phrase("table scan", 10).collect()
+        timings["topk_phrase_pos_sec"] = round(time.time() - t0, 4)
+
         # --- bool retrieval (round 6): must + should/msm + must_not in the
         # generalized block-max kernel (must_not = id-stream decode only)
         t0 = time.time()
@@ -185,8 +196,14 @@ def main() -> None:
         timings["incremental_apply_sec"] = round(time.time() - t0, 3)
         timings["incremental_changed"] = inc["n_changed"]
         # new-in-round-2 workload: keep the HEADLINE total comparable with
-        # earlier rounds (build + query set + operator suite only)
-        extra_sec = timings["incremental_apply_sec"]
+        # earlier rounds (build + query set + operator suite only); the
+        # round-6 positional-sidecar entries are excluded too (they were
+        # added after the round-6 record landed)
+        extra_sec = (
+            timings["incremental_apply_sec"]
+            + timings["positions_build_sec"]
+            + timings["topk_phrase_pos_sec"]
+        )
 
         # --- round-6 search surfaces (excluded from the headline):
         # range filter (doc_len is a built-in doc-value, so the build

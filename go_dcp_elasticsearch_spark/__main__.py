@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated NUMERIC corpus columns carried "
                         "into the docs table for range queries (ES "
                         "doc_values)")
+    b.add_argument("--positions", action="store_true",
+                   help="write the positional sidecar (ES index_options: "
+                        "positions) so phrase queries run index-only "
+                        "(one extra content scan at build)")
     b.add_argument("--routing-col", default=None,
                    help="B5: place docs by hash(<col>) instead of id ranges")
     b.add_argument("--resume", action="store_true", help="skip lineage-committed stages")
@@ -227,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
                 docvalue_cols=(
                     args.docvalue_cols.split(",") if args.docvalue_cols else None
                 ),
+                positions=args.positions,
             ).build(corpus, resume=args.resume)
             print(json.dumps(summary))
         elif args.cmd == "apply":

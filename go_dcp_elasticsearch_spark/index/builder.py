@@ -171,6 +171,16 @@ class IndexPaths:
         return f"{self.root}/delta/docs"
 
     @property
+    def positions(self) -> str:
+        """Positional-postings sidecar (opt-in, IndexBuilder
+        positions=True). See index.positions."""
+        return f"{self.root}/positions"
+
+    @property
+    def positions_meta(self) -> str:
+        return f"{self.root}/positions/_meta.json"
+
+    @property
     def meta(self) -> str:
         return f"{self.root}/_meta/index.json"
 
@@ -585,6 +595,7 @@ class IndexBuilder:
         n_range_parts: int | None = None,
         field_cols: list[str] | None = None,
         docvalue_cols: list[str] | None = None,
+        positions: bool = False,
     ):
         """``id_mode``:
         - "sorted" (default): doc_id = rank of (repo, path) in global sort
@@ -627,6 +638,14 @@ class IndexBuilder:
         incremental apply paths preserve the values for changed docs.
         Postings, dl/avgdl and scores are bit-identical with and
         without doc-values — they live only in the forward store.
+
+        ``positions``: write the positional sidecar (the ES
+        ``index_options: positions`` analogue — see index.positions) so
+        ``topk_phrase`` runs INDEX-ONLY, no source table. Opt-in: it
+        costs one extra column-pruned content scan + tokenize pass at
+        build, and it is derived, not maintained — any incremental
+        apply/fold invalidates it (freshness marker vs the lineage
+        epoch) and phrase falls back to requiring ``source``.
         """
         self.spark = spark
         self.paths = IndexPaths(index_dir)
@@ -658,6 +677,7 @@ class IndexBuilder:
                     f"got {c!r}"
                 )
         self.docvalue_cols = list(docvalue_cols or [])
+        self.positions = bool(positions)
         self.lineage = LineageLog(spark, self.paths.lineage)
         self.metrics = MetricsLog(spark, self.paths.metrics)
 
@@ -1165,8 +1185,11 @@ class IndexBuilder:
 
             delete_dir(self.spark, self.paths.docs)
             # a fresh build supersedes any pending delta segments (their
-            # doc_ids are minted against the OLD docs table)
+            # doc_ids are minted against the OLD docs table) and any
+            # positional sidecar (its doc_ids are the old table's too —
+            # rebuilt after this build when positions=True)
             delete_dir(self.spark, self.paths.delta_root)
+            delete_dir(self.spark, self.paths.positions)
             # repartition on shard first: without it every input partition
             # writes a file per shard value (n_parts x n_shards tiny files)
             docs.repartition(self.n_shards, F.col("shard")).write.mode(
@@ -1265,6 +1288,7 @@ class IndexBuilder:
                     "routing_n_shards": self.n_shards if self.routing_col else None,
                     "field_cols": self.field_cols,
                     "docvalue_cols": self.docvalue_cols,
+                    "positions": self.positions,
                 }
             ),
             overwrite=True,
@@ -1294,4 +1318,12 @@ class IndexBuilder:
             import warnings
 
             warnings.warn(f"keymap base write failed ({e}); cache left invalid")
+        if self.positions:
+            # positional sidecar (ES index_options: positions analogue) —
+            # written LAST so its freshness marker sees the final epoch
+            from go_dcp_elasticsearch_spark.index.positions import (
+                build_positions,
+            )
+
+            build_positions(self.spark, str(self.paths.root), corpus)
         return {"n_docs": n_docs, "avgdl": avgdl, "elapsed_sec": elapsed}

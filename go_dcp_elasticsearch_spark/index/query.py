@@ -1356,12 +1356,20 @@ class BM25Query:
         greedy earliest-match scan per candidate (for a fixed p_1 the
         earliest completion minimizes the span, so greedy is exact).
 
-        The index stores no positions (the documented trade — positional
-        postings are future work), so the phrase test runs against the
-        SOURCE table the index was built from, which the caller passes as
-        ``source`` (corpus shape: repo, path, content — the lakehouse
-        table itself; ES keeps ``_source`` for exactly this role). The
-        plan stays candidate-bounded at scale:
+        The base postings store no positions, so by default the phrase
+        test runs against the SOURCE table the index was built from,
+        which the caller passes as ``source`` (corpus shape: repo, path,
+        content — the lakehouse table itself; ES keeps ``_source`` for
+        exactly this role). An index built with
+        ``IndexBuilder(positions=True)`` carries the positional sidecar
+        (the ES ``index_options: positions`` analogue) and serves phrase
+        INDEX-ONLY: call with ``source=None`` and the verify step
+        becomes a span-near test over decoded position lists — no
+        content bytes in the plan (see index.positions; the sidecar is
+        build-derived, and any incremental apply invalidates it until
+        the next build — ``source=None`` then raises with the
+        remediation). The source path's plan stays candidate-bounded at
+        scale:
 
           1. conjunctive posting intersection (exact path): only docs
              containing EVERY phrase term are scored — the candidate set
@@ -1382,14 +1390,23 @@ class BM25Query:
         tombstone-filtered decode and the pinned live docs view."""
         from go_dcp_elasticsearch_spark.index.segments import read_docs
 
-        if source is None:
-            raise ValueError(
-                "topk_phrase needs the source corpus frame (repo, path, "
-                "content): the index stores content_sha256, not content"
-            )
         if slop < 0:
             raise ValueError(f"topk_phrase: slop must be >= 0, got {slop}")
         self._ensure_fresh()
+        if source is None:
+            from go_dcp_elasticsearch_spark.index.positions import (
+                positions_fresh,
+            )
+
+            if not positions_fresh(self.spark, self.paths):
+                raise ValueError(
+                    "topk_phrase needs the source corpus frame (repo, "
+                    "path, content): the index stores content_sha256, not "
+                    "content, and no FRESH positional sidecar exists — "
+                    "build with IndexBuilder(positions=True) for "
+                    "index-only phrase (any incremental apply/fold "
+                    "invalidates the sidecar until the next build)"
+                )
         seq = tokenize_py(query)
         empty = self.spark.createDataFrame([], schema="doc_id long, score double")
         if not seq:
@@ -1399,6 +1416,8 @@ class BM25Query:
         if len(idfs) < len(uniq):
             return empty  # a term absent from the corpus: no phrase match
         scored = self._exact_scored(idfs, require_n=len(uniq))
+        if source is None:
+            return self._phrase_verify_positions(scored, seq, slop, k)
         meta = read_docs(self.spark, self.paths, self._segs).select(
             "doc_id", "repo", "path", "content_sha256"
         )
@@ -1443,6 +1462,58 @@ class BM25Query:
                     yield out
 
         hits = cand.mapInPandas(verify, schema="doc_id long, score double")
+        return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def _phrase_verify_positions(
+        self, scored: DataFrame, seq: list[str], slop: int, k: int
+    ) -> DataFrame:
+        """Index-only phrase verify (positions sidecar, ES
+        index_options:positions analogue): decode the phrase terms'
+        position lists (term predicate pushed into the sidecar scan),
+        inner-join the conjunctive candidates, and test in-order
+        span-near per doc — no source table, no content bytes, anywhere
+        in the plan. Freshness was checked by the caller: a fresh
+        sidecar implies no pending segments (any apply bumps the
+        lineage epoch), so the base-only decode is the full truth."""
+        from go_dcp_elasticsearch_spark.index.positions import (
+            decoded_positions,
+            span_near_positions,
+        )
+
+        pos = decoded_positions(self.spark, self.paths, sorted(set(seq)))
+        grouped = (
+            scored.join(pos, "doc_id")
+            .groupBy("doc_id", "score")
+            .agg(
+                F.collect_list("term").alias("_t"),
+                F.collect_list("pos").alias("_p"),
+            )
+        )
+        seq_local = list(seq)
+        slop_n = int(slop)
+
+        def verify(iterator):
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                keep = []
+                for terms, plists in zip(pdf["_t"], pdf["_p"]):
+                    by_term = {
+                        t: np.asarray(p, dtype=np.int64)
+                        for t, p in zip(terms, plists)
+                    }
+                    pos_lists = [by_term.get(t) for t in seq_local]
+                    if any(p is None for p in pos_lists):
+                        keep.append(False)
+                        continue
+                    keep.append(
+                        span_near_positions(pos_lists, slop_n)
+                    )
+                out = pdf.loc[keep, ["doc_id", "score"]]
+                if len(out):
+                    yield out
+
+        hits = grouped.mapInPandas(verify, schema="doc_id long, score double")
         return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def highlight(

@@ -1,0 +1,149 @@
+"""Positional sidecar (IndexBuilder positions=True) + index-only phrase:
+rank identity with the source-verify path and the pure-Python oracle,
+slop composition, position round-trips, and the freshness contract
+(any maintenance commit invalidates; source=None then raises).
+
+Reference contract: Lucene/ES store positions in the postings
+(``index_options: positions``, the text-field default) so match_phrase
+never reads ``_source`` — this sidecar is that capability, derived at
+build and invalidated (not silently served stale) by incremental
+maintenance.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dcp_elasticsearch_spark.corpus import synth_corpus
+from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+from go_dcp_elasticsearch_spark.index import BM25Query, IndexBuilder
+from go_dcp_elasticsearch_spark.index.positions import (
+    decoded_positions,
+    positions_fresh,
+    span_near_positions,
+)
+from go_dcp_elasticsearch_spark.sources.changes import apply_changes_to_index
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("positx") / "idx")
+    corpus = synth_corpus(spark, N)
+    IndexBuilder(spark, idx, n_shards=4, positions=True).build(corpus)
+    docs = spark.read.parquet(f"{idx}/docs").select(
+        "doc_id", "repo", "path"
+    ).collect()
+    src = {(r["repo"], r["path"]): r["content"] for r in corpus.collect()}
+    toks = {r["doc_id"]: tokenize_py(src[(r["repo"], r["path"])]) for r in docs}
+    return idx, corpus, toks
+
+
+def _phrase_from(toks, length=2):
+    for t in toks.values():
+        for i in range(len(t) - length):
+            seq = t[i : i + length]
+            if len(set(seq)) == length:
+                return seq
+    raise AssertionError("no phrase in fixture")
+
+
+def test_positions_fresh_after_build(spark, pos_idx):
+    idx, _, _ = pos_idx
+    assert positions_fresh(spark, idx)
+    from go_dcp_elasticsearch_spark.index.builder import read_index_meta
+
+    assert read_index_meta(spark, idx)["positions"] is True
+
+
+def test_position_lists_roundtrip(spark, pos_idx):
+    """Decoded position lists == token indices from the raw content."""
+    idx, _, toks = pos_idx
+    some = sorted({t for tt in list(toks.values())[:20] for t in tt})[:5]
+    rows = decoded_positions(spark, idx, some).collect()
+    assert rows, "sampled terms must exist"
+    for r in rows:
+        d, term, pos = int(r["doc_id"]), r["term"], list(r["pos"])
+        exp = [i for i, t in enumerate(toks[d]) if t == term]
+        assert pos == exp, (d, term)
+
+
+@pytest.mark.parametrize("length", [2, 3])
+def test_index_only_phrase_equals_source_verify(spark, pos_idx, length):
+    idx, corpus, toks = pos_idx
+    q = BM25Query(spark, idx)
+    seq = _phrase_from(toks, length)
+    text = " ".join(seq)
+    a = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_phrase(text, 10).collect()]
+    b = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_phrase(text, 10, source=corpus).collect()]
+    assert a == b and a
+
+
+@pytest.mark.parametrize("slop", [0, 1, 2])
+def test_index_only_phrase_slop_equals_source_verify(spark, pos_idx, slop):
+    idx, corpus, toks = pos_idx
+    q = BM25Query(spark, idx)
+    # a gapped pair so slop provably bites
+    for t in toks.values():
+        if len(t) > 2 and t[0] != t[2]:
+            seq = [t[0], t[2]]
+            break
+    text = " ".join(seq)
+    a = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_phrase(text, 300, slop=slop).collect()]
+    b = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_phrase(text, 300, source=corpus,
+                                slop=slop).collect()]
+    assert a == b
+
+
+def test_span_near_positions_unit():
+    import numpy as np
+
+    a = np.array([0, 10])
+    b = np.array([2, 12])
+    assert span_near_positions([a, b], 1)       # 0 -> 2 with one gap
+    assert not span_near_positions([a, b], 0)   # no adjacent pair
+    assert span_near_positions([np.array([5]), np.array([6])], 0)
+    assert not span_near_positions([np.array([6]), np.array([5])], 5)
+    assert not span_near_positions([np.array([]), np.array([1])], 3)
+
+
+def test_staleness_and_rebuild(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 80)
+    IndexBuilder(spark, idx, n_shards=2, positions=True).build(corpus)
+    q = BM25Query(spark, idx)
+    toks0 = tokenize_py(corpus.limit(1).collect()[0]["content"])
+    text = " ".join(toks0[:2])
+    assert q.topk_phrase(text, 5).count() >= 1
+
+    # any maintenance commit invalidates the sidecar
+    upd = corpus.limit(2).withColumn(
+        "seq_no", F.col("seq_no") + F.lit(1_000_000)
+    )
+    changes = upd.select("repo", "path", F.lit("index").alias("action"),
+                         "seq_no")
+    apply_changes_to_index(spark, idx, corpus, changes)
+    assert not positions_fresh(spark, idx)
+    q.refresh()
+    with pytest.raises(ValueError, match="FRESH positional sidecar"):
+        q.topk_phrase(text, 5)
+    # the source path still serves
+    assert q.topk_phrase(text, 5, source=corpus).count() >= 1
+
+    # a fresh positional build restores index-only phrase; a
+    # positions=False build removes the sidecar entirely
+    IndexBuilder(spark, idx, n_shards=2, positions=True).build(corpus)
+    assert positions_fresh(spark, idx)
+    q.refresh()
+    assert q.topk_phrase(text, 5).count() >= 1
+    IndexBuilder(spark, idx, n_shards=2).build(corpus)
+    assert not positions_fresh(spark, idx)
+    q.refresh()
+    with pytest.raises(ValueError, match="FRESH positional sidecar"):
+        q.topk_phrase(text, 5)

@@ -44,7 +44,8 @@ def main() -> None:
         return df.withColumn("nc", F.length("content").cast("long"))
 
     IndexBuilder(
-        spark, idx, n_shards=4, field_cols=["lang"], docvalue_cols=["nc"]
+        spark, idx, n_shards=4, field_cols=["lang"], docvalue_cols=["nc"],
+        positions=True,
     ).build(_nc(synth_corpus(spark, 2000)))
     q = BM25Query(spark, idx)
 
@@ -72,6 +73,19 @@ def main() -> None:
         "decides); no CartesianProduct/BroadcastNestedLoopJoin; final "
         "operator TakeOrderedAndProject.",
         explain_str(ph),
+    ))
+
+    php = q.topk_phrase("getValue buffer", 10)
+    sections.append((
+        "Index-only phrase top-k (round 6: positional sidecar)",
+        "Checks: NO source/content scan anywhere in the plan — the verify "
+        "side is the positions parquet scan with `PushedFilters: "
+        "[In(term, ...)]` and ReadSchema pruned to the varbyte streams "
+        "(term, ids_vb, tfs_vb, pos_vb); candidates still come from the "
+        "conjunctive postings scan; the two meet in a doc_id join + "
+        "collect_list aggregate feeding the span-near kernel; final "
+        "operator TakeOrderedAndProject.",
+        explain_str(php),
     ))
 
     pf = q.topk_prefix("var", 10, max_expansions=4)
