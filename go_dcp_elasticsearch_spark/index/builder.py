@@ -643,9 +643,10 @@ class IndexBuilder:
         ``index_options: positions`` analogue — see index.positions) so
         ``topk_phrase`` runs INDEX-ONLY, no source table. Opt-in: it
         costs one extra column-pruned content scan + tokenize pass at
-        build, and it is derived, not maintained — any incremental
-        apply/fold invalidates it (freshness marker vs the lineage
-        epoch) and phrase falls back to requiring ``source``.
+        build, is MAINTAINED by rebuild-strategy applies (shard-scoped
+        re-derivation), and is INVALIDATED by delta-segment applies and
+        folds (freshness marker vs the lineage epoch) — phrase then
+        falls back to requiring ``source`` until the next build.
         """
         self.spark = spark
         self.paths = IndexPaths(index_dir)

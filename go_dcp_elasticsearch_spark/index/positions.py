@@ -20,13 +20,16 @@ module adds the positional half as an OPT-IN sidecar
                                write} — the freshness contract.
 
 Freshness contract (the deliberate scope bound, stated rather than
-hidden): the sidecar is derived at BUILD time from the same corpus scan
-and is NOT maintained by incremental applies or folds — any maintenance
-commit bumps the lineage epoch past the sidecar's marker and
-``positions_fresh`` turns False. ``topk_phrase`` without a ``source``
-then raises with the exact remediation (pass source / rebuild) instead
-of serving stale positions. A fresh build with positions=False deletes
-a stale sidecar outright.
+hidden): the sidecar is derived at BUILD time and MAINTAINED by
+rebuild-strategy applies (whole shards are rewritten from content, so
+``rewrite_positions_for_shards`` re-derives exactly those partitions and
+re-stamps the marker — the clustered-CDC path keeps index-only phrase).
+Delta-segment applies and folds do NOT maintain it — their commit bumps
+the lineage epoch past the sidecar's marker and ``positions_fresh``
+turns False; ``topk_phrase`` without a ``source`` then raises with the
+exact remediation (pass source / rebuild) instead of serving stale
+positions, and a later rebuild apply never resurrects a stale sidecar.
+A fresh build with positions=False deletes the sidecar outright.
 
 Scale shape: the build is ONE extra column-pruned content scan (join of
 the docs metadata back to the corpus on the key, positions encoded in a
@@ -143,7 +146,7 @@ def build_positions(spark, index_dir: str, corpus: DataFrame) -> dict:
     shard-partitioned + term-sorted (term predicate pushdown for phrase
     reads). Stamps the freshness marker with the post-write lineage
     epoch. Returns {"n_rows", "epoch"}."""
-    from go_dcp_elasticsearch_spark.fsutil import delete_dir, write_file
+    from go_dcp_elasticsearch_spark.fsutil import delete_dir
     from go_dcp_elasticsearch_spark.index.builder import (
         dedup_last_write_wins,
     )
@@ -177,14 +180,57 @@ def build_positions(spark, index_dir: str, corpus: DataFrame) -> dict:
         .partitionBy("shard")
         .parquet(paths.positions)
     )
+    epoch = stamp_positions_marker(spark, paths)
+    spark.catalog.refreshByPath(paths.positions)
+    n_rows = spark.read.parquet(paths.positions).count()
+    return {"n_rows": int(n_rows), "epoch": int(epoch)}
+
+
+def rewrite_positions_for_shards(
+    spark, index_dir: str | IndexPaths, shard_corpus: DataFrame,
+    shards: set[int],
+) -> None:
+    """Rebuild-apply maintenance: replace the ``shard=N`` position
+    partitions of the REBUILT shards from the (persisted) rebuild
+    corpus — the same shard-scoped replace the postings get, so a
+    rebuild-strategy apply keeps the sidecar exactly in sync with the
+    base it just rewrote (a shard-corpus row exists for every surviving
+    doc of every rebuilt shard, inserts included; emptied shards simply
+    receive no rows and their partition stays deleted). The caller
+    re-stamps the freshness marker AFTER its lineage commit."""
+    from go_dcp_elasticsearch_spark.sources.changes import (
+        _delete_shard_partitions,
+    )
+
+    paths = index_dir if isinstance(index_dir, IndexPaths) else IndexPaths(index_dir)
+    chunks = shard_corpus.select("doc_id", "shard", "content").mapInPandas(
+        _positions_kernel, schema=POSITIONS_SCHEMA
+    )
+    _delete_shard_partitions(spark, paths.positions, shards, refresh=False)
+    (
+        chunks.repartition(max(len(shards), 1), F.col("shard"))
+        .sortWithinPartitions("term", "first_doc_id")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(paths.positions)
+    )
+    spark.catalog.refreshByPath(paths.positions)
+
+
+def stamp_positions_marker(spark, index_dir: str | IndexPaths) -> int:
+    """(Re)write the freshness marker at the CURRENT lineage epoch —
+    called by writers whose sidecar state matches the index they just
+    committed (build, rebuild-apply maintenance)."""
+    from go_dcp_elasticsearch_spark.fsutil import write_file
+    from go_dcp_elasticsearch_spark.plans.lineage import LineageLog
+
+    paths = index_dir if isinstance(index_dir, IndexPaths) else IndexPaths(index_dir)
     epoch = LineageLog(spark, paths.lineage).record_count()
     write_file(
         spark, paths.positions_meta, json.dumps({"epoch": epoch}),
         overwrite=True,
     )
-    spark.catalog.refreshByPath(paths.positions)
-    n_rows = spark.read.parquet(paths.positions).count()
-    return {"n_rows": int(n_rows), "epoch": int(epoch)}
+    return int(epoch)
 
 
 def positions_fresh(spark, index_dir: str | IndexPaths) -> bool:

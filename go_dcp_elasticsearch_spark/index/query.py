@@ -1366,9 +1366,9 @@ class BM25Query:
         INDEX-ONLY: call with ``source=None`` and the verify step
         becomes a span-near test over decoded position lists — no
         content bytes in the plan (see index.positions; the sidecar is
-        build-derived, and any incremental apply invalidates it until
-        the next build — ``source=None`` then raises with the
-        remediation). The source path's plan stays candidate-bounded at
+        build-derived and rebuild-apply-maintained; delta applies and
+        folds invalidate it until the next build — ``source=None`` then
+        raises with the remediation). The source path's plan stays candidate-bounded at
         scale:
 
           1. conjunctive posting intersection (exact path): only docs

@@ -624,6 +624,18 @@ def apply_changes_to_index(
         _validate_docvalue_cols(
             new_corpus, docvalue_cols, "apply_changes_to_index"
         )
+    # positional-sidecar maintenance (rebuild path only): a shard-scoped
+    # rebuild rewrites whole shards from content, so the sidecar's
+    # partitions for exactly those shards can be re-derived in sync and
+    # the freshness marker re-stamped — positions then SURVIVE
+    # rebuild-strategy applies (the clustered-CDC case). Only when the
+    # sidecar was fresh going in: a sidecar already invalidated by a
+    # delta apply/fold must stay stale until the next full build.
+    from go_dcp_elasticsearch_spark.index.positions import positions_fresh
+
+    maintain_pos = bool(meta.get("positions")) and positions_fresh(
+        spark, index_dir
+    )
     # update/delete-only deltas (the common CDC case) skip the whole
     # insert-rank machinery — its range-partition sampling + counts jobs
     # are pure fixed overhead when the feed holds no new keys (the probe
@@ -827,6 +839,27 @@ def apply_changes_to_index(
             import warnings
 
             warnings.warn(f"keymap maintenance failed ({e}); cache left invalid")
+    if maintain_pos:
+        try:
+            from go_dcp_elasticsearch_spark.index.positions import (
+                rewrite_positions_for_shards,
+                stamp_positions_marker,
+            )
+
+            rewrite_positions_for_shards(
+                spark, index_dir, shard_corpus, rebuild_shards
+            )
+            stamp_positions_marker(spark, index_dir)
+        except Exception as e:  # noqa: BLE001 — leave STALE, never wrong
+            import warnings
+
+            from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
+            delete_dir(spark, IndexPaths(index_dir).positions_meta)
+            warnings.warn(
+                f"positional-sidecar maintenance failed ({e}); sidecar "
+                "left stale (index-only phrase disabled until rebuild)"
+            )
     shard_corpus.unpersist()
     feed.unpersist()
     return {

@@ -122,13 +122,14 @@ def test_staleness_and_rebuild(spark, tmp_path):
     text = " ".join(toks0[:2])
     assert q.topk_phrase(text, 5).count() >= 1
 
-    # any maintenance commit invalidates the sidecar
+    # a DELTA-strategy apply invalidates the sidecar (segments carry new
+    # doc_ids the sidecar never saw)
     upd = corpus.limit(2).withColumn(
         "seq_no", F.col("seq_no") + F.lit(1_000_000)
     )
     changes = upd.select("repo", "path", F.lit("index").alias("action"),
                          "seq_no")
-    apply_changes_to_index(spark, idx, corpus, changes)
+    apply_changes_to_index(spark, idx, corpus, changes, strategy="delta")
     assert not positions_fresh(spark, idx)
     q.refresh()
     with pytest.raises(ValueError, match="FRESH positional sidecar"):
@@ -147,3 +148,53 @@ def test_staleness_and_rebuild(spark, tmp_path):
     q.refresh()
     with pytest.raises(ValueError, match="FRESH positional sidecar"):
         q.topk_phrase(text, 5)
+
+
+def test_rebuild_apply_maintains_positions(spark, tmp_path):
+    """A rebuild-strategy apply re-derives the rebuilt shards' position
+    partitions and re-stamps the marker: index-only phrase keeps serving,
+    with the POST-change positions."""
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 80)
+    IndexBuilder(spark, idx, n_shards=2, positions=True).build(corpus)
+    q = BM25Query(spark, idx)
+
+    upd = corpus.limit(3).withColumn(
+        "content",
+        F.concat(F.lit("zzalpha zzbeta "), F.col("content")),
+    ).withColumn("seq_no", F.col("seq_no") + F.lit(1_000_000))
+    n_upd = upd.count()
+    new_corpus = corpus.join(
+        upd.select("repo", "path"), ["repo", "path"], "left_anti"
+    ).unionByName(upd)
+    changes = upd.select("repo", "path", F.lit("index").alias("action"),
+                         "seq_no")
+    out = apply_changes_to_index(
+        spark, idx, new_corpus, changes, strategy="rebuild"
+    )
+    assert out.get("segment") is None
+    assert positions_fresh(spark, idx)
+    q.refresh()
+    # the new phrase exists only in the updated docs' NEW content and
+    # only at positions (0, 1) — index-only phrase must see it
+    hits = q.topk_phrase("zzalpha zzbeta", 10)
+    assert hits.count() == n_upd
+    # and is position-exact: reversed order must NOT match at slop 0
+    assert q.topk_phrase("zzbeta zzalpha", 10).count() == 0
+    # identical to the source-verify path on the post-change corpus
+    a = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in hits.collect()]
+    b = [(int(r["doc_id"]), round(float(r["score"]), 9))
+         for r in q.topk_phrase("zzalpha zzbeta", 10,
+                                source=new_corpus).collect()]
+    assert a == b
+
+    # a sidecar that went stale via a delta apply STAYS stale across a
+    # later rebuild apply (maintenance never resurrects divergence)
+    apply_changes_to_index(spark, idx, new_corpus, changes, strategy="delta")
+    assert not positions_fresh(spark, idx)
+    out2 = apply_changes_to_index(
+        spark, idx, new_corpus, changes, strategy="rebuild"
+    )
+    assert out2.get("segment") is None
+    assert not positions_fresh(spark, idx)
