@@ -35,9 +35,9 @@ Scale shape: the build is ONE extra column-pruned content scan (join of
 the docs metadata back to the corpus on the key, positions encoded in a
 vectorized Arrow kernel, one shuffle on (term, shard)); a phrase query
 reads the sidecar with the phrase terms pushed into the parquet scan
-(``In(term, …)``), decodes only rows whose id-range can intersect the
-candidates, and verifies span-near over position lists — no source
-table, no content bytes, anywhere in the plan.
+(``In(term, …)``), joins the decoded per-doc position lists to the
+conjunctive candidates, and verifies span-near — no source table, no
+content bytes, anywhere in the plan.
 """
 
 from __future__ import annotations

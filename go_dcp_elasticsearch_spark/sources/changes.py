@@ -747,6 +747,14 @@ def apply_changes_to_index(
         F.size(tokenize_expr("content")).cast("long").alias("doc_len"),
         F.col("shard"),
     )
+    if maintain_pos:
+        # drop the freshness marker BEFORE touching the base: a crash
+        # anywhere inside this apply then leaves the sidecar STALE (the
+        # rebuild replays from the feed), never fresh-but-diverged; the
+        # marker is re-stamped after the post-commit positions rewrite
+        from go_dcp_elasticsearch_spark.fsutil import delete_dir as _dd
+
+        _dd(spark, IndexPaths(index_dir).positions_meta)
     with _dynamic_overwrite(spark):
         new_docs.repartition(len(rebuild_shards), F.col("shard")).write.mode(
             "overwrite"
