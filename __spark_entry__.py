@@ -81,6 +81,13 @@ FIELD_SHOULD = "dup"
 FIELD_FILTER = "lang:en"
 FIELD_NOT = "customer"
 
+# terms-query gate (ES `terms` query): disjunctive keyword filter — the
+# doc must carry ANY of the listed lang values' postings; filter
+# context (score-0 hits stay), with a should boost on top. The mirror
+# is a plain IN predicate.
+TERMSQ_SHOULD = "dup"
+TERMSQ_VALUES = ["en", "fr"]
+
 # range gate queries (ES range query over numeric doc-values): the
 # oracle index carries n_chars as a docvalue column (IndexBuilder
 # docvalue_cols=["n_chars"]); the bounds are a pushed parquet predicate
@@ -385,6 +392,33 @@ def _q_bool_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = BM25Query(spark, idx_dir)
     hits = q.topk_bool(
         should=FIELD_SHOULD, filter=FIELD_FILTER, must_not=FIELD_NOT,
+        k=BM25_K + 64, minimum_should_match=0,
+    )
+    docs = spark.read.parquet(f"{idx_dir}/docs").select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_replace("path", "^doc/", "").cast("long").alias("doc_id"),
+    )
+    return (
+        hits.withColumnRenamed("doc_id", "engine_id")
+        .join(docs, "engine_id")
+        .select("doc_id", round6_expr(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def _q_terms_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms query through the full engine: the doc must carry ANY of
+    the lang values' keyword postings (disjunctive within the column,
+    filter context — posting-list work only, no docs-table scan), the
+    should clause boosts, score-0 hits stay. Same k+64 margin + public
+    re-rank as the other index-backed gate queries."""
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    idx_dir = _oracle_index(spark, sf_dir)
+    q = BM25Query(spark, idx_dir)
+    hits = q.topk_bool(
+        should=TERMSQ_SHOULD, terms_filter={"lang": TERMSQ_VALUES},
         k=BM25_K + 64, minimum_should_match=0,
     )
     docs = spark.read.parquet(f"{idx_dir}/docs").select(
@@ -1536,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_topk": _q_bool_topk,
         "bool_filter_topk": _q_bool_filter_topk,
         "bool_field_topk": _q_bool_field_topk,
+        "terms_query_topk": _q_terms_query_topk,
         "range_topk": _q_range_topk,
         "range_filter_topk": _q_range_filter_topk,
         "search_after_topk": _q_search_after_topk,
@@ -1711,6 +1746,31 @@ def oracle_sql() -> dict[str, str]:
                 "msm": BOOL_MSM,
             },
         ),
+        "terms_query_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tokens, lang FROM documents),
+dl AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  WHERE t.term IN ('{TERMSQ_SHOULD}')
+  GROUP BY doc_id, t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+            ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT t.doc_id, {round6_sql("coalesce(s.score, 0.0)")} AS score
+FROM toks t LEFT JOIN scored s USING (doc_id)
+WHERE lower(t.lang) IN ({", ".join(f"'{v}'" for v in TERMSQ_VALUES)})
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_K}
+""",
         "range_topk": bm25_duckdb_sql(
             _TOKS_SQL, "documents", "doc_id", [], BM25_K,
             bool_spec={

@@ -141,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
                         "--corpus, the source the index was built from)")
     q.add_argument("--highlight-window", type=int, default=5,
                    help="tokens each side of a match in a fragment")
+    q.add_argument("--terms-filter", default=None, dest="terms_filter",
+                   help="bool mode: ES terms query as JSON, e.g. "
+                        "'{\"lang\": [\"en\", \"fr\"]}' — the doc must "
+                        "carry at least one col:value keyword posting per "
+                        "listed column (filter context, never scores)")
     q.add_argument("--after-score", type=float, default=None,
                    help="ES search_after cursor: the previous page's last "
                         "hit's score (with --after-doc; any/all modes)")
@@ -167,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--msm", type=int, default=None)
     g.add_argument("--range", default=None, dest="range_spec",
                    help="ES range clause as JSON (see query --range)")
+    g.add_argument("--terms-filter", default=None, dest="terms_filter",
+                   help="ES terms query as JSON (see query --terms-filter)")
     g.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -268,10 +275,17 @@ def main(argv: list[str] | None = None) -> int:
                     rng = json.loads(args.range_spec)
                 except json.JSONDecodeError as e:
                     p.error(f"--range is not valid JSON: {e}")
+            tf_spec = None
+            if args.terms_filter:
+                try:
+                    tf_spec = json.loads(args.terms_filter)
+                except json.JSONDecodeError as e:
+                    p.error(f"--terms-filter is not valid JSON: {e}")
             qq = BM25Query(spark, args.index)
             bool_kw = dict(
                 must=args.must, should=args.should, must_not=args.must_not,
                 filter=args.filter, minimum_should_match=args.msm, range=rng,
+                terms_filter=tf_spec,
             )
             if args.agg == "terms":
                 out = qq.agg_terms(args.field, size=args.size, **bool_kw)
@@ -289,6 +303,8 @@ def main(argv: list[str] | None = None) -> int:
             qq = BM25Query(spark, args.index)
             if args.range_spec and args.mode != "bool":
                 p.error("--range requires --mode bool")
+            if args.terms_filter and args.mode != "bool":
+                p.error("--terms-filter requires --mode bool")
             if args.after_score is not None and args.mode not in ("any", "all"):
                 p.error("--after-score/--after-doc serve --mode any/all")
             if args.highlight and args.mode not in ("any", "all"):
@@ -303,11 +319,17 @@ def main(argv: list[str] | None = None) -> int:
                         rng = json.loads(args.range_spec)
                     except json.JSONDecodeError as e:
                         p.error(f"--range is not valid JSON: {e}")
+                tf_spec = None
+                if args.terms_filter:
+                    try:
+                        tf_spec = json.loads(args.terms_filter)
+                    except json.JSONDecodeError as e:
+                        p.error(f"--terms-filter is not valid JSON: {e}")
                 hits = qq.topk_bool(
                     must=args.must, should=args.should,
                     must_not=args.must_not, filter=args.filter, k=args.k,
                     minimum_should_match=args.msm, strategy=args.strategy,
-                    range=rng,
+                    range=rng, terms_filter=tf_spec,
                 )
                 for row in hits.collect():
                     print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))

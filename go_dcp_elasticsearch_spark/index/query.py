@@ -180,6 +180,8 @@ class BM25Query:
         # docs-table schema cache for range (doc-values) validation —
         # loaded lazily on the first range/agg call, pinned per epoch
         self._docs_fields: dict[str, str] | None = None
+        # keyword-field list from _meta, for terms_filter validation
+        self._kw_fields: list[str] | None = None
         # tombstones ship to the score kernels as a BROADCAST, not a
         # closure capture: one Arrow-serialized copy per executor per
         # epoch instead of one per task per query (at the hard compaction
@@ -662,6 +664,47 @@ class BM25Query:
 
     # ---------- boolean retrieval (ES bool query analogue) ----------
 
+    def _kw_field_cols(self) -> list[str]:
+        """field_cols recorded in _meta (keyword-indexed columns), cached
+        per epoch — terms_filter validation."""
+        if self._kw_fields is None:
+            from go_dcp_elasticsearch_spark.index.builder import (
+                read_index_meta,
+            )
+
+            meta = read_index_meta(self.spark, str(self.paths.root))
+            self._kw_fields = list(meta.get("field_cols") or [])
+        return self._kw_fields
+
+    def _terms_groups(self, terms_filter: dict | None, op: str) -> list[list[str]]:
+        """Validate an ES ``terms``-query spec ``{col: [v1, v2, …]}``
+        against the index's keyword fields and return one sorted
+        ``col:value`` token list per column (disjunctive within a
+        column, columns ANDed)."""
+        if terms_filter is None:
+            return []
+        if not isinstance(terms_filter, dict) or not terms_filter:
+            raise ValueError(
+                f"{op}: terms_filter must be a non-empty dict "
+                f"{{column: [values…]}}, got {terms_filter!r}"
+            )
+        kw = self._kw_field_cols()
+        groups = []
+        for col, values in sorted(terms_filter.items()):
+            if col not in kw:
+                raise ValueError(
+                    f"{op}: terms_filter column {col!r} is not a keyword "
+                    f"field of this index (field_cols: {kw}); build with "
+                    "IndexBuilder(field_cols=[...])"
+                )
+            if not isinstance(values, (list, tuple, set)) or not values:
+                raise ValueError(
+                    f"{op}: terms_filter[{col!r}] must be a non-empty "
+                    f"list of values, got {values!r}"
+                )
+            groups.append(sorted({f"{col}:{str(v).lower()}" for v in values}))
+        return groups
+
     def _parse_bool(
         self,
         must: str,
@@ -671,6 +714,7 @@ class BM25Query:
         minimum_should_match: int | None,
         range: dict | None,
         op: str,
+        terms_filter: dict | None = None,
     ) -> dict:
         """Shared clause parsing + validation for topk_bool/match_frame:
         analyze the four clause classes, reject degenerate combinations,
@@ -691,8 +735,11 @@ class BM25Query:
         s = sorted(set(self.analyze(should)))
         n = sorted(set(self._clause_terms(must_not)))
         f = sorted(set(self._clause_terms(filter)))
+        groups = self._terms_groups(terms_filter, op)
         sets = {"must": set(m), "should": set(s), "must_not": set(n),
                 "filter": set(f)}
+        for gi, grp in enumerate(groups):
+            sets[f"terms_filter[{gi}]"] = set(grp)
         overlap = set()
         names = list(sets)
         for i, a in enumerate(names):
@@ -701,13 +748,14 @@ class BM25Query:
         if overlap:
             raise ValueError(
                 f"{op}: term(s) {sorted(overlap)!r} appear in more "
-                "than one clause class (must/should/filter/must_not)"
+                "than one clause class (must/should/filter/must_not/"
+                "terms_filter)"
             )
-        if not m and not s and not f and range is None:
+        if not m and not s and not f and range is None and not groups:
             raise ValueError(
-                f"{op}: needs at least one must, should, filter or "
-                "range clause — a pure must_not query is an unbounded "
-                "match-all complement"
+                f"{op}: needs at least one must, should, filter, range "
+                "or terms_filter clause — a pure must_not query is an "
+                "unbounded match-all complement"
             )
         # validate the range spec up front (driver-side schema check), so
         # a malformed spec raises even when a dead must term would make
@@ -716,14 +764,16 @@ class BM25Query:
         msm = minimum_should_match
         if msm is None:
             # ES default: 1 only when should is the sole qualifying
-            # clause — must/filter/range presence all drop it to 0
-            msm = 1 if (not m and not f and range is None and s) else 0
+            # clause — must/filter/range/terms presence all drop it to 0
+            msm = 1 if (
+                not m and not f and range is None and not groups and s
+            ) else 0
         if msm < 0:
             raise ValueError(f"{op}: minimum_should_match {msm} < 0")
         out = {
             "m": m, "s": s, "n": n, "f": f, "msm": msm,
             "rng_pred": rng_pred, "empty": False,
-            "idfs": {}, "live_s": [], "n_live": [],
+            "idfs": {}, "live_s": [], "n_live": [], "groups": groups,
         }
         if msm > len(s):
             out["empty"] = True  # can never be satisfied
@@ -741,12 +791,22 @@ class BM25Query:
         if self._df_map is not None:
             n_live = [t for t in n if t in self._df_map]
             f_dead = [t for t in f if t not in self._df_map]
+            live_groups = [
+                [t for t in grp if t in self._df_map] for grp in groups
+            ]
         else:
             n_live = [t for t in n if self._term_stats([t])]
             f_dead = [t for t in f if not self._term_stats([t])]
+            live_groups = [
+                [t for t in grp if self._term_stats([t])] for grp in groups
+            ]
         out["n_live"] = n_live
         if f_dead:
             out["empty"] = True  # a filter term absent from the whole corpus
+        if any(not grp for grp in live_groups):
+            # a terms group with NO live value can never be satisfied
+            out["empty"] = True
+        out["groups"] = live_groups
         return out
 
     def match_frame(
@@ -758,6 +818,7 @@ class BM25Query:
         minimum_should_match: int | None = None,
         range: dict | None = None,
         match_all: bool = False,
+        terms_filter: dict | None = None,
     ) -> DataFrame:
         """(doc_id, score) of EVERY doc matching the bool query — the
         aggregation input (ES runs aggregations over the full match set,
@@ -771,7 +832,11 @@ class BM25Query:
         Scale shape: candidates are bounded by the clause terms' postings
         (or the pushed-predicate docs scan for range/match_all); the
         result is a frame, never collected — aggregations reduce it."""
-        no_clauses = not (must or should or must_not or filter) and range is None
+        no_clauses = (
+            not (must or should or must_not or filter)
+            and range is None
+            and terms_filter is None
+        )
         if no_clauses:
             if not match_all:
                 raise ValueError(
@@ -786,7 +851,7 @@ class BM25Query:
             )
         p = self._parse_bool(
             must, should, must_not, filter, minimum_should_match, range,
-            op="match_frame",
+            op="match_frame", terms_filter=terms_filter,
         )
         empty = self.spark.createDataFrame([], schema="doc_id long, score double")
         if p["empty"]:
@@ -794,9 +859,11 @@ class BM25Query:
         m, s, f = p["m"], p["s"], p["f"]
         msm, idfs = p["msm"], p["idfs"]
         live_s, n_live = p["live_s"], p["n_live"]
-        rng_pred = p["rng_pred"]
+        rng_pred, groups = p["rng_pred"], p["groups"]
         if rng_pred is None:
-            return self._exact_scored_bool(idfs, m, live_s, n_live, msm, f)
+            return self._exact_scored_bool(
+                idfs, m, live_s, n_live, msm, f, terms_groups=groups
+            )
         from go_dcp_elasticsearch_spark.index.segments import read_docs
 
         rng_ids = (
@@ -804,8 +871,10 @@ class BM25Query:
             .filter(rng_pred)
             .select("doc_id")
         )
-        if m or f or msm > 0:
-            scored = self._exact_scored_bool(idfs, m, live_s, n_live, msm, f)
+        if m or f or msm > 0 or groups:
+            scored = self._exact_scored_bool(
+                idfs, m, live_s, n_live, msm, f, terms_groups=groups
+            )
             return scored.join(rng_ids, "doc_id", "semi")
         hits = rng_ids
         if n_live:
@@ -829,6 +898,7 @@ class BM25Query:
         minimum_should_match: int | None = None,
         strategy: str = "pruned",
         range: dict | None = None,
+        terms_filter: dict | None = None,
     ) -> DataFrame:
         """ES ``bool`` query top-k: a doc qualifies iff it contains EVERY
         ``must`` term, EVERY ``filter`` term, at least
@@ -881,6 +951,15 @@ class BM25Query:
         (AQE broadcasts whichever side is small). The ``strategy``
         parameter only picks the physical plan for range-free queries.
 
+        ``terms_filter``: the ES ``terms`` query — ``{col: [v1, v2, …]}``
+        over keyword fields (IndexBuilder field_cols): the doc must carry
+        AT LEAST ONE ``col:value`` posting per listed column (disjunctive
+        within a column, columns ANDed), never scored (filter context).
+        Pure posting-list work: the group tokens ride the same pruned
+        ``In(term, …)`` scan, decoded as id-streams with UB 0, and the
+        per-group >=1 count filters before threshold selection — no
+        docs-table scan.
+
         Scale shape: candidates are decided per shard exactly like
         topk_pruned (a doc's postings all live in one shard, so the
         must-conjunction, filter-conjunction, should-count and
@@ -896,7 +975,7 @@ class BM25Query:
             )
         p = self._parse_bool(
             must, should, must_not, filter, minimum_should_match, range,
-            op="topk_bool",
+            op="topk_bool", terms_filter=terms_filter,
         )
         empty = self.spark.createDataFrame([], schema="doc_id long, score double")
         if p["empty"]:
@@ -904,7 +983,7 @@ class BM25Query:
         m, s, f = p["m"], p["s"], p["f"]
         msm, idfs = p["msm"], p["idfs"]
         live_s, n_live = p["live_s"], p["n_live"]
-        rng_pred = p["rng_pred"]
+        rng_pred, groups = p["rng_pred"], p["groups"]
         if rng_pred is not None:
             from go_dcp_elasticsearch_spark.index.segments import read_docs
 
@@ -913,12 +992,12 @@ class BM25Query:
                 .filter(rng_pred)
                 .select("doc_id")
             )
-            if m or f or msm > 0:
-                # some term clause bounds the result: every qualifying
-                # doc has posting rows, so the scored frame is a superset
-                # and the range side semi-joins in
+            if m or f or msm > 0 or groups:
+                # some posting-backed clause bounds the result: every
+                # qualifying doc has posting rows, so the scored frame is
+                # a superset and the range side semi-joins in
                 scored = self._exact_scored_bool(
-                    idfs, m, live_s, n_live, msm, f
+                    idfs, m, live_s, n_live, msm, f, terms_groups=groups
                 )
                 return (
                     scored.join(rng_ids, "doc_id", "semi")
@@ -952,14 +1031,20 @@ class BM25Query:
                 .select("doc_id", F.lit(0.0).alias("score"))
             )
         if strategy == "exact":
-            scored = self._exact_scored_bool(idfs, m, live_s, n_live, msm, f)
+            scored = self._exact_scored_bool(
+                idfs, m, live_s, n_live, msm, f, terms_groups=groups
+            )
             return scored.orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
             ).limit(k)
         kernel = _make_bool_shard_kernel(
-            idfs, m, live_s, n_live, msm, self.avgdl, k, self._tomb, filt=f
+            idfs, m, live_s, n_live, msm, self.avgdl, k, self._tomb, filt=f,
+            terms_groups=groups,
         )
-        blocks = self._candidate_blocks(sorted(idfs) + n_live + f).select(
+        group_terms = [t for grp in groups for t in grp]
+        blocks = self._candidate_blocks(
+            sorted(idfs) + n_live + f + group_terms
+        ).select(
             "shard", "term", "seg", "block_id", "ids_vb", "tfs_vb", "dls_vb",
             "max_tf", "min_dl"
         )
@@ -974,6 +1059,7 @@ class BM25Query:
         must_not: list[str],
         msm: int,
         filt: list[str] | None = None,
+        terms_groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Declarative bool scoring: one decode pass over all clause
         sets' postings, then a per-doc aggregate — score sums only
@@ -981,10 +1067,15 @@ class BM25Query:
         via the map miss), clause counts become HAVING-style filters. One
         row per (term, doc) by construction, so count == distinct matched
         terms. A filter-only call (empty idfs) yields constant 0.0
-        scores, the ES filter-context contract."""
+        scores, the ES filter-context contract. ``terms_groups``: one
+        list of ``col:value`` tokens per ES ``terms`` query — the doc
+        must match AT LEAST ONE token per group (disjunctive within a
+        group, groups ANDed)."""
         filt = filt or []
+        groups = terms_groups or []
         cls_pairs = [(t, 0) for t in must] + [(t, 1) for t in should] + \
-            [(t, 2) for t in must_not] + [(t, 3) for t in filt]
+            [(t, 2) for t in must_not] + [(t, 3) for t in filt] + \
+            [(t, 10 + gi) for gi, grp in enumerate(groups) for t in grp]
         cls_map = F.create_map(
             *[x for t, c in sorted(cls_pairs) for x in (F.lit(t), F.lit(c))]
         )
@@ -1002,23 +1093,30 @@ class BM25Query:
             F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.lit(self.avgdl))
         )
         cls = cls_map[F.col("term")]
+        aggs = [
+            F.sum("contrib").alias("score"),
+            F.sum((F.col("_cls") == 0).cast("int")).alias("_nm"),
+            F.sum((F.col("_cls") == 1).cast("int")).alias("_ns"),
+            F.sum((F.col("_cls") == 2).cast("int")).alias("_nn"),
+            F.sum((F.col("_cls") == 3).cast("int")).alias("_nf"),
+        ] + [
+            F.sum((F.col("_cls") == 10 + gi).cast("int")).alias(f"_g{gi}")
+            for gi in range(len(groups))
+        ]
+        cond = (
+            (F.col("_nm") == len(must))
+            & (F.col("_ns") >= msm)
+            & (F.col("_nn") == 0)
+            & (F.col("_nf") == len(filt))
+        )
+        for gi in range(len(groups)):
+            cond = cond & (F.col(f"_g{gi}") >= 1)
         scored = (
             postings.withColumn("contrib", contrib)
             .withColumn("_cls", cls)
             .groupBy("doc_id")
-            .agg(
-                F.sum("contrib").alias("score"),
-                F.sum((F.col("_cls") == 0).cast("int")).alias("_nm"),
-                F.sum((F.col("_cls") == 1).cast("int")).alias("_ns"),
-                F.sum((F.col("_cls") == 2).cast("int")).alias("_nn"),
-                F.sum((F.col("_cls") == 3).cast("int")).alias("_nf"),
-            )
-            .filter(
-                (F.col("_nm") == len(must))
-                & (F.col("_ns") >= msm)
-                & (F.col("_nn") == 0)
-                & (F.col("_nf") == len(filt))
-            )
+            .agg(*aggs)
+            .filter(cond)
         )
         return scored.select("doc_id", "score")
 
@@ -1049,6 +1147,7 @@ class BM25Query:
     def _agg_universe(
         self, field: str, must: str, should: str, must_not: str,
         filter: str, minimum_should_match: int | None, range: dict | None,
+        terms_filter: dict | None = None,
     ) -> DataFrame:
         """The matching docs' ``field`` values (the aggregation input).
         No clauses = the ES match_all default: a column-pruned docs scan,
@@ -1060,13 +1159,17 @@ class BM25Query:
 
         self._ensure_fresh()
         docs = read_docs(self.spark, self.paths, segs=self._segs)
-        term_free = not (must or should or must_not or filter)
+        term_free = (
+            not (must or should or must_not or filter)
+            and terms_filter is None
+        )
         if term_free and range is None:
             return docs.select(field)
         if term_free and not minimum_should_match:
             return docs.filter(self._range_pred(range)).select(field)
         ids = self.match_frame(
-            must, should, must_not, filter, minimum_should_match, range
+            must, should, must_not, filter, minimum_should_match, range,
+            terms_filter=terms_filter,
         ).select("doc_id")
         return docs.join(ids, "doc_id", "semi").select(field)
 
@@ -1080,6 +1183,7 @@ class BM25Query:
         filter: str = "",
         minimum_should_match: int | None = None,
         range: dict | None = None,
+        terms_filter: dict | None = None,
     ) -> DataFrame:
         """ES ``terms`` aggregation: the top-``size`` (value, doc_count)
         buckets of ``field`` over every doc matching the bool query
@@ -1099,7 +1203,7 @@ class BM25Query:
         self._agg_field_check(field, numeric=False, op="agg_terms")
         u = self._agg_universe(
             field, must, should, must_not, filter, minimum_should_match,
-            range,
+            range, terms_filter=terms_filter,
         )
         return (
             u.filter(F.col(field).isNotNull())
@@ -1118,6 +1222,7 @@ class BM25Query:
         filter: str = "",
         minimum_should_match: int | None = None,
         range: dict | None = None,
+        terms_filter: dict | None = None,
     ) -> DataFrame:
         """ES ``stats`` aggregation: ONE row (count, min, max, avg, sum)
         of a numeric doc-value over every doc matching the bool query
@@ -1126,7 +1231,7 @@ class BM25Query:
         self._agg_field_check(field, numeric=True, op="agg_stats")
         u = self._agg_universe(
             field, must, should, must_not, filter, minimum_should_match,
-            range,
+            range, terms_filter=terms_filter,
         )
         c = F.col(field)
         return u.agg(
@@ -1148,6 +1253,7 @@ class BM25Query:
         filter: str = "",
         minimum_should_match: int | None = None,
         range: dict | None = None,
+        terms_filter: dict | None = None,
     ) -> DataFrame:
         """ES ``cardinality`` aggregation: distinct values of ``field``
         over the matching docs — approximate by default via
@@ -1161,7 +1267,7 @@ class BM25Query:
         self._agg_field_check(field, numeric=False, op="agg_cardinality")
         u = self._agg_universe(
             field, must, should, must_not, filter, minimum_should_match,
-            range,
+            range, terms_filter=terms_filter,
         )
         c = F.col(field)
         agg = (
@@ -1180,6 +1286,7 @@ class BM25Query:
         filter: str = "",
         minimum_should_match: int | None = None,
         range: dict | None = None,
+        terms_filter: dict | None = None,
     ) -> DataFrame:
         """ES ``histogram`` aggregation: (bucket, doc_count) rows over a
         numeric doc-value, bucket = floor(value/interval)*interval (the
@@ -1194,7 +1301,7 @@ class BM25Query:
         self._agg_field_check(field, numeric=True, op="agg_histogram")
         u = self._agg_universe(
             field, must, should, must_not, filter, minimum_should_match,
-            range,
+            range, terms_filter=terms_filter,
         )
         bucket = (
             F.floor(F.col(field) / F.lit(float(interval)))
@@ -1964,6 +2071,7 @@ def _make_bool_shard_kernel(
     k: int,
     tomb_ref: "np.ndarray | None" = None,
     filt: list[str] | None = None,
+    terms_groups: list[list[str]] | None = None,
 ):
     """Per-shard kernel for the ES ``bool`` query (see BM25Query.topk_bool).
 
@@ -1985,6 +2093,7 @@ def _make_bool_shard_kernel(
     )
 
     filt = filt or []
+    groups = terms_groups or []
     scoring_sorted = sorted(idfs)
     must_set = set(must)
     n_must = len(must)
@@ -2020,6 +2129,16 @@ def _make_bool_shard_kernel(
                 all_ids.append(ids)
                 all_ubs.append(np.zeros(len(ids)))
                 all_cls.append(np.full(len(ids), 3, dtype=np.int8))
+        # terms groups (ES `terms` query): id-streams only, UB 0, one
+        # clause class per group (>= 1 match required within each)
+        for gi, grp in enumerate(groups):
+            for t in grp:
+                for row in per_term.get(t, []):
+                    gaps = varbyte_decode(bytes(row.ids_vb))
+                    ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                    all_ids.append(ids)
+                    all_ubs.append(np.zeros(len(ids)))
+                    all_cls.append(np.full(len(ids), 10 + gi, dtype=np.int16))
         if not all_ids:
             return empty
         ids_cat = np.concatenate(all_ids)
@@ -2041,6 +2160,10 @@ def _make_bool_shard_kernel(
             cnt_f = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(cnt_f, inv[cls_cat == 3], 1)
             keep &= cnt_f == n_filt
+        for gi in range(len(groups)):
+            cnt_g = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt_g, inv[cls_cat == 10 + gi], 1)
+            keep &= cnt_g >= 1
         uniq, ub = uniq[keep], ub[keep]
         if not len(uniq):
             return empty

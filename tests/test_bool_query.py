@@ -112,7 +112,8 @@ def test_bool_rejects_degenerate(spark, bool_idx):
         q.topk_bool(must="buffer", must_not="buffer")
     with pytest.raises(ValueError, match="more than one clause class"):
         q.topk_bool(must="buffer", should="buffer")
-    with pytest.raises(ValueError, match="must, should, filter or range"):
+    with pytest.raises(ValueError,
+                       match="must, should, filter, range or terms_filter"):
         q.topk_bool(must_not="buffer")
     with pytest.raises(ValueError, match="unknown strategy"):
         q.topk_bool(must="buffer", strategy="zzz")
@@ -214,3 +215,142 @@ def test_bool_filter_semantics(spark, bool_idx):
         q.topk_bool(must="buffer", filter="buffer")
     with pytest.raises(ValueError, match="more than one clause class"):
         q.topk_bool(filter="buffer", must_not="buffer")
+
+
+# -------------------------------------------------- terms query (ES `terms`)
+
+
+@pytest.fixture(scope="module")
+def terms_idx(spark, tmp_path_factory):
+    """250-doc index with lang keyword postings; returns (idx, doc_id ->
+    tokens, doc_id -> lang)."""
+    idx = str(tmp_path_factory.mktemp("termsidx") / "idx")
+    corpus = synth_corpus(spark, 250)
+    IndexBuilder(spark, idx, n_shards=4, field_cols=["lang"]).build(corpus)
+    rows = spark.read.parquet(f"{idx}/docs").select(
+        "doc_id", "repo", "path", "lang"
+    ).collect()
+    src = {(r["repo"], r["path"]): r["content"] for r in corpus.collect()}
+    toks = {r["doc_id"]: tokenize_py(src[(r["repo"], r["path"])]) for r in rows}
+    langs = {r["doc_id"]: r["lang"] for r in rows}
+    return idx, toks, langs
+
+
+def test_terms_filter_rank_identity(spark, terms_idx):
+    """must + terms_filter == oracle restricted to docs whose lang is in
+    the value set — identical on pruned and exact plans."""
+    idx, toks, langs = terms_idx
+    q = BM25Query(spark, idx)
+    vals = ["go", "js"]
+    allowed = {d for d, lg in langs.items() if lg in vals}
+    exp = [
+        (d, round(s, 9))
+        for d, s in bm25_bool_oracle(
+            toks, ["buffer"], [], [], 0, 10, allowed=allowed
+        )
+    ]
+    for strategy in ("pruned", "exact"):
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in q.topk_bool(
+                must="buffer", terms_filter={"lang": vals}, k=10,
+                strategy=strategy,
+            ).collect()
+        ]
+        assert got == exp and exp, strategy
+    # single-value group == the existing conjunctive keyword filter
+    a = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in q.topk_bool(
+            must="buffer", terms_filter={"lang": ["go"]}, k=10
+        ).collect()
+    ]
+    b = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in q.topk_bool(must="buffer", filter="lang:go", k=10).collect()
+    ]
+    assert a == b and a
+
+
+def test_terms_filter_only_and_should_boost(spark, terms_idx):
+    """terms_filter alone: score-0 hits bounded by the group postings;
+    with should (msm default 0) the boost reorders, score-0 docs stay."""
+    idx, toks, langs = terms_idx
+    q = BM25Query(spark, idx)
+    vals = ["c"]
+    allowed = sorted(d for d, lg in langs.items() if lg in vals)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in q.topk_bool(terms_filter={"lang": vals}, k=10).collect()
+    ]
+    assert got == [(d, 0.0) for d in allowed[:10]]
+    # pick a should term boosting SOME but fewer than 10 of the allowed
+    # docs, so the top-10 provably mixes boosted and score-0 hits
+    from collections import Counter
+
+    freq = Counter(t for d in allowed for t in set(toks[d]))
+    boost_term = next(
+        (t for t, n in sorted(freq.items()) if 0 < n < min(10, len(allowed))),
+        None,
+    )
+    assert boost_term, "fixture must offer a sparse boost term"
+    exp = [
+        (d, round(s, 9))
+        for d, s in bm25_bool_oracle(
+            toks, [], [boost_term], [], 0, 10, allowed=set(allowed)
+        )
+    ]
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in q.topk_bool(
+            should=boost_term, terms_filter={"lang": vals}, k=10,
+        ).collect()
+    ]
+    assert got == exp
+    assert any(s == 0.0 for _, s in got) and any(s > 0.0 for _, s in got)
+
+
+def test_terms_filter_dead_value_and_validation(spark, terms_idx):
+    idx, _, _ = terms_idx
+    q = BM25Query(spark, idx)
+    # a live value ORed with a dead one still matches the live value
+    a = q.topk_bool(must="get", terms_filter={"lang": ["go", "klingon"]},
+                    k=10).collect()
+    b = q.topk_bool(must="get", terms_filter={"lang": ["go"]}, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+           [(r["doc_id"], r["score"]) for r in b] and a
+    # an all-dead group can never match
+    assert q.topk_bool(must="get",
+                       terms_filter={"lang": ["klingon"]}, k=10).count() == 0
+    with pytest.raises(ValueError, match="not a keyword field"):
+        q.topk_bool(must="get", terms_filter={"missing": ["x"]})
+    with pytest.raises(ValueError, match="non-empty list"):
+        q.topk_bool(must="get", terms_filter={"lang": []})
+    with pytest.raises(ValueError, match="non-empty dict"):
+        q.topk_bool(must="get", terms_filter={})
+
+
+def test_terms_filter_composes_with_range_and_aggs(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    corpus = synth_corpus(spark, 150).withColumn(
+        "nc", F.length("content").cast("long")
+    )
+    IndexBuilder(spark, idx, n_shards=2, field_cols=["lang"],
+                 docvalue_cols=["nc"]).build(corpus)
+    rows = spark.read.parquet(f"{idx}/docs").select(
+        "doc_id", "lang", "nc"
+    ).collect()
+    med = sorted(int(r["nc"]) for r in rows)[75]
+    allowed = sorted(
+        int(r["doc_id"]) for r in rows
+        if r["lang"] in ("go", "c") and int(r["nc"]) < med
+    )
+    q = BM25Query(spark, idx)
+    got = [int(r["doc_id"]) for r in q.topk_bool(
+        terms_filter={"lang": ["go", "c"]}, range={"nc": {"lt": med}},
+        k=200,
+    ).collect()]
+    assert got == allowed and allowed
+    n = int(q.agg_stats("nc", terms_filter={"lang": ["go", "c"]},
+                        range={"nc": {"lt": med}}).collect()[0]["count"])
+    assert n == len(allowed)
