@@ -931,9 +931,9 @@ class BM25Query:
           double-scores; a must+filter overlap double-requires — all
           degenerate for a single-field term query, so the engine
           rejects them loudly rather than guessing).
-        - must, should and filter cannot ALL be empty: a pure must_not
-          query is an unbounded match-all complement — rejected as
-          unsupported at scale.
+        - at least one of must/should/filter/range/terms_filter must be
+          given: a pure must_not query is an unbounded match-all
+          complement — rejected as unsupported at scale.
 
         ``range``: ES range-query clause in filter context —
         ``{col: {gt/gte/lt/lte: number}}`` over the index's numeric
