@@ -133,6 +133,93 @@ def encode_blocks_bulk(
     return out
 
 
+def encode_blocks_grouped(
+    group_starts: np.ndarray,
+    group_ends: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode MANY groups' posting lists in O(1) numpy passes over the
+    whole partition (r7): the per-group ``encode_blocks_bulk`` call chain
+    cost ~0.3 ms of numpy-dispatch overhead per (term, shard) group, and a
+    code corpus has millions of mostly-tiny groups — per-GROUP overhead,
+    not per-posting work, dominated the build kernel profile.
+
+    ``group_starts``/``group_ends`` must tile [0, n) contiguously
+    (``group_ends[i] == group_starts[i+1]``), with ids sorted ascending
+    within each group — exactly the boundary arrays the chunk kernels
+    already derive from their lexsort. Byte-identical to calling
+    ``encode_blocks_bulk`` per group: varbyte is a per-value code, so one
+    encode pass over the concatenation slices into the same per-block
+    byte strings.
+
+    Returns columnar arrays over ALL blocks, in group order:
+      {"bstarts": block start index into the input arrays,
+       "block_ord": per-group block ordinal,
+       "count", "first_doc_id", "max_doc_id", "max_tf", "tf_sum", "min_dl",
+       "ids_vb", "tfs_vb", "dls_vb": lists of per-block bytes}
+    """
+    n = len(doc_ids)
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return {
+            "bstarts": empty, "block_ord": empty, "count": empty,
+            "first_doc_id": empty, "max_doc_id": empty, "max_tf": empty,
+            "tf_sum": empty, "min_dl": empty,
+            "ids_vb": [], "tfs_vb": [], "dls_vb": [],
+        }
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs_u = np.asarray(tfs, dtype=np.uint64)
+    dls_u = np.asarray(dls, dtype=np.uint64)
+    g_starts = np.asarray(group_starts, dtype=np.int64)
+    g_ends = np.asarray(group_ends, dtype=np.int64)
+    lens = g_ends - g_starts
+    # block boundaries: every position whose offset within its group is a
+    # multiple of block_size starts a block
+    off = np.arange(n, dtype=np.int64) - np.repeat(g_starts, lens)
+    block_ord_all = off // block_size
+    bstart_mask = (off % block_size) == 0
+    bstarts = np.nonzero(bstart_mask)[0]
+    blocks_per_group = -(-lens // block_size)
+    g_of_block = np.repeat(np.arange(len(g_starts)), blocks_per_group)
+    bends = np.minimum(bstarts + block_size, g_ends[g_of_block])
+
+    # delta gaps, reset to the absolute id at every block start
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[bstarts] = ids[bstarts]
+
+    # ONE varbyte pass per stream over the whole partition, then per-block
+    # byte-range slices (identical bytes: varbyte encodes values
+    # independently)
+    slices = []
+    for arr in (gaps, tfs_u, dls_u):
+        lens_b = varbyte_lengths(arr)
+        cum = np.concatenate(([0], np.cumsum(lens_b)))
+        slices.append((varbyte_encode(arr), cum))
+    # contiguous tiling makes [bstarts[i], bstarts[i+1]) == block i, so
+    # ufunc.reduceat over bstarts reduces exactly per block
+    return {
+        "bstarts": bstarts,
+        "block_ord": block_ord_all[bstarts],
+        "count": (bends - bstarts).astype(np.int64),
+        "first_doc_id": ids[bstarts].astype(np.int64),
+        "max_doc_id": ids[bends - 1].astype(np.int64),
+        "max_tf": np.maximum.reduceat(tfs_u, bstarts).astype(np.int64),
+        "tf_sum": np.add.reduceat(tfs_u, bstarts).astype(np.int64),
+        "min_dl": np.minimum.reduceat(dls_u, bstarts).astype(np.int64),
+        "ids_vb": [slices[0][0][slices[0][1][s]:slices[0][1][e]]
+                   for s, e in zip(bstarts, bends)],
+        "tfs_vb": [slices[1][0][slices[1][1][s]:slices[1][1][e]]
+                   for s, e in zip(bstarts, bends)],
+        "dls_vb": [slices[2][0][slices[2][1][s]:slices[2][1][e]]
+                   for s, e in zip(bstarts, bends)],
+    }
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
     """Split one term's postings into compressed blocks.
 

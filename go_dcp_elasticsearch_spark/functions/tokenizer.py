@@ -29,14 +29,22 @@ from pyspark.sql.types import ArrayType, StringType
 
 _CAMEL = re.compile(r"([a-z0-9])([A-Z])")
 _SPLIT = re.compile(r"[^a-z0-9]+")
+# r7 perf: the camel boundary as a zero-width lookaround with a LITERAL
+# replacement — re.sub then skips the per-match group-template expansion
+# that dominated tokenize profiles (1.5x); token extraction as findall of
+# [a-z0-9]+ runs, which equals split-on-complement + drop-empties (1.3x).
+# Both equivalences brute-forced over the full mixed alphabet in
+# tests/test_tokenizer.py; the SQL/DuckDB mirrors keep the original
+# formulation (output-identical).
+_CAMEL_GAP = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+_TOKEN = re.compile(r"[a-z0-9]+")
 
 
 def tokenize_py(text: str | None) -> list[str]:
     """Pure-Python canonical tokenizer (oracle + UDF kernel)."""
     if not text:
         return []
-    s = _CAMEL.sub(r"\1 \2", text).lower()
-    return [t for t in _SPLIT.split(s) if t]
+    return _TOKEN.findall(_CAMEL_GAP.sub(" ", text).lower())
 
 
 def _tokenize_series(texts: pd.Series) -> pd.Series:

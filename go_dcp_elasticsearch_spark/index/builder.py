@@ -359,7 +359,9 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
 
     import numpy as np
 
-    from go_dcp_elasticsearch_spark.functions.codec import BLOCK_SIZE, encode_blocks_bulk
+    from go_dcp_elasticsearch_spark.functions.codec import (
+        encode_blocks_grouped,
+    )
 
     cols = [f.name for f in CHUNK_SCHEMA.fields]
 
@@ -438,20 +440,21 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
         change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
         starts = np.nonzero(change)[0]
         ends = np.append(starts[1:], len(codes))
-        rows = []
-        for s, e in zip(starts, ends):
-            blocks = encode_blocks_bulk(dids[s:e], tfs[s:e], dls[s:e])
-            mindl = np.minimum.reduceat(dls[s:e], np.arange(0, e - s, BLOCK_SIZE))
-            t = uniq_terms[codes[s]]
-            sh = int(shards[s])
-            for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(
-                blocks
-            ):
-                rows.append(
-                    (t, sh, int(dids[s + bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
-                     cnt, max_id, max_tf, tf_sum, int(mindl[bi]))
-                )
-        out = pd.DataFrame(rows, columns=cols)
+        blk = encode_blocks_grouped(starts, ends, dids, tfs, dls)
+        bs = blk["bstarts"]
+        out = pd.DataFrame({
+            "term": np.asarray(uniq_terms)[codes[bs]],
+            "shard": shards[bs].astype(np.int32),
+            "first_doc_id": blk["first_doc_id"],
+            "ids_vb": blk["ids_vb"],
+            "tfs_vb": blk["tfs_vb"],
+            "dls_vb": blk["dls_vb"],
+            "count": blk["count"].astype(np.int32),
+            "max_doc_id": blk["max_doc_id"],
+            "max_tf": blk["max_tf"],
+            "tf_sum": blk["tf_sum"],
+            "min_dl": blk["min_dl"],
+        })
         if sents:
             out = pd.concat([out, *sents], ignore_index=True)
         yield out
@@ -760,8 +763,7 @@ class IndexBuilder:
             import numpy as np
 
             from go_dcp_elasticsearch_spark.functions.codec import (
-                BLOCK_SIZE,
-                encode_blocks_bulk,
+                encode_blocks_grouped,
             )
 
             # gather the partition's tf triples with vectorized emission
@@ -835,20 +837,21 @@ class IndexBuilder:
             change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
             starts = np.nonzero(change)[0]
             ends = np.append(starts[1:], len(codes))
-            rows = []
-            for s, e in zip(starts, ends):
-                blocks = encode_blocks_bulk(dids[s:e], tfs[s:e], dls[s:e])
-                mindl = np.minimum.reduceat(dls[s:e], np.arange(0, e - s, BLOCK_SIZE))
-                t = uniq_terms[codes[s]]
-                sh = int(shards[s])
-                for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf, tf_sum) in enumerate(
-                    blocks
-                ):
-                    rows.append(
-                        (t, sh, int(dids[s + bi * BLOCK_SIZE]), ids_vb, tfs_vb, dls_vb,
-                         cnt, max_id, max_tf, tf_sum, int(mindl[bi]))
-                    )
-            out = pd.DataFrame(rows, columns=cols)
+            blk = encode_blocks_grouped(starts, ends, dids, tfs, dls)
+            bs = blk["bstarts"]
+            out = pd.DataFrame({
+                "term": np.asarray(uniq_terms)[codes[bs]],
+                "shard": shards[bs].astype(np.int32),
+                "first_doc_id": blk["first_doc_id"],
+                "ids_vb": blk["ids_vb"],
+                "tfs_vb": blk["tfs_vb"],
+                "dls_vb": blk["dls_vb"],
+                "count": blk["count"].astype(np.int32),
+                "max_doc_id": blk["max_doc_id"],
+                "max_tf": blk["max_tf"],
+                "tf_sum": blk["tf_sum"],
+                "min_dl": blk["min_dl"],
+            })
             if sent_frames:
                 out = pd.concat([out, *sent_frames], ignore_index=True)
             yield out
@@ -1060,6 +1063,9 @@ class IndexBuilder:
         checkpointing, connector.go:186 + bulk.go:320-332). ``resume=True``
         skips stages whose lineage rows exist (idempotent re-run).
         """
+        from go_dcp_elasticsearch_spark.sources.changes import _phase_tracer
+
+        trace = _phase_tracer("build")
         t0 = time.time()
         if self.docvalue_cols:
             _validate_docvalue_cols(corpus, self.docvalue_cols, "build")
@@ -1106,6 +1112,7 @@ class IndexBuilder:
                 corpus, n_range_parts=n_range, persist=True, dedup_order_col="seq_no"
             )
         n_docs = corpus_ids._n_docs
+        trace("assign_ids")
         if self.routing_col:
             # B5: routing-driven placement — co-route docs into one shard
             shard_expr = F.pmod(
@@ -1197,6 +1204,7 @@ class IndexBuilder:
                 "overwrite"
             ).partitionBy("shard").parquet(self.paths.docs)
             self.lineage.commit("docs", 0, -1)
+            trace("docs_write")
 
         # stats from the (small, pruned) docs table, maintained as
         # PER-SHARD partials (shard, n_docs, sum_dl) so an incremental
@@ -1216,6 +1224,7 @@ class IndexBuilder:
                 {int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"])) for r in rows},
             )
             self.lineage.commit("stats", 0, -1)
+            trace("stats")
         n_docs, avgdl = read_global_stats(self.spark, self.paths)
 
         # postings: SPIMI — the persisted chunk rows (minus doc sentinels),
@@ -1240,6 +1249,7 @@ class IndexBuilder:
                 .parquet(self.paths.postings)
             )
             self.lineage.commit("postings", 0, n_docs)
+            trace("postings_write")
         if all_rows is not None:
             all_rows.unpersist()
 
@@ -1267,6 +1277,7 @@ class IndexBuilder:
                 "overwrite"
             ).partitionBy("shard").parquet(self.paths.dictionary)
             self.lineage.commit("dictionary", 0, n_docs)
+            trace("dictionary")
 
         # durable build configuration: incremental maintenance needs the
         # routing placement rule (B5) to keep co-locating NEW docs with
@@ -1294,6 +1305,7 @@ class IndexBuilder:
             ),
             overwrite=True,
         )
+        trace("meta_write")
         elapsed = time.time() - t0
         self.metrics.record(
             stage="build",
@@ -1319,6 +1331,7 @@ class IndexBuilder:
             import warnings
 
             warnings.warn(f"keymap base write failed ({e}); cache left invalid")
+        trace("keymap")
         if self.positions:
             # positional sidecar (ES index_options: positions analogue) —
             # written LAST so its freshness marker sees the final epoch

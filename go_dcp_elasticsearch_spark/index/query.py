@@ -154,6 +154,9 @@ class BM25Query:
         # and the next query refreshes again — reading it last would
         # absorb that mutation's count WITHOUT its data and pin the stale
         # snapshot until a further mutation
+        from go_dcp_elasticsearch_spark.sources.changes import _phase_tracer
+
+        _rtrace = _phase_tracer("refresh")
         self._epoch = self._current_epoch()
         if hasattr(self, "_dict_df"):
             self._dict_df.unpersist()
@@ -177,6 +180,7 @@ class BM25Query:
         # segment committed after this refresh becomes visible on the
         # next epoch bump, never half-visible mid-query
         self._segs = list_segments(spark, self.paths)
+        _rtrace("refreshByPath+segs")
         # docs-table schema cache for range (doc-values) validation —
         # loaded lazily on the first range/agg call, pinned per epoch
         self._docs_fields: dict[str, str] | None = None
@@ -191,6 +195,7 @@ class BM25Query:
             self._tomb_bc.unpersist()
             self._tomb_bc = None
         tomb_arr = tombstone_ids(spark, self.paths) if self._segs else None
+        _rtrace("tombstones")
         if tomb_arr is not None and len(tomb_arr):
             self._tomb_bc = spark.sparkContext.broadcast(tomb_arr)
             self._tomb = self._tomb_bc
@@ -226,12 +231,14 @@ class BM25Query:
         # (kernels group by shard within a partition) and heals at fold
         self.n_shards = int(max_label) + 1
         self._salts = self._shard_salts()
+        _rtrace("stats+salts")
         # warm the dictionary projection EAGERLY: serving handles refresh
         # once per epoch, and loading the (term -> df) map here means
         # EVERY query — including the first after a refresh — runs exactly
         # one Spark job (the score kernel); lazily loading it made the
         # first query absorb the aggregation job and dominate p95
         self._load_dictionary()
+        _rtrace("dictionary")
         return self
 
     def _shard_salts(self) -> dict[int, int]:

@@ -470,6 +470,7 @@ def apply_changes_to_index(
 
     if strategy not in ("rebuild", "delta", "auto"):
         raise ValueError(f"apply_changes_to_index: unknown strategy {strategy!r}")
+    trace = _phase_tracer("rebuild")
     key_cols = list(key_cols)
     if strategy == "delta":
         return _apply_changes_delta(
@@ -535,6 +536,7 @@ def apply_changes_to_index(
     from go_dcp_elasticsearch_spark.index.segments import ensure_no_pending_fold
 
     ensure_no_pending_fold(spark, IndexPaths(index_dir), "apply_changes_to_index")
+    trace("fold+guard")
     # keymap epoch snapshot (POST-fold): if the cache is valid now, this
     # apply appends its key changes after committing so the next delta
     # apply keeps its O(delta) lookup
@@ -573,6 +575,7 @@ def apply_changes_to_index(
     )
     feed.persist()
     n_changed = feed.count()
+    trace("bounds+feed_count")
 
     # ONE column-pruned docs-metadata pass resolves BOTH questions the
     # feed asks of the index — which shards its existing keys live in
@@ -595,6 +598,7 @@ def apply_changes_to_index(
     inserts = feed_shard.filter(
         F.col("shard").isNull() & (F.col("action") != "delete")
     ).select(*key_cols)
+    trace("feed_shard_affected")
     from go_dcp_elasticsearch_spark.index.builder import read_global_stats
 
     b = IndexBuilder(spark, index_dir, n_shards=max_label + 1)
@@ -683,6 +687,7 @@ def apply_changes_to_index(
             insert_shards = {max_label + 1 + i for i in range(k_new)}
     else:
         ins_ids = None
+    trace("insert_ranks")
     if not affected and not insert_shards:
         if ranked is not None:
             ranked._persisted_parent.unpersist()
@@ -732,6 +737,7 @@ def apply_changes_to_index(
         .persist()
     )
     shard_corpus.count()
+    trace("shard_corpus_materialize")
     # ranked output is folded into the (now materialized) shard_corpus
     if ranked is not None:
         ranked._persisted_parent.unpersist()
@@ -782,6 +788,7 @@ def apply_changes_to_index(
         # shard_corpus is fully consumed (below, post partials refresh).
         _delete_shard_partitions(spark, docs_path, emptied, refresh=False)
         _delete_shard_partitions(spark, b.paths.postings, rebuild_shards)
+        trace("docs_write")
 
         chunks = shard_corpus.select(
             "doc_id", "content", "shard", *field_cols
@@ -794,6 +801,7 @@ def apply_changes_to_index(
         postings.repartition(len(rebuild_shards), F.col("shard")).sortWithinPartitions(
             "term", "block_id"
         ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
+        trace("postings_write")
 
         # O(delta) dictionary/stats refresh: replace only the rebuilt
         # shards' per-shard partials (partition-pruned reads of exactly
@@ -805,11 +813,13 @@ def apply_changes_to_index(
         n_docs_total, avgdl_new = _refresh_partials_for_shards(
             spark, b, rebuild_shards - emptied, emptied
         )
+        trace("partials_refresh")
     # deferred from the emptied-partition delete above: shard_corpus is
     # now fully consumed, so dropping cached plans that reference
     # docs_path is safe (readers in this session get fresh listings)
     spark.catalog.refreshByPath(docs_path)
     b.lineage.commit("incremental", -1, n_changed)
+    trace("refresh+lineage")
     # keymap maintenance (cache only): changed keys' new placement read
     # back from the just-rewritten docs partitions — partition-pruned to
     # the rebuild set, column-pruned to the metadata (updates keep their
@@ -847,6 +857,7 @@ def apply_changes_to_index(
             import warnings
 
             warnings.warn(f"keymap maintenance failed ({e}); cache left invalid")
+    trace("keymap_maintenance")
     if maintain_pos:
         try:
             from go_dcp_elasticsearch_spark.index.positions import (

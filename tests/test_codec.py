@@ -149,3 +149,60 @@ def test_block_ub_is_sound_property(rows, avgdl):
     ub = _block_ub(float(tfs.max()), float(dls.min()), avgdl)
     tfn = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
     assert (tfn <= ub + 1e-12).all()
+
+
+def test_encode_blocks_grouped_matches_per_group_bulk():
+    """r7: the cross-group bulk encoder must be BYTE-IDENTICAL to calling
+    encode_blocks_bulk per (term, shard) group — it is what the chunk
+    kernels write, so any divergence changes the on-disk index."""
+    from go_dcp_elasticsearch_spark.functions.codec import (
+        encode_blocks_bulk,
+        encode_blocks_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        starts, ends, parts = [], [], []
+        pos = 0
+        for _g in range(int(rng.integers(1, 30))):
+            m = int(rng.integers(1, 3 * BLOCK_SIZE + 1))
+            ids = np.sort(
+                rng.choice(10**6, size=m, replace=False)
+            ).astype(np.uint64)
+            starts.append(pos)
+            ends.append(pos + m)
+            pos += m
+            parts.append((
+                ids,
+                rng.integers(1, 300, m).astype(np.uint64),
+                rng.integers(1, 5000, m).astype(np.uint64),
+            ))
+        dids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        blk = encode_blocks_grouped(
+            np.array(starts), np.array(ends), dids, tfs, dls
+        )
+        i = 0
+        for s, e in zip(starts, ends):
+            mindl = np.minimum.reduceat(
+                dls[s:e].astype(np.int64), np.arange(0, e - s, BLOCK_SIZE)
+            )
+            for bi, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
+                     tf_sum) in enumerate(
+                encode_blocks_bulk(dids[s:e], tfs[s:e], dls[s:e])
+            ):
+                assert blk["ids_vb"][i] == ids_vb
+                assert blk["tfs_vb"][i] == tfs_vb
+                assert blk["dls_vb"][i] == dls_vb
+                assert blk["count"][i] == cnt
+                assert blk["max_doc_id"][i] == max_id
+                assert blk["max_tf"][i] == max_tf
+                assert blk["tf_sum"][i] == tf_sum
+                assert blk["min_dl"][i] == int(mindl[bi])
+                assert blk["block_ord"][i] == bi
+                assert blk["first_doc_id"][i] == int(
+                    dids[s + bi * BLOCK_SIZE]
+                )
+                i += 1
+        assert i == len(blk["bstarts"])

@@ -74,3 +74,32 @@ def test_murmur3_int32_matches_spark(spark):
     want = {r["v"]: int(r["h"]) for r in rows}
     mine = murmur3_int32(vals)
     assert all(int(m) == want[v] for v, m in zip(vals, mine))
+
+
+def test_tokenize_py_fast_path_equals_reference_spec():
+    """r7: tokenize_py was rewritten (lookaround camel gap + findall) for
+    speed; brute-force it against the original spec formulation over the
+    full mixed alphabet so the 4-mirror identity cannot drift."""
+    import itertools
+    import re
+
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+
+    camel = re.compile(r"([a-z0-9])([A-Z])")
+    split = re.compile(r"[^a-z0-9]+")
+
+    def reference(text):
+        if not text:
+            return []
+        s = camel.sub(r"\1 \2", text).lower()
+        return [t for t in split.split(s) if t]
+
+    alpha = "aB1_ ."
+    for n in range(1, 5):
+        for tup in itertools.product(alpha, repeat=n):
+            s = "".join(tup)
+            assert tokenize_py(s) == reference(s), repr(s)
+    for s in ["aBC", "aBcD", "ABc", "a1B2c", "snakeCaseCamelX",
+              "x" * 500 + "Y", "ÅngstrømUniCode aB", "123Abc", "",
+              None, "ALLCAPS", "aA" * 200]:
+        assert tokenize_py(s) == reference(s), repr(s)
