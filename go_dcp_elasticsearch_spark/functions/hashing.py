@@ -91,6 +91,47 @@ def rolling_fingerprint_py(tokens: list[str], window: int = 8) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def partition_salts(k: int) -> list[int]:
+    """Salt per partition index: ``salts[i]`` satisfies
+    ``pmod(murmur3_int32(salts[i]), k) == i`` — mapping each of k keys to
+    its OWN partition under Spark's hash partitioner (``F.hash`` on an
+    int column). Plain ``repartition(k, "shard")`` hashes k keys into k
+    buckets and birthday collisions put two groups in one task (that
+    straggler sets the stage's wall time); repartitioning on the probed
+    salt is a PERFECT one-group-per-task partitioner. Computed locally
+    with the numpy murmur3 mirror — zero Spark jobs, O(k) work.
+    Shared by BM25Query._shard_salts (query-side) and the maintenance
+    writers (fold/rebuild postings merges, r7)."""
+    import numpy as np
+
+    best: dict[int, int] = {}
+    lo = 0
+    span = 64 * k
+    while len(best) < k:
+        salts = np.arange(lo, lo + span, dtype=np.int64)
+        p = np.mod(murmur3_int32(salts).astype(np.int64), k)
+        uniq, idx = np.unique(p, return_index=True)
+        for b, i in zip(uniq.tolist(), idx.tolist()):
+            best.setdefault(int(b), int(salts[i]))
+        lo += span
+        span *= 4
+    return [best[i] for i in range(k)]
+
+
+def label_salt_expr(labels):
+    """Column expr mapping a ``shard`` label column to its perfect-
+    partitioner salt (see partition_salts): repartition(len(labels),
+    label_salt_expr(labels)) gives every label its own task."""
+    from pyspark.sql import functions as F
+
+    lbls = sorted(int(s) for s in labels)
+    salts = partition_salts(len(lbls))
+    m = F.create_map(
+        *[x for lbl, sa in zip(lbls, salts) for x in (F.lit(lbl), F.lit(sa))]
+    )
+    return m[F.col("shard")].cast("int")
+
+
 def murmur3_int32(values, seed: int = 42):
     """Spark's ``F.hash()`` for a single INT column, vectorized in numpy.
 

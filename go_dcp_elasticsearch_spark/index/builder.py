@@ -273,6 +273,7 @@ def assign_doc_ids(
     out = keyed.mapInPandas(add_ids, schema=out_schema)
     out._keyed_source = keyed  # handle for unpersist by the caller
     out._n_docs = acc  # total row count, already known from the offsets agg
+    out._offsets = offsets  # per-partition id bases (fused-kernel reuse)
     return out
 
 
@@ -316,6 +317,7 @@ def assign_doc_ids_input_order(corpus: DataFrame) -> DataFrame:
     out = keyed.mapInPandas(add_ids, schema=out_schema)
     out._keyed_source = None
     out._n_docs = acc
+    out._offsets = offsets  # per-partition id bases (fused-kernel reuse)
     return out
 
 
@@ -343,19 +345,24 @@ def posting_chunks_fixed_shard_with_sentinels(field_cols=None):
     )
 
 
-def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: bool = False,
-                               field_cols: list[str] | None = None):
-    """Chunk kernel that trusts a precomputed ``shard`` COLUMN instead of
-    deriving shards from the doc-id range formula — used by (a) incremental
-    rebuilds, where shard assignments are preserved from the original
-    build, and (b) routing-placed indexes, where shard = hash(routing).
-    Vectorized like _posting_chunks (factorize + lexsort + reduceat; the
-    lexsort — rather than a stable sort by term alone — is what keeps
-    (term, shard) groups contiguous with ascending ids when the shard
-    column is NOT monotone in doc_id, e.g. hash routing).
-    (``avgdl`` accepted for backward compat and unused — block metadata is
-    (max_tf, min_dl), bound applied at query time.)"""
+def _chunk_partition(batches, *, fixed_shard: bool, n_docs: int | None,
+                     n_shards: int | None, with_doc_sentinels: bool,
+                     field_cols: list[str] | None):
+    """ONE implementation of the SPIMI chunk pass shared by every chunk
+    kernel (r7 refactor): consume an iterable of pandas batches that
+    already carry ``doc_id`` + ``content`` (+ ``shard`` when
+    ``fixed_shard``), accumulate the partition's postings, and yield the
+    encoded CHUNK_SCHEMA frame (posting blocks via the cross-group bulk
+    encoder, plus per-doc sentinels when requested).
+
+    ``fixed_shard=True`` trusts the precomputed shard column (incremental
+    rebuilds, routing placement) and lexsorts by (term, shard, doc_id);
+    otherwise shards come from the doc-id range formula and a stable sort
+    by term suffices (ids already ascend within the partition)."""
     import hashlib
+
+    from collections import Counter
+    from itertools import chain
 
     import numpy as np
 
@@ -363,101 +370,179 @@ def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: b
         encode_blocks_grouped,
     )
 
-    cols = [f.name for f in CHUNK_SCHEMA.fields]
-
-    def kernel(iterator):
-        from collections import Counter
-        from itertools import chain
-
-        term_parts: list[list[str]] = []
-        did_parts, tf_parts, dl_parts, sh_parts = [], [], [], []
-        sents = []
-        for pdf in iterator:
+    term_parts: list[list[str]] = []
+    did_parts, tf_parts, dl_parts, sh_parts = [], [], [], []
+    sents = []
+    for pdf in batches:
+        if fixed_shard:
             pdf = pdf.sort_values("doc_id")
-            counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
-            # doc_len BEFORE field-term injection: keyword-field postings
-            # must not perturb dl/avgdl (they are filter terms, never
-            # scored)
-            doc_lens = np.fromiter(
-                (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
+        counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
+        # doc_len BEFORE field-term injection: keyword-field postings
+        # must not perturb dl/avgdl (they are filter terms, never scored)
+        doc_lens = np.fromiter(
+            (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
+        )
+        inject_field_terms(counters, pdf, field_cols)
+        sizes = np.fromiter(
+            (len(c) for c in counters), dtype=np.int64, count=len(counters)
+        )
+        n = int(sizes.sum())
+        term_parts.append(list(chain.from_iterable(c.keys() for c in counters)))
+        tf_parts.append(
+            np.fromiter(
+                chain.from_iterable(c.values() for c in counters),
+                dtype=np.int64, count=n,
             )
-            inject_field_terms(counters, pdf, field_cols)
-            sizes = np.fromiter(
-                (len(c) for c in counters), dtype=np.int64, count=len(counters)
-            )
-            n = int(sizes.sum())
-            term_parts.append(list(chain.from_iterable(c.keys() for c in counters)))
-            tf_parts.append(
-                np.fromiter(
-                    chain.from_iterable(c.values() for c in counters),
-                    dtype=np.int64, count=n,
-                )
-            )
-            batch_ids = pdf["doc_id"].to_numpy()
+        )
+        batch_ids = pdf["doc_id"].to_numpy()
+        if fixed_shard:
             batch_sh = pdf["shard"].to_numpy().astype(np.int32)
-            did_parts.append(np.repeat(batch_ids, sizes))
-            dl_parts.append(np.repeat(doc_lens, sizes))
             sh_parts.append(np.repeat(batch_sh, sizes))
-            if with_doc_sentinels:
-                shas = [
-                    hashlib.sha256(c.encode("utf-8")).hexdigest().encode("ascii")
-                    for c in pdf["content"]
-                ]
-                sents.append(pd.DataFrame({
-                    "term": DOC_SENTINEL,
-                    "shard": batch_sh,
-                    "first_doc_id": batch_ids,
-                    "ids_vb": shas,
-                    "tfs_vb": b"",
-                    "dls_vb": b"",
-                    "count": doc_lens.astype(np.int32),
-                    "max_doc_id": batch_ids,
-                    "max_tf": 0,
-                    "tf_sum": 0,
-                    "min_dl": doc_lens,
-                }))
-        if not did_parts:
-            return
-        terms = pd.Series(list(chain.from_iterable(term_parts)))
-        dids = np.concatenate(did_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
+        else:
+            batch_sh = np.minimum(
+                batch_ids * n_shards // max(n_docs, 1), n_shards - 1
+            ).astype(np.int32)
+        did_parts.append(np.repeat(batch_ids, sizes))
+        dl_parts.append(np.repeat(doc_lens, sizes))
+        if with_doc_sentinels:
+            shas = [
+                hashlib.sha256(c.encode("utf-8")).hexdigest().encode("ascii")
+                for c in pdf["content"]
+            ]
+            sents.append(pd.DataFrame({
+                "term": DOC_SENTINEL,
+                "shard": batch_sh,
+                "first_doc_id": batch_ids,
+                "ids_vb": shas,
+                "tfs_vb": b"",
+                "dls_vb": b"",
+                "count": doc_lens.astype(np.int32),
+                "max_doc_id": batch_ids,
+                "max_tf": 0,
+                "tf_sum": 0,
+                "min_dl": doc_lens,
+            }))
+    if not did_parts:
+        return
+    dids = np.concatenate(did_parts)
+    if len(dids) == 0:
+        # every doc in the partition tokenized to nothing: no posting
+        # rows, but the doc sentinels (sha256 + doc_len 0) must still
+        # flow — they are the docs-table source in the fused build
+        if sents:
+            yield pd.concat(sents, ignore_index=True)
+        return
+    terms = pd.Series(list(chain.from_iterable(term_parts)))
+    tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
+    codes, uniq_terms = pd.factorize(terms, sort=False)
+    if fixed_shard:
         shards = np.concatenate(sh_parts)
-        if len(dids) == 0:
-            # every doc in the partition tokenized to nothing: no posting
-            # rows, but the doc sentinels (sha256 + doc_len 0) must still
-            # flow — they are the docs-table source in the fused build
-            if sents:
-                yield pd.concat(sents, ignore_index=True)
-            return
-        codes, uniq_terms = pd.factorize(terms, sort=False)
         order = np.lexsort((dids, shards, codes))
         codes, dids, tfs, dls, shards = (
             codes[order], dids[order], tfs[order], dls[order], shards[order]
         )
-        change = np.empty(len(codes), dtype=bool)
-        change[0] = True
-        change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], len(codes))
-        blk = encode_blocks_grouped(starts, ends, dids, tfs, dls)
-        bs = blk["bstarts"]
-        out = pd.DataFrame({
-            "term": np.asarray(uniq_terms)[codes[bs]],
-            "shard": shards[bs].astype(np.int32),
-            "first_doc_id": blk["first_doc_id"],
-            "ids_vb": blk["ids_vb"],
-            "tfs_vb": blk["tfs_vb"],
-            "dls_vb": blk["dls_vb"],
-            "count": blk["count"].astype(np.int32),
-            "max_doc_id": blk["max_doc_id"],
-            "max_tf": blk["max_tf"],
-            "tf_sum": blk["tf_sum"],
-            "min_dl": blk["min_dl"],
-        })
-        if sents:
-            out = pd.concat([out, *sents], ignore_index=True)
-        yield out
+    else:
+        # doc ids ascend within the partition already; stable-sort by
+        # term code keeps them ascending within each term group
+        order = np.argsort(codes, kind="stable")
+        codes, dids, tfs, dls = codes[order], dids[order], tfs[order], dls[order]
+        shards = np.minimum(dids * n_shards // max(n_docs, 1), n_shards - 1).astype(
+            np.int32
+        )
+    change = np.empty(len(codes), dtype=bool)
+    change[0] = True
+    change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], len(codes))
+    blk = encode_blocks_grouped(starts, ends, dids, tfs, dls)
+    bs = blk["bstarts"]
+    out = pd.DataFrame({
+        "term": np.asarray(uniq_terms)[codes[bs]],
+        "shard": shards[bs].astype(np.int32),
+        "first_doc_id": blk["first_doc_id"],
+        "ids_vb": blk["ids_vb"],
+        "tfs_vb": blk["tfs_vb"],
+        "dls_vb": blk["dls_vb"],
+        "count": blk["count"].astype(np.int32),
+        "max_doc_id": blk["max_doc_id"],
+        "max_tf": blk["max_tf"],
+        "tf_sum": blk["tf_sum"],
+        "min_dl": blk["min_dl"],
+    })
+    if sents:
+        out = pd.concat([out, *sents], ignore_index=True)
+    yield out
+
+
+def posting_chunks_fixed_shard(avgdl: float | None = None, with_doc_sentinels: bool = False,
+                               field_cols: list[str] | None = None):
+    """Chunk kernel that trusts a precomputed ``shard`` COLUMN instead of
+    deriving shards from the doc-id range formula — used by (a) incremental
+    rebuilds, where shard assignments are preserved from the original
+    build, and (b) routing-placed indexes, where shard = hash(routing).
+    The lexsort in the shared impl — rather than a stable sort by term
+    alone — is what keeps (term, shard) groups contiguous with ascending
+    ids when the shard column is NOT monotone in doc_id, e.g. hash routing.
+    (``avgdl`` accepted for backward compat and unused — block metadata is
+    (max_tf, min_dl), bound applied at query time.)"""
+
+    def kernel(iterator):
+        yield from _chunk_partition(
+            iterator, fixed_shard=True, n_docs=None, n_shards=None,
+            with_doc_sentinels=with_doc_sentinels, field_cols=field_cols,
+        )
+
+    return kernel
+
+
+def fused_ids_chunks(
+    offsets: dict[int, int],
+    n_docs: int,
+    n_shards: int,
+    *,
+    dedup: bool = False,
+    fixed_shard: bool = False,
+    field_cols: list[str] | None = None,
+):
+    """Doc-id assignment FUSED into the chunk kernel (r7): chaining two
+    mapInPandas operators in one stage (add_ids -> chunks) paid a
+    JVM->Python->JVM->Python round trip of the full content per batch —
+    measured 83 s vs 12 s for the identical work in ONE Python pass at 1M
+    docs. Input batches carry ``_pid`` + ``content`` (+ ``repo``/``path``
+    when ``dedup``, + ``shard`` when ``fixed_shard``); ids are the same
+    offsets[pid] + running-index assignment as assign_doc_ids/
+    assign_doc_ids_input_order (bit-identical: same offsets dict, same
+    batch order over the same partitions), LWW dedup keeps the first row
+    per key exactly like assign_doc_ids' fused dedup. Emits sentinels
+    always (this is the build's single content pass)."""
+
+    def kernel(iterator):
+        def with_ids(it):
+            base = None
+            seen = 0
+            prev_key = None
+            for pdf in it:
+                if base is None:
+                    base = offsets[int(pdf["_pid"].iloc[0])] if len(pdf) else 0
+                if dedup and len(pdf):
+                    # keep first row per (repo, path): rows arrive
+                    # key-sorted with order_col DESC, so first == newest
+                    keys = pdf["repo"].str.cat(pdf["path"], sep="\x00")
+                    keep = keys.ne(keys.shift())
+                    if prev_key is not None and len(keys):
+                        keep.iloc[0] = keys.iloc[0] != prev_key
+                    prev_key = keys.iloc[-1] if len(keys) else prev_key
+                    pdf = pdf[keep.to_numpy()]
+                pdf = pdf.copy()
+                pdf["doc_id"] = range(base + seen, base + seen + len(pdf))
+                seen += len(pdf)
+                yield pdf
+
+        yield from _chunk_partition(
+            with_ids(iterator), fixed_shard=fixed_shard, n_docs=n_docs,
+            n_shards=n_shards, with_doc_sentinels=True, field_cols=field_cols,
+        )
 
     return kernel
 
@@ -752,109 +837,13 @@ class IndexBuilder:
         tokenize+sha pass was ~15% of build time and doubled the scan).
         """
         n_shards = self.n_shards
-        cols = [f.name for f in CHUNK_SCHEMA.fields]
 
         def kernel(iterator):
-            from collections import Counter
-            from itertools import chain
-
-            import hashlib
-
-            import numpy as np
-
-            from go_dcp_elasticsearch_spark.functions.codec import (
-                encode_blocks_grouped,
+            yield from _chunk_partition(
+                iterator, fixed_shard=False, n_docs=n_docs,
+                n_shards=n_shards, with_doc_sentinels=with_doc_sentinels,
+                field_cols=field_cols,
             )
-
-            # gather the partition's tf triples with vectorized emission
-            term_parts: list[list[str]] = []
-            did_parts, tf_parts, dl_parts = [], [], []
-            sent_frames = []
-            for pdf in iterator:
-                counters = [Counter(tokenize_py(c)) for c in pdf["content"]]
-                # doc_len BEFORE field-term injection (see inject_field_terms)
-                doc_lens = np.fromiter(
-                    (sum(c.values()) for c in counters), dtype=np.int64, count=len(counters)
-                )
-                inject_field_terms(counters, pdf, field_cols)
-                sizes = np.fromiter(
-                    (len(c) for c in counters), dtype=np.int64, count=len(counters)
-                )
-                n = int(sizes.sum())
-                term_parts.append(list(chain.from_iterable(c.keys() for c in counters)))
-                tf_parts.append(
-                    np.fromiter(
-                        chain.from_iterable(c.values() for c in counters),
-                        dtype=np.int64,
-                        count=n,
-                    )
-                )
-                batch_ids = pdf["doc_id"].to_numpy()
-                did_parts.append(np.repeat(batch_ids, sizes))
-                dl_parts.append(np.repeat(doc_lens, sizes))
-                if with_doc_sentinels:
-                    shas = [
-                        hashlib.sha256(c.encode("utf-8")).hexdigest().encode("ascii")
-                        for c in pdf["content"]
-                    ]
-                    bsh = np.minimum(
-                        batch_ids * n_shards // max(n_docs, 1), n_shards - 1
-                    ).astype(np.int32)
-                    sent_frames.append(pd.DataFrame({
-                        "term": DOC_SENTINEL,
-                        "shard": bsh,
-                        "first_doc_id": batch_ids,
-                        "ids_vb": shas,
-                        "tfs_vb": b"",
-                        "dls_vb": b"",
-                        "count": doc_lens.astype(np.int32),
-                        "max_doc_id": batch_ids,
-                        "max_tf": 0,
-                        "tf_sum": 0,
-                        "min_dl": doc_lens,
-                    }))
-            if not did_parts:
-                return
-            terms = pd.Series(list(chain.from_iterable(term_parts)))
-            dids = np.concatenate(did_parts)
-            tfs = np.concatenate(tf_parts)
-            dls = np.concatenate(dl_parts)
-            if len(dids) == 0:
-                # all-token-less partition: emit only the doc sentinels
-                if sent_frames:
-                    yield pd.concat(sent_frames, ignore_index=True)
-                return
-            codes, uniq_terms = pd.factorize(terms, sort=False)
-            # doc ids ascend within the partition already; stable-sort by
-            # term code keeps them ascending within each term group
-            order = np.argsort(codes, kind="stable")
-            codes, dids, tfs, dls = codes[order], dids[order], tfs[order], dls[order]
-            shards = np.minimum(dids * n_shards // max(n_docs, 1), n_shards - 1).astype(
-                np.int32
-            )
-            change = np.empty(len(codes), dtype=bool)
-            change[0] = True
-            change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
-            starts = np.nonzero(change)[0]
-            ends = np.append(starts[1:], len(codes))
-            blk = encode_blocks_grouped(starts, ends, dids, tfs, dls)
-            bs = blk["bstarts"]
-            out = pd.DataFrame({
-                "term": np.asarray(uniq_terms)[codes[bs]],
-                "shard": shards[bs].astype(np.int32),
-                "first_doc_id": blk["first_doc_id"],
-                "ids_vb": blk["ids_vb"],
-                "tfs_vb": blk["tfs_vb"],
-                "dls_vb": blk["dls_vb"],
-                "count": blk["count"].astype(np.int32),
-                "max_doc_id": blk["max_doc_id"],
-                "max_tf": blk["max_tf"],
-                "tf_sum": blk["tf_sum"],
-                "min_dl": blk["min_dl"],
-            })
-            if sent_frames:
-                out = pd.concat([out, *sent_frames], ignore_index=True)
-            yield out
 
         return kernel
 
@@ -1132,29 +1121,38 @@ class IndexBuilder:
         # persisted (chunk-sized, content-free) intermediate. The old
         # two-pass shape re-scanned and re-tokenized the whole corpus for
         # the docs table — ~15% of build wall time and double the IO.
+        # r7: doc-id assignment is fused INTO the chunk kernel — the
+        # previous shape chained two mapInPandas operators (add_ids ->
+        # chunks) in one stage, and the per-batch JVM<->Python round trip
+        # of the full content between them cost ~6x the useful Python
+        # work at 1M docs (measured 83 s vs 12 s for one fused pass). The
+        # ids are bit-identical: same per-partition offsets dict, same
+        # batch order over the same source partitions (sorted mode reads
+        # the PERSISTED keyed shuffle output; input mode the same
+        # deterministic scan the pruned meta pass re-reads).
         all_rows = None
         if "docs" not in done or "postings" not in done:
-            if self.routing_col:
-                chunks_src = corpus_ids.select(
-                    "doc_id", "content", *self.field_cols,
-                    shard_expr.alias("shard"),
-                )
-                all_rows = chunks_src.mapInPandas(
-                    posting_chunks_fixed_shard_with_sentinels(
-                        field_cols=self.field_cols
-                    ),
-                    schema=CHUNK_SCHEMA,
-                )
+            if self.id_mode == "input":
+                chunks_src = corpus.withColumn("_pid", F.spark_partition_id())
+                dedup_fuse = False
             else:
-                all_rows = corpus_ids.select(
-                    "doc_id", "content", *self.field_cols
-                ).mapInPandas(
-                    self._posting_chunks(
-                        n_docs, with_doc_sentinels=True,
-                        field_cols=self.field_cols,
-                    ),
-                    schema=CHUNK_SCHEMA,
-                )
+                chunks_src = corpus_ids._keyed_source  # persisted keyed frame
+                dedup_fuse = True
+            sel = ["_pid", "content", *self.field_cols]
+            if dedup_fuse:
+                sel = ["_pid", "repo", "path", "content", *self.field_cols]
+            if self.routing_col:
+                src = chunks_src.select(*sel, shard_expr.alias("shard"))
+            else:
+                src = chunks_src.select(*sel)
+            all_rows = src.mapInPandas(
+                fused_ids_chunks(
+                    corpus_ids._offsets, n_docs, self.n_shards,
+                    dedup=dedup_fuse, fixed_shard=bool(self.routing_col),
+                    field_cols=self.field_cols,
+                ),
+                schema=CHUNK_SCHEMA,
+            )
             all_rows = all_rows.persist()
 
         if "docs" not in done:
@@ -1228,22 +1226,28 @@ class IndexBuilder:
         n_docs, avgdl = read_global_stats(self.spark, self.paths)
 
         # postings: SPIMI — the persisted chunk rows (minus doc sentinels),
-        # shuffled compressed (tiny), concat-merged per (term, shard)
+        # shuffled compressed (tiny), concat-merged per (term, shard).
+        # r7: ONE salted-shard exchange instead of two — the old shape
+        # shuffled the chunk bytes twice ((term, shard) for the merge,
+        # then shard for the write); the merge kernel already groups by
+        # (term, shard) WITHIN a partition, so repartitioning straight to
+        # one-shard-per-task (perfect-partitioner salts, the query path's
+        # trick) feeds the merge AND the partitioned write from a single
+        # exchange. Per-task bound is unchanged: the old write stage
+        # already funneled each whole shard through one task.
         if "postings" not in done:
-            n_enc_parts = max(
-                int(self.spark.conf.get("spark.sql.shuffle.partitions", "64")),
-                self.n_shards,
-            )
             from go_dcp_elasticsearch_spark.fsutil import delete_dir
+            from go_dcp_elasticsearch_spark.functions.hashing import (
+                label_salt_expr,
+            )
 
             delete_dir(self.spark, self.paths.postings)  # full replace (see docs stage)
             chunks = all_rows.filter(F.col("term") != DOC_SENTINEL)
             postings = chunks.repartition(
-                n_enc_parts, F.col("term"), F.col("shard")
+                self.n_shards, label_salt_expr(range(self.n_shards))
             ).mapInPandas(self._merge_chunks(), schema=POSTINGS_SCHEMA)
             (
-                postings.repartition(self.n_shards, F.col("shard"))
-                .sortWithinPartitions("term", "block_id")
+                postings.sortWithinPartitions("term", "block_id")
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(self.paths.postings)

@@ -255,23 +255,10 @@ class BM25Query:
         A salt mismatch would only merge two shards into one task (the
         kernel runs per shard group within a partition), never corrupt
         results."""
-        from go_dcp_elasticsearch_spark.functions.hashing import murmur3_int32
+        from go_dcp_elasticsearch_spark.functions.hashing import partition_salts
 
-        n = self.n_shards
-        best: dict[int, int] = {}
-        lo = 0
-        span = 64 * n
-        while len(best) < n:
-            salts = np.arange(lo, lo + span, dtype=np.int64)
-            p = np.mod(murmur3_int32(salts).astype(np.int64), n)
-            # first occurrence per bucket (np.unique returns first index
-            # in sorted-unique order)
-            uniq, idx = np.unique(p, return_index=True)
-            for b, i in zip(uniq.tolist(), idx.tolist()):
-                best.setdefault(int(b), int(salts[i]))
-            lo += span
-            span *= 4
-        return {shard: best[shard] for shard in range(n)}
+        salts = partition_salts(self.n_shards)
+        return {shard: salts[shard] for shard in range(self.n_shards)}
         # Block-max metadata is (max_tf, min_dl); the per-block tf_norm
         # upper bound is computed HERE under the current avgdl — always
         # sound regardless of how incremental updates shifted avgdl.
@@ -309,11 +296,15 @@ class BM25Query:
         overflow probe is the same single aggregation job either way
         (limit(bound+1) detects overflow)."""
         agg = self._global_df_frame()
-        rows = agg.limit(self.driver_dict_max_terms + 1).collect()
-        if len(rows) <= self.driver_dict_max_terms:
-            self._df_map: dict[str, int] | None = {
-                r["term"]: int(r["df"]) for r in rows
-            }
+        # toPandas (Arrow) instead of collect(): the row-based collect
+        # pickles one Row per term through py4j — at the 2M-term cap that
+        # is the slow path; Arrow moves the two columns as batches (r7,
+        # guide §6 "Arrow for driver transfers")
+        pdf = agg.limit(self.driver_dict_max_terms + 1).toPandas()
+        if len(pdf) <= self.driver_dict_max_terms:
+            self._df_map: dict[str, int] | None = dict(
+                zip(pdf["term"].tolist(), (int(x) for x in pdf["df"].tolist()))
+            )
         else:
             self._df_map = None
             self._dict_df = agg.persist()

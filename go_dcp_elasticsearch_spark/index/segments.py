@@ -285,8 +285,10 @@ def tombstone_ids(spark, paths: IndexPaths) -> np.ndarray:
     tombs = read_tombstones(spark, paths)
     if tombs is None:
         return np.empty(0, dtype=np.int64)
-    ids = [int(r["doc_id"]) for r in tombs.select("doc_id").collect()]
-    return np.array(sorted(ids), dtype=np.int64)
+    # Arrow transfer + numpy sort: at the 8M-id hard cap the row-based
+    # collect pickled one Row per tombstone through py4j (r7)
+    arr = tombs.select("doc_id").toPandas()["doc_id"].to_numpy()
+    return np.sort(arr.astype(np.int64))
 
 
 def read_delta_postings(
@@ -401,8 +403,6 @@ def fold_segments(spark, index_dir: str) -> dict:
     merge/split phases and by rebuild-mode apply_changes_to_index.
     """
     import json
-
-    from pyspark.sql import Window
 
     from go_dcp_elasticsearch_spark.functions.codec import (
         BLOCK_SIZE,
@@ -548,15 +548,52 @@ def fold_segments(spark, index_dir: str) -> dict:
             yield pd.DataFrame(out)
 
     provisional = blocks.mapInPandas(fold_kernel, schema=out_schema)
-    wb = Window.partitionBy("term", "shard").orderBy("_seg_ord", "block_id")
+    n_out = max(len(dirty), 1)
+
+    # block_id renumbering FUSED into the (salted) shard exchange (r7):
+    # the old shape ran a row_number window partitioned by (term, shard)
+    # — one full shuffle+sort of every folded block — and then a SECOND
+    # shuffle to the shard layout for the write. One perfect-partitioner
+    # exchange (each dirty shard its own task), a partition-local sort,
+    # and a vectorized renumber kernel produce the identical rows and
+    # file order with half the shuffles.
+    from go_dcp_elasticsearch_spark.functions.hashing import label_salt_expr
+
+    def renumber(iterator):
+        pdfs = list(iterator)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        # rows arrive sorted by (shard, term, _seg_ord, block_id):
+        # sequential index within each (shard, term) group is the new
+        # block_id — exactly the window's row_number ordering
+        shards_a = pdf["shard"].to_numpy()
+        terms_a = pdf["term"].to_numpy()
+        n = len(pdf)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (terms_a[1:] != terms_a[:-1]) | (shards_a[1:] != shards_a[:-1])
+        gstarts = np.nonzero(change)[0]
+        glens = np.diff(np.append(gstarts, n))
+        pdf = pdf.drop(columns=["_seg_ord"]).copy()
+        pdf["block_id"] = (
+            np.arange(n, dtype=np.int64) - np.repeat(gstarts, glens)
+        ).astype(np.int32)
+        yield pdf[[f.name for f in POSTINGS_SCHEMA.fields]]
+
     new_postings = (
-        provisional.withColumn("_bid", F.row_number().over(wb) - F.lit(1))
-        .drop("block_id", "_seg_ord")
-        .withColumnRenamed("_bid", "block_id")
-        .select(*[f.name for f in POSTINGS_SCHEMA.fields])
+        provisional.repartition(n_out, label_salt_expr(dirty))
+        .sortWithinPartitions("shard", "term", "_seg_ord", "block_id")
+        .mapInPandas(
+            renumber,
+            schema="term string, shard int, block_id int, ids_vb binary, "
+                   "tfs_vb binary, dls_vb binary, count int, max_doc_id long, "
+                   "max_tf long, tf_sum long, min_dl long",
+        )
     )
 
-    n_out = max(len(dirty), 1)
     # ---- STAGE: write the folded output beside the base (base and
     # segments untouched — a crash anywhere in here leaves the pre-fold
     # state authoritative and the stage is garbage-collected next fold)
@@ -564,9 +601,9 @@ def fold_segments(spark, index_dir: str) -> dict:
     new_docs.repartition(n_out, F.col("shard")).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(f"{stage}/docs")
-    new_postings.repartition(n_out, F.col("shard")).sortWithinPartitions(
-        "term", "block_id"
-    ).write.mode("overwrite").partitionBy("shard").parquet(f"{stage}/postings")
+    new_postings.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{stage}/postings"
+    )
     tomb_bc.unpersist()
     docs_live = _list_shard_dirs(spark, f"{stage}/docs")
     postings_live = _list_shard_dirs(spark, f"{stage}/postings")

@@ -151,24 +151,33 @@ def minhash_band_buckets(
             return pd.Series(out)
 
         salts = ["" if d == 0 else f"{d}|" for d in range(-(-n_hashes // 6))]
+        # r7: digest slices cached per UNIQUE shingle across the whole
+        # Arrow batch — shingles repeat heavily within and across docs,
+        # and the md5 calls were the kernel's hot loop (2x measured,
+        # output asserted byte-identical in tests/test_dedup.py)
+        sig_cache: dict[str, list[str]] = {}
+
+        def shingle_sigs(s: str) -> list[str]:
+            digs = [hashlib.md5((salt + s).encode()).hexdigest() for salt in salts]
+            return [
+                digs[i // 6][(i % 6) * 5 : (i % 6) * 5 + 5]
+                for i in range(n_hashes)
+            ]
+
         out = []
         for text in texts:
             toks = tokenize_py(text)
             if len(toks) < shingle_n:
                 out.append(None)
                 continue
-            shingles = [
-                " ".join(toks[i : i + shingle_n])
-                for i in range(len(toks) - shingle_n + 1)
-            ]
-            digests = [
-                [hashlib.md5((salt + s).encode()).hexdigest() for s in shingles]
-                for salt in salts
-            ]
-            mh = [
-                min(d[(i % 6) * 5 : (i % 6) * 5 + 5] for d in digests[i // 6])
-                for i in range(n_hashes)
-            ]
+            per = []
+            for i in range(len(toks) - shingle_n + 1):
+                s = " ".join(toks[i : i + shingle_n])
+                v = sig_cache.get(s)
+                if v is None:
+                    v = sig_cache[s] = shingle_sigs(s)
+                per.append(v)
+            mh = [min(v[i] for v in per) for i in range(n_hashes)]
             out.append(
                 [
                     hashlib.md5(
@@ -384,6 +393,26 @@ def dedup_clusters(
     (lineage would otherwise grow unboundedly). Deterministic: min is
     order-free.
     """
+    # r7 small-graph fast path: near-dup candidate graphs are tiny next to
+    # the corpus (the whole point of LSH), and each propagation round costs
+    # two fixed-overhead Spark jobs. When BOTH the pairs and the node list
+    # fit a driver cap (default 200k rows, SPARK_GRAFT_SMALL_GRAPH_MAX),
+    # the components are computed driver-side with the IDENTICAL contract:
+    # cluster_id = min reachable id, and the max_iters rail still raises
+    # when min-label propagation would not have converged in max_iters
+    # rounds (a component converges in ecc+1 rounds, where ecc is the max
+    # BFS distance from its min-id node). Big graphs keep the distributed
+    # loop unchanged.
+    import os as _os
+
+    cap = int(_os.environ.get("SPARK_GRAFT_SMALL_GRAPH_MAX", "200000"))
+    edge_rows = pairs.select("id_a", "id_b").limit(cap + 1).collect()
+    if len(edge_rows) <= cap:
+        node_rows = nodes.select(F.col(id_col).alias("id")).limit(cap + 1).collect()
+        if len(node_rows) <= cap:
+            return _dedup_clusters_driver(
+                nodes, id_col, node_rows, edge_rows, max_iters
+            )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -438,6 +467,74 @@ def dedup_clusters(
     # should call .unpersist() via the attached handle
     labels._persisted_parent = cached
     return labels
+
+
+def _dedup_clusters_driver(
+    nodes: DataFrame, id_col: str, node_rows, edge_rows, max_iters: int
+) -> DataFrame:
+    """Driver-side connected components for small candidate graphs — the
+    exact semantics of the distributed min-label loop (see
+    dedup_clusters): labels propagate only through edges whose BOTH
+    endpoints are nodes, cluster_id = min node id reachable, and the
+    max_iters safety rail raises iff the distributed loop would not have
+    detected convergence within max_iters rounds (ecc + 1, ecc = max BFS
+    distance from the component's min-id node)."""
+    from collections import deque
+
+    ids = [r["id"] for r in node_rows]
+    id_set = set(ids)
+    adj: dict = {}
+    for r in edge_rows:
+        a, b = r["id_a"], r["id_b"]
+        if a in id_set and b in id_set and a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    label = {}
+    max_rounds_needed = 1  # singleton graphs converge on the first probe
+    seen: set = set()
+    for start in ids:
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        q = deque([start])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    comp.append(w)
+                    q.append(w)
+        root = min(comp)
+        # ecc from the min-id node bounds the propagation rounds
+        dist = {root: 0}
+        q = deque([root])
+        ecc = 0
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    ecc = max(ecc, dist[w])
+                    q.append(w)
+        max_rounds_needed = max(max_rounds_needed, ecc + 1)
+        for v in comp:
+            label[v] = root
+    if max_rounds_needed > max_iters:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(pathological component diameter); raise max_iters"
+        )
+    from go_dcp_elasticsearch_spark.session import tiny_df
+
+    id_type = {
+        f.name: f.dataType.simpleString() for f in nodes.schema.fields
+    }[id_col]
+    return tiny_df(
+        nodes.sparkSession,
+        [(v, label[v]) for v in ids],
+        f"id {id_type}, cluster_id {id_type}",
+    )
 
 
 def keep_per_cluster(clusters: DataFrame) -> DataFrame:

@@ -550,51 +550,82 @@ def apply_changes_to_index(
     )
     docs_path = f"{index_dir}/docs"
     docs = spark.read.parquet(docs_path)
-    # one metadata-only job for all three bounds (each agg is its own
-    # Spark job otherwise, and fixed job overhead dominates small deltas)
-    bounds = docs.agg(
-        F.max("shard").alias("ms"),
-        F.max("doc_id").alias("mi"),
-        F.count_distinct("shard").alias("ns"),
-    ).collect()[0]
-    if bounds["ms"] is None:
-        raise ValueError(
-            "apply_changes_to_index: the index's docs table is empty — an "
-            "incremental apply has no doc-id/shard authority to extend; "
-            "run a fresh IndexBuilder(...).build over the post-change "
-            "corpus instead"
-        )
-    # max label is the tail-minting authority; the LIVE label count sizes
-    # new shards (compaction merges leave label holes, and max+1 would
-    # over-count shards, shrinking the target and minting extra tails)
-    max_label = int(bounds["ms"])
-    n_live = int(bounds["ns"])
-    max_id = int(bounds["mi"])
+    # bounds: with a valid keymap + v5 stats partials, the id/label
+    # authority comes from the keymap meta and the live-label count from
+    # the (driver-side, n_shards-row) partials — ZERO metadata jobs (r7;
+    # the keymap's max_doc_id may overestimate after a fold removed dead
+    # ids, which is safe: ids must only never be REUSED, and an
+    # overestimated max label only leaves a label hole). Fallback: the
+    # one fused metadata-only aggregation job as before.
+    from go_dcp_elasticsearch_spark.fsutil import exists as _exists_fs
+    from go_dcp_elasticsearch_spark.index.builder import read_stats_partials
+
+    _bounds_partials = None
+    if kmeta is not None and _exists_fs(spark, _km_paths.stats_shards):
+        _bounds_partials = read_stats_partials(spark, _km_paths)
+    if _bounds_partials:
+        max_label = int(kmeta["max_shard"])
+        n_live = sum(1 for n, _sd in _bounds_partials.values() if n > 0) or 1
+        max_id = int(kmeta["max_doc_id"])
+    else:
+        # one metadata-only job for all three bounds (each agg is its own
+        # Spark job otherwise, and fixed overhead dominates small deltas)
+        bounds = docs.agg(
+            F.max("shard").alias("ms"),
+            F.max("doc_id").alias("mi"),
+            F.count_distinct("shard").alias("ns"),
+        ).collect()[0]
+        if bounds["ms"] is None:
+            raise ValueError(
+                "apply_changes_to_index: the index's docs table is empty — an "
+                "incremental apply has no doc-id/shard authority to extend; "
+                "run a fresh IndexBuilder(...).build over the post-change "
+                "corpus instead"
+            )
+        # max label is the tail-minting authority; the LIVE label count
+        # sizes new shards (compaction merges leave label holes, and
+        # max+1 would over-count shards, shrinking the target and
+        # minting extra tails)
+        max_label = int(bounds["ms"])
+        n_live = int(bounds["ns"])
+        max_id = int(bounds["mi"])
     feed = last_write_wins(changes, key_cols, order_col).select(
         *key_cols, "action"
     )
     feed.persist()
-    n_changed = feed.count()
-    trace("bounds+feed_count")
+    trace("bounds+feed")
 
-    # ONE column-pruned docs-metadata pass resolves BOTH questions the
-    # feed asks of the index — which shards its existing keys live in
-    # (affected) and which keys are new (inserts = no match) — via a
-    # single left join, instead of an inner join plus a separate
-    # anti-join (two full metadata scans, measured as the dominant
-    # fixed cost of small deltas at 1M docs).
+    # ONE column-pruned pass resolves BOTH questions the feed asks of the
+    # index — which shards its existing keys live in (affected) and which
+    # keys are new (inserts = no match) — via a single left join. With a
+    # valid keymap the lookup side is the bucket-PRUNED key cache instead
+    # of the full docs metadata (r7: the delta path's O(delta) lookup,
+    # now on the rebuild path too).
     # NO broadcast hint on the feed keys: a bulk re-ingest snapshot can
     # carry millions of keys (the same rationale that removed the hint in
     # upsert_corpus_mirror, streaming/pipeline.py) — resume_apply can hand
     # this function exactly that delta. AQE broadcasts when it fits.
-    feed_shard = feed.join(
-        docs.select(*key_cols, "shard"), key_cols, "left"
-    ).persist()
-    affected = {
-        int(r["shard"])
-        for r in feed_shard.select("shard").distinct().collect()
-        if r["shard"] is not None
-    }
+    if kmeta is not None:
+        shard_side = km_mod.lookup(spark, _km_paths, feed, key_cols, kmeta).select(
+            *key_cols, "shard"
+        )
+    else:
+        shard_side = docs.select(*key_cols, "shard")
+    feed_shard = feed.join(shard_side, key_cols, "left").persist()
+    # fused bookkeeping: feed count, affected shards and the insert probe
+    # all from ONE aggregation job (was three jobs — count, distinct
+    # collect, limit probe — of pure fixed overhead per apply)
+    _fs_rows = feed_shard.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("action") != F.lit("delete"), 1).otherwise(0)
+        ).alias("na"),
+    ).collect()
+    n_changed = sum(int(r["n"]) for r in _fs_rows)
+    affected = {int(r["shard"]) for r in _fs_rows if r["shard"] is not None}
+    has_inserts = any(
+        r["shard"] is None and int(r["na"]) > 0 for r in _fs_rows
+    )
     inserts = feed_shard.filter(
         F.col("shard").isNull() & (F.col("action") != "delete")
     ).select(*key_cols)
@@ -642,9 +673,9 @@ def apply_changes_to_index(
     )
     # update/delete-only deltas (the common CDC case) skip the whole
     # insert-rank machinery — its range-partition sampling + counts jobs
-    # are pure fixed overhead when the feed holds no new keys (the probe
-    # is a limit(1) over the already-persisted feed_shard frame)
-    if inserts.limit(1).count() == 0:
+    # are pure fixed overhead when the feed holds no new keys (decided
+    # from the fused feed_shard aggregate above, zero extra jobs)
+    if not has_inserts:
         ranked = None
         n_inserts = 0
     else:
@@ -730,13 +761,47 @@ def apply_changes_to_index(
     # the metadata scans above.
     if "_bucket" in new_corpus.columns:
         new_corpus = new_corpus.drop("_bucket")
-    shard_corpus = (
-        shard_ids.join(new_corpus, key_cols, "inner")
-        .repartitionByRange(max(len(rebuild_shards), 1), "doc_id")
-        .sortWithinPartitions("doc_id")
-        .persist()
+    # r7 (two changes, both measured):
+    # * the join output is persisted BEFORE repartitionByRange — range
+    #   partitioning runs a separate boundary-sampling job over its
+    #   child, so an unpersisted join re-ran the full corpus content
+    #   scan TWICE per apply (sample + real pass);
+    # * the range partition count scales with the rebuild size instead
+    #   of one-partition-per-shard: the chunk kernel tokenizes this
+    #   frame, and a 1-shard rebuild (the common clustered-CDC delta)
+    #   funneled the whole shard's content through ONE Python worker.
+    #   Any partition count keeps the SPIMI-merge invariant (disjoint
+    #   contiguous id ranges per partition).
+    _sc_pre = shard_ids.join(new_corpus, key_cols, "inner").persist()
+    _sc_pre.count()
+    trace("shard_corpus_join")
+    _per_shard_est = n_docs_before // max(int(n_live), 1)
+    _sc_rows_est = len(rebuild_shards) * max(_per_shard_est, 1) + n_inserts
+    _sc_parts = max(
+        len(rebuild_shards),
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            max(1, _sc_rows_est // 4096),
+        ),
     )
-    shard_corpus.count()
+    # localCheckpoint (eager), NOT persist: a persisted plan that reads
+    # docs_path is lazily INVALIDATED by the docs overwrite below (Spark
+    # recaches by path on InsertIntoHadoopFsRelation), and a recompute
+    # then re-reads the ALREADY-REWRITTEN docs — `kept` would yield the
+    # just-inserted docs a second time next to ins_ids and every
+    # insert's postings would be written twice (caught by
+    # test_delta_fold_equals_rebuild: df=2 for a 1-doc term; the pre-r7
+    # persist shape survived only because the feed_shard cache was
+    # invalidated in the same sweep and the two recomputes cancelled
+    # out). Checkpointing truncates the lineage so the rebuild slice can
+    # NEVER be recomputed from mutated inputs — executor loss fails the
+    # job instead of silently double-counting.
+    shard_corpus = (
+        _sc_pre.repartitionByRange(_sc_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint()
+    )
+    _sc_pre.unpersist()
     trace("shard_corpus_materialize")
     # ranked output is folded into the (now materialized) shard_corpus
     if ranked is not None:
@@ -795,10 +860,21 @@ def apply_changes_to_index(
         ).mapInPandas(
             _chunks_with_fixed_shard(b, None, field_cols), schema=CHUNK_SCHEMA
         )
+        # ONE salted-shard exchange (r7): the merge kernel groups by
+        # (term, shard) within its partition, so repartitioning straight
+        # to one-rebuilt-shard-per-task feeds the merge AND the
+        # partitioned write from a single shuffle of the chunk bytes
+        # (was two: (term, shard) for the merge, then shard for the
+        # write — same per-task bound either way, the old write stage
+        # already held a whole shard per task).
+        from go_dcp_elasticsearch_spark.functions.hashing import (
+            label_salt_expr,
+        )
+
         postings = chunks.repartition(
-            max(len(rebuild_shards) * 4, 8), F.col("term"), F.col("shard")
+            max(len(rebuild_shards), 1), label_salt_expr(rebuild_shards)
         ).mapInPandas(b._merge_chunks(None), schema=POSTINGS_SCHEMA)
-        postings.repartition(len(rebuild_shards), F.col("shard")).sortWithinPartitions(
+        postings.sortWithinPartitions(
             "term", "block_id"
         ).write.mode("overwrite").partitionBy("shard").parquet(b.paths.postings)
         trace("postings_write")
@@ -814,6 +890,36 @@ def apply_changes_to_index(
             spark, b, rebuild_shards - emptied, emptied
         )
         trace("partials_refresh")
+    # positional-sidecar rewrite runs BEFORE refreshByPath(docs_path)
+    # (r7 correctness fix): the rewrite consumes the persisted
+    # shard_corpus, which DERIVES from the docs table just overwritten —
+    # refreshing first would lazily invalidate that cache, and a
+    # recompute (lost executor blocks) would re-read the rewritten docs
+    # and duplicate inserted docs in the sidecar (mid-stream position
+    # resets -> uint64-wrapped gaps), then stamp it fresh. The marker was
+    # already dropped pre-overwrite, so a crash in here leaves the
+    # sidecar STALE, never wrong; the marker re-stamp stays post-commit.
+    pos_rewritten = False
+    if maintain_pos:
+        try:
+            from go_dcp_elasticsearch_spark.index.positions import (
+                rewrite_positions_for_shards,
+            )
+
+            rewrite_positions_for_shards(
+                spark, index_dir, shard_corpus, rebuild_shards
+            )
+            pos_rewritten = True
+        except Exception as e:  # noqa: BLE001 — leave STALE, never wrong
+            import warnings
+
+            from go_dcp_elasticsearch_spark.fsutil import delete_dir
+
+            delete_dir(spark, IndexPaths(index_dir).positions_meta)
+            warnings.warn(
+                f"positional-sidecar maintenance failed ({e}); sidecar "
+                "left stale (index-only phrase disabled until rebuild)"
+            )
     # deferred from the emptied-partition delete above: shard_corpus is
     # now fully consumed, so dropping cached plans that reference
     # docs_path is safe (readers in this session get fresh listings)
@@ -858,16 +964,12 @@ def apply_changes_to_index(
 
             warnings.warn(f"keymap maintenance failed ({e}); cache left invalid")
     trace("keymap_maintenance")
-    if maintain_pos:
+    if pos_rewritten:
         try:
             from go_dcp_elasticsearch_spark.index.positions import (
-                rewrite_positions_for_shards,
                 stamp_positions_marker,
             )
 
-            rewrite_positions_for_shards(
-                spark, index_dir, shard_corpus, rebuild_shards
-            )
             stamp_positions_marker(spark, index_dir)
         except Exception as e:  # noqa: BLE001 — leave STALE, never wrong
             import warnings
@@ -876,7 +978,7 @@ def apply_changes_to_index(
 
             delete_dir(spark, IndexPaths(index_dir).positions_meta)
             warnings.warn(
-                f"positional-sidecar maintenance failed ({e}); sidecar "
+                f"positional-sidecar marker stamp failed ({e}); sidecar "
                 "left stale (index-only phrase disabled until rebuild)"
             )
     shard_corpus.unpersist()
@@ -1012,42 +1114,85 @@ def _apply_changes_delta(
             *key_cols, "doc_id", "shard", "doc_len"
         )
     trace("lookup_plan")
-    joined = feed.join(meta_side, key_cols, "left").persist()
-    n_changed = joined.count()
-    trace("joined_count")
+    import os as _os
+
+    from go_dcp_elasticsearch_spark.session import tiny_df
+
+    joined = feed.join(meta_side, key_cols, "left")
+    # r7 small-delta fast path: a CDC-shaped delta is a handful of keys,
+    # and the old path ran FOUR bookkeeping jobs over `joined` (count,
+    # alive probe, insert-rank counts, dead aggregate) — pure fixed
+    # scheduling overhead on the path whose point is low fixed cost.
+    # When the joined feed fits a driver cap (default 100k rows,
+    # SPARK_GRAFT_SMALL_DELTA_MAX) it is collected ONCE and every count,
+    # per-shard dead stat, insert rank and keymap marker derives
+    # driver-side — zero further metadata jobs. Bigger feeds keep the
+    # distributed shape with the three aggregates FUSED into one
+    # groupBy("shard") job. Rank parity: the driver path sorts alive
+    # keys by plain tuple order, which equals the range-partitioned sort
+    # for string/integer keys (UTF-8 byte order == code-point order);
+    # other key types always take the distributed path.
+    small_max = int(_os.environ.get("SPARK_GRAFT_SMALL_DELTA_MAX", "100000"))
+    _key_types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    keys_sortable = all(
+        _key_types.get(k) in ("string", "int", "bigint", "smallint", "tinyint")
+        for k in key_cols
+    )
+    rows = joined.limit(small_max + 1).collect() if keys_sortable else None
+    small = rows is not None and len(rows) <= small_max
+
+    def _kv(r):
+        return tuple(r[k] for k in key_cols)
+
+    joined_p = None
+    if small:
+        n_changed = len(rows)
+        alive_rows = [r for r in rows if r["action"] != "delete"]
+        n_alive = len(alive_rows)
+        dead_by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            if r["doc_id"] is not None:
+                e = dead_by_shard.setdefault(int(r["shard"]), [0, 0])
+                e[0] += 1
+                e[1] += int(r["doc_len"])
+        dead_agg = [
+            {"shard": sh, "n": n, "sd": sd}
+            for sh, (n, sd) in dead_by_shard.items()
+        ]
+    else:
+        joined_p = joined.persist()
+        agg_rows = joined_p.groupBy("shard").agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("action") != F.lit("delete"), 1).otherwise(0)
+            ).alias("na"),
+            F.count("doc_id").alias("nd"),
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id").isNotNull(), F.col("doc_len"))),
+                F.lit(0),
+            ).alias("sd"),
+        ).collect()
+        n_changed = sum(int(r["n"]) for r in agg_rows)
+        n_alive = sum(int(r["na"]) for r in agg_rows)
+        dead_agg = [
+            {"shard": int(r["shard"]), "n": int(r["nd"]), "sd": int(r["sd"])}
+            for r in agg_rows
+            if r["shard"] is not None and int(r["nd"])
+        ]
+    n_dead = sum(int(r["n"]) for r in dead_agg)
+    trace("joined_probe")
     if n_changed == 0:
-        joined.unpersist()
+        if joined_p is not None:
+            joined_p.unpersist()
         feed.unpersist()
         return {
             "affected_shards": [], "insert_shards": [], "n_changed": 0,
             "n_docs": None, "segment": None, "strategy": "delta",
             "compact_recommended": False, "folded": False,
         }
-
-    alive_keys = joined.filter(F.col("action") != "delete").select(*key_cols)
-    if alive_keys.limit(1).count() == 0:
-        ranked, n_alive = None, 0
-    else:
-        n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-        ranked = _assign_insert_ranks(alive_keys, key_cols, n_parts=n_parts)
-        n_alive = ranked._n_rows
-    trace("ranked")
-
-    # tombstone aggregate (needed for stats later anyway), computed early:
-    # a feed that nets to NOTHING — e.g. an at-least-once replay of
-    # delete-only changes whose keys are already gone — must not commit an
-    # EMPTY segment (it would flip every reader onto the delta path and
-    # force a no-op fold)
-    dead_agg = (
-        joined.filter(F.col("doc_id").isNotNull())
-        .groupBy("shard")
-        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("sd"))
-        .collect()
-    )
-    n_dead = sum(int(r["n"]) for r in dead_agg)
-    trace("dead_agg")
     if n_alive == 0 and n_dead == 0:
-        joined.unpersist()
+        if joined_p is not None:
+            joined_p.unpersist()
         feed.unpersist()
         return {
             "affected_shards": [], "insert_shards": [], "n_changed": n_changed,
@@ -1078,13 +1223,40 @@ def _apply_changes_delta(
 
     all_rows = None
     alive_docs = None
+    delta_corpus = None
+    ranked = None
+    alive_sorted = None
     if n_alive:
-        ids = (F.col("_rank") + F.lit(max_id + 1)).alias("doc_id")
-        with_old = ranked.join(
-            joined.select(*key_cols, F.col("shard").alias("_old_shard")),
-            key_cols,
-            "left",
-        )
+        # with_old = the alive keys with their NEW doc_id and previous
+        # shard. Small path: ranks assigned driver-side over the collected
+        # rows (identical ids: dense rank in key sort order); big path:
+        # the distributed offset-rank machinery as before.
+        if small:
+            alive_sorted = sorted(alive_rows, key=_kv)
+            _key_schema = ", ".join(f"{k} {_key_types[k]}" for k in key_cols)
+            with_old = tiny_df(spark, [
+                (*_kv(r), max_id + 1 + i,
+                 None if r["shard"] is None else int(r["shard"]))
+                for i, r in enumerate(alive_sorted)
+            ], _key_schema + ", doc_id long, _old_shard int")
+        else:
+            n_parts_rk = max(
+                1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            )
+            ranked = _assign_insert_ranks(
+                joined_p.filter(F.col("action") != "delete").select(*key_cols),
+                key_cols, n_parts=n_parts_rk,
+            )
+            with_old = ranked.join(
+                joined_p.select(*key_cols, F.col("shard").alias("_old_shard")),
+                key_cols,
+                "left",
+            ).select(
+                *key_cols,
+                (F.col("_rank") + F.lit(max_id + 1)).alias("doc_id"),
+                "_old_shard",
+            )
+        trace("ranked")
         if "_bucket" in new_corpus.columns:
             new_corpus = new_corpus.drop("_bucket")
         # the delta side is exactly n_alive key rows (known, small for any
@@ -1116,13 +1288,17 @@ def _apply_changes_delta(
             c for c in base_cols
             if c not in ("doc_id", "content_sha256", "doc_len", "shard")
         ]
+        # r7: delta_corpus is AT MOST n_alive rows — persist the joined
+        # slice itself so the postings pass, the docs-metadata pass and
+        # the stats pass all read ONE materialized frame; the old shape
+        # persisted only the chunk rows, and the docs pass re-scanned the
+        # caller's whole corpus lineage a second time per apply
         delta_corpus = joined_corpus.select(
-            ids, *[F.col(c) for c in meta_cols], F.col("content"),
+            F.col("doc_id"), *[F.col(c) for c in meta_cols], F.col("content"),
             shard_col.alias("shard"),
-        )
+        ).persist()
         # one tokenize pass emits the posting chunks AND the per-doc
-        # sentinels (sha256 + doc_len) — the fused-build shape; persisted
-        # content-free so the docs part reuses it without re-tokenizing
+        # sentinels (sha256 + doc_len) — the fused-build shape
         all_rows = (
             delta_corpus.select("doc_id", "content", "shard", *field_cols)
             .mapInPandas(
@@ -1132,7 +1308,15 @@ def _apply_changes_delta(
             .persist()
         )
         chunks = all_rows.filter(F.col("term") != DOC_SENTINEL)
-        n_merge = max(4, min(n_parts, 32))
+        # merge fan-in (== the segment's postings FILE count) scales with
+        # the delta (r7): a 100-doc segment written as 32 files charged
+        # every later query and refresh 32 file opens per segment — per
+        # guide §6, segment sizing should track the data, and Lucene
+        # flushes small segments as single files for the same reason
+        n_merge = max(1, min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 32,
+            -(-n_alive // 2048),
+        ))
         postings = chunks.repartition(
             n_merge, F.col("term"), F.col("shard")
         ).mapInPandas(b._merge_chunks(None), schema=POSTINGS_SCHEMA)
@@ -1152,7 +1336,8 @@ def _apply_changes_delta(
             .select(*base_cols, "_alive")
         )
 
-    # tombstones: every matched previous row (update or delete)
+    # tombstones: every matched previous row (update or delete) — from
+    # the collected rows on the small path (no second pass over joined)
     by_name = {f.name: f for f in base.schema.fields}
     tomb_cols = []
     for c in base_cols:
@@ -1160,12 +1345,29 @@ def _apply_changes_delta(
             tomb_cols.append(F.col(c))
         else:
             tomb_cols.append(F.lit(None).cast(by_name[c].dataType).alias(c))
-    tombs = joined.filter(F.col("doc_id").isNotNull()).select(
-        *tomb_cols, F.lit(False).alias("_alive")
-    )
-    seg_docs = tombs if alive_docs is None else alive_docs.unionByName(tombs)
+    if n_dead == 0:
+        tombs = None
+    elif small:
+        _key_schema = ", ".join(f"{k} {_key_types[k]}" for k in key_cols)
+        tomb_src = tiny_df(spark, [
+            (*_kv(r), int(r["doc_id"]), int(r["doc_len"]), int(r["shard"]))
+            for r in rows if r["doc_id"] is not None
+        ], _key_schema + ", doc_id long, doc_len long, shard int")
+        tombs = tomb_src.select(*tomb_cols, F.lit(False).alias("_alive"))
+    else:
+        tombs = joined_p.filter(F.col("doc_id").isNotNull()).select(
+            *tomb_cols, F.lit(False).alias("_alive")
+        )
+    if tombs is None:
+        seg_docs = alive_docs
+    elif alive_docs is None:
+        seg_docs = tombs
+    else:
+        seg_docs = alive_docs.unionByName(tombs)
     # the COMMIT POINT: segment becomes discoverable on this write
-    seg_docs.coalesce(4).write.mode("overwrite").parquet(seg_docs_dir)
+    # (file count scales with the delta — see n_merge above)
+    _n_doc_files = max(1, min(4, -(-(n_alive + n_dead) // 50000)))
+    seg_docs.coalesce(_n_doc_files).write.mode("overwrite").parquet(seg_docs_dir)
     trace("seg_docs_write")
 
     # exact stats fold (driver-side, tiny): + new docs, − tombstoned docs
@@ -1177,13 +1379,32 @@ def _apply_changes_delta(
         partials[s] = (n0 - int(r["n"]), sd0 - int(r["sd"]))
         touched_shards.add(s)
     insert_shards: set[int] = set()
+    sent_rows = None
     if all_rows is not None:
-        new_agg = (
-            all_rows.filter(F.col("term") == DOC_SENTINEL)
-            .groupBy("shard")
-            .agg(F.count("*").alias("n"), F.sum(F.col("count").cast("long")).alias("sd"))
-            .collect()
-        )
+        if small:
+            # ONE collect serves both the stats fold and the keymap
+            # markers (n_alive rows, cached)
+            sent_rows = (
+                all_rows.filter(F.col("term") == DOC_SENTINEL)
+                .select("first_doc_id", "shard", "count")
+                .collect()
+            )
+            _new_by_shard: dict[int, list[int]] = {}
+            for r in sent_rows:
+                e = _new_by_shard.setdefault(int(r["shard"]), [0, 0])
+                e[0] += 1
+                e[1] += int(r["count"])
+            new_agg = [
+                {"shard": sh, "n": n, "sd": sd}
+                for sh, (n, sd) in _new_by_shard.items()
+            ]
+        else:
+            new_agg = (
+                all_rows.filter(F.col("term") == DOC_SENTINEL)
+                .groupBy("shard")
+                .agg(F.count("*").alias("n"), F.sum(F.col("count").cast("long")).alias("sd"))
+                .collect()
+            )
         for r in new_agg:
             s = int(r["shard"])
             n0, sd0 = partials.get(s, (0, 0))
@@ -1241,7 +1462,41 @@ def _apply_changes_delta(
     # POST-commit epoch, or rebuild the base if the cache was invalid.
     try:
         new_count = b.lineage.record_count()
-        if kmeta is not None:
+        if kmeta is not None and small:
+            # r7: both marker sets derive from already-collected driver
+            # data (the sentinel rows + the joined rows) — no re-read of
+            # the just-written segment, no anti-join job
+            _key_schema = ", ".join(f"{k} {_key_types[k]}" for k in key_cols)
+            sent_by_id = {
+                int(r["first_doc_id"]): (int(r["shard"]), int(r["count"]))
+                for r in (sent_rows or [])
+            }
+            km_alive_rows = []
+            alive_seg_keys = set()
+            for i, r in enumerate(alive_sorted or []):
+                did = max_id + 1 + i
+                if did in sent_by_id:
+                    sh, dl = sent_by_id[did]
+                    km_alive_rows.append((*_kv(r), did, sh, dl))
+                    alive_seg_keys.add(_kv(r))
+            # dead markers: every key whose previous doc died WITHOUT a
+            # superseding alive row in this segment — deletes, plus
+            # update keys whose new content was absent from the corpus
+            km_dead_keys = sorted({
+                _kv(r) for r in rows
+                if r["doc_id"] is not None and _kv(r) not in alive_seg_keys
+            })
+            km_mod.append_delta(
+                spark, paths, key_cols,
+                tiny_df(
+                    spark, km_alive_rows,
+                    _key_schema + ", doc_id long, shard int, doc_len long",
+                ) if km_alive_rows else None,
+                tiny_df(spark, km_dead_keys, _key_schema)
+                if km_dead_keys else None,
+                kmeta, new_count, max_id + n_alive, max_label,
+            )
+        elif kmeta is not None:
             seg_df = spark.read.parquet(seg_docs_dir)
             km_alive = seg_df.filter(F.col("_alive")).select(
                 *key_cols, "doc_id", "shard", "doc_len"
@@ -1250,7 +1505,7 @@ def _apply_changes_delta(
             # superseding alive row in this segment — deletes, plus
             # update keys whose new content was absent from the corpus
             km_dead = (
-                joined.filter(F.col("doc_id").isNotNull())
+                joined_p.filter(F.col("doc_id").isNotNull())
                 .select(*key_cols)
                 .join(km_alive.select(*key_cols), key_cols, "left_anti")
             )
@@ -1270,7 +1525,10 @@ def _apply_changes_delta(
         ranked._persisted_parent.unpersist()
     if all_rows is not None:
         all_rows.unpersist()
-    joined.unpersist()
+    if delta_corpus is not None:
+        delta_corpus.unpersist()
+    if joined_p is not None:
+        joined_p.unpersist()
     feed.unpersist()
     if force_fold:
         # hard cap tripped: fold NOW, on the batch path too — the apply

@@ -294,3 +294,74 @@ def test_dedup_clusters_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="converge"):
         dedup_clusters(nodes, pairs, max_iters=2)
     assert dedup_clusters(nodes, pairs, max_iters=10).count() == 7
+
+
+def test_minhash_md5_kernel_digest_cache_is_identical():
+    """r7: the md5-mode signature kernel caches digest slices per unique
+    shingle; the buckets must stay byte-identical to the uncached spec
+    (the DuckDB oracle mirrors the original formulation)."""
+    import hashlib
+
+    from go_dcp_elasticsearch_spark.corpus import _gen_row
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.operators.dedup import (
+        minhash_band_buckets,
+    )
+
+    n_hashes, band_size, shingle_n = 12, 3, 3
+    salts = ["" if d == 0 else f"{d}|" for d in range(-(-n_hashes // 6))]
+
+    def reference(text):
+        toks = tokenize_py(text)
+        if len(toks) < shingle_n:
+            return None
+        shingles = [
+            " ".join(toks[i:i + shingle_n])
+            for i in range(len(toks) - shingle_n + 1)
+        ]
+        digests = [
+            [hashlib.md5((salt + s).encode()).hexdigest() for s in shingles]
+            for salt in salts
+        ]
+        mh = [
+            min(d[(i % 6) * 5:(i % 6) * 5 + 5] for d in digests[i // 6])
+            for i in range(n_hashes)
+        ]
+        return [
+            hashlib.md5(
+                "|".join(mh[b * band_size:(b + 1) * band_size]).encode()
+            ).hexdigest()
+            for b in range(n_hashes // band_size)
+        ]
+
+    import pandas as pd
+
+    texts = [_gen_row(i, 5000)[4] for i in range(300)] + ["a b", ""]
+    # reach the inner pandas kernel through the public factory
+    import inspect
+
+    frame = inspect.currentframe()  # noqa: F841 — keep flake quiet
+    # rebuild the kernel closure exactly as minhash_band_buckets does:
+    # call the operator on a tiny local Spark-free path is not possible,
+    # so exercise the closure via the module-level function with a stub
+    from unittest import mock
+
+    captured = {}
+
+    def fake_pandas_udf(fn, rt):
+        captured["fn"] = fn
+        return mock.MagicMock()
+
+    with mock.patch(
+        "go_dcp_elasticsearch_spark.operators.dedup.F.pandas_udf",
+        side_effect=fake_pandas_udf,
+    ):
+        df = mock.MagicMock()
+        try:
+            minhash_band_buckets(df, "t", "i", n_hashes, band_size, shingle_n)
+        except Exception:
+            pass  # the DataFrame plumbing is mocked; we only need the kernel
+    kern = captured["fn"]
+    got = kern(pd.Series(texts)).tolist()
+    want = [reference(t) for t in texts]
+    assert got == want
