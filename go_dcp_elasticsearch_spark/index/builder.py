@@ -1211,12 +1211,28 @@ class IndexBuilder:
         # a full docs re-scan. Block-max metadata is (max_tf, min_dl) with
         # the tf_norm bound computed at query time under the CURRENT avgdl.
         if "stats" not in done:
-            rows = (
-                self.spark.read.parquet(self.paths.docs)
-                .groupBy("shard")
-                .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
-                .collect()
-            )
+            if all_rows is not None:
+                # r7: the per-shard (n_docs, sum_dl) partials are exactly
+                # the doc-sentinel aggregate of the PERSISTED chunk rows —
+                # no read-back of the just-written docs parquet
+                rows = (
+                    all_rows.filter(F.col("term") == DOC_SENTINEL)
+                    .groupBy("shard")
+                    .agg(
+                        F.count("*").alias("n_docs"),
+                        F.sum(F.col("count").cast("long")).alias("sum_dl"),
+                    )
+                    .collect()
+                )
+            else:
+                # resume path (docs+postings already committed): the docs
+                # table is the only source
+                rows = (
+                    self.spark.read.parquet(self.paths.docs)
+                    .groupBy("shard")
+                    .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+                    .collect()
+                )
             write_stats_tables(
                 self.spark, self.paths,
                 {int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"])) for r in rows},

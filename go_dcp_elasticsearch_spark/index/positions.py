@@ -121,21 +121,46 @@ def _positions_kernel(iterator):
         g_starts = np.nonzero(g_change)[0]
         g_ends = np.append(g_starts[1:], total)
         d_idx = np.nonzero(d_change)[0]
-        rows = []
-        for s, e in zip(g_starts, g_ends):
-            # doc starts within this group
-            ds = d_idx[(d_idx >= s) & (d_idx < e)]
-            ids = doc_ids[ds]
-            tfs = np.diff(np.append(ds, e)).astype(np.int64)
-            id_gaps = ids.astype(np.uint64).copy()
-            id_gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
-            rows.append((
-                str(uniq_terms[codes[s]]), int(shards[s]), int(ids[0]),
-                int(len(ids)), varbyte_encode(id_gaps),
-                varbyte_encode(tfs.astype(np.uint64)),
-                varbyte_encode(gaps[s:e].astype(np.uint64)),
-            ))
-        yield pd.DataFrame(rows, columns=cols)
+        # r7: all three varbyte streams encoded in ONE pass each over the
+        # batch, then sliced per group — the per-group encode calls were
+        # the kernel's hot loop (same fix as codec.encode_blocks_grouped;
+        # bytes identical: varbyte encodes values independently).
+        # Every group start is also a doc start (d_change ⊇ g_change), so
+        # the global per-doc diff equals the per-group diffs concatenated.
+        from go_dcp_elasticsearch_spark.functions.codec import (
+            varbyte_lengths,
+        )
+
+        d_group = np.searchsorted(g_starts, d_idx, side="right") - 1
+        ids_doc = doc_ids[d_idx]
+        tfs_doc = np.diff(np.append(d_idx, total)).astype(np.uint64)
+        first_of_group = np.empty(len(d_idx), dtype=bool)
+        first_of_group[0] = True
+        first_of_group[1:] = d_group[1:] != d_group[:-1]
+        id_gaps = ids_doc.astype(np.uint64).copy()
+        if len(d_idx) > 1:
+            id_gaps[1:] = np.where(
+                first_of_group[1:], ids_doc[1:], ids_doc[1:] - ids_doc[:-1]
+            ).astype(np.uint64)
+        dg_starts = np.nonzero(first_of_group)[0]
+        dg_ends = np.append(dg_starts[1:], len(d_idx))
+        bufs = []
+        for arr in (id_gaps, tfs_doc, gaps.astype(np.uint64)):
+            cum = np.concatenate(([0], np.cumsum(varbyte_lengths(arr))))
+            bufs.append((varbyte_encode(arr), cum))
+        yield pd.DataFrame({
+            "term": [str(t) for t in
+                     np.asarray(uniq_terms)[codes[g_starts]]],
+            "shard": shards[g_starts].astype(np.int32),
+            "first_doc_id": ids_doc[dg_starts].astype(np.int64),
+            "n_docs": (dg_ends - dg_starts).astype(np.int32),
+            "ids_vb": [bufs[0][0][bufs[0][1][s]:bufs[0][1][e]]
+                       for s, e in zip(dg_starts, dg_ends)],
+            "tfs_vb": [bufs[1][0][bufs[1][1][s]:bufs[1][1][e]]
+                       for s, e in zip(dg_starts, dg_ends)],
+            "pos_vb": [bufs[2][0][bufs[2][1][s]:bufs[2][1][e]]
+                       for s, e in zip(g_starts, g_ends)],
+        }, columns=cols)
 
 
 def build_positions(spark, index_dir: str, corpus: DataFrame) -> dict:

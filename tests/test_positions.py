@@ -198,3 +198,92 @@ def test_rebuild_apply_maintains_positions(spark, tmp_path):
     )
     assert out2.get("segment") is None
     assert not positions_fresh(spark, idx)
+
+
+def test_positions_kernel_bulk_encode_matches_per_group_spec():
+    """r7: the positions kernel encodes its three varbyte streams in one
+    pass each and slices per group; rows must stay byte-identical to the
+    original per-group encode (the sidecar layout is on-disk contract)."""
+    from itertools import chain
+
+    import numpy as np
+    import pandas as pd
+
+    from go_dcp_elasticsearch_spark.corpus import _gen_row
+    from go_dcp_elasticsearch_spark.functions.codec import varbyte_encode
+    from go_dcp_elasticsearch_spark.functions.tokenizer import tokenize_py
+    from go_dcp_elasticsearch_spark.index.positions import (
+        POSITIONS_SCHEMA,
+        _positions_kernel,
+    )
+
+    def reference(iterator):
+        cols = [f.name for f in POSITIONS_SCHEMA.fields]
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            toks_per_doc = [tokenize_py(c or "") for c in pdf["content"]]
+            lens = np.fromiter((len(t) for t in toks_per_doc),
+                               dtype=np.int64, count=len(toks_per_doc))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            all_toks = pd.Series(list(chain.from_iterable(toks_per_doc)))
+            doc_row = np.repeat(np.arange(len(pdf)), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_in_doc = np.arange(total) - np.repeat(starts, lens)
+            codes, uniq_terms = pd.factorize(all_toks, sort=False)
+            doc_ids = pdf["doc_id"].to_numpy()[doc_row]
+            shards = pdf["shard"].to_numpy().astype(np.int32)[doc_row]
+            order = np.lexsort((pos_in_doc, doc_ids, shards, codes))
+            codes, doc_ids, shards, pos_in_doc = (
+                codes[order], doc_ids[order], shards[order], pos_in_doc[order]
+            )
+            g_change = np.empty(total, dtype=bool)
+            g_change[0] = True
+            g_change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+            d_change = g_change.copy()
+            d_change[1:] |= doc_ids[1:] != doc_ids[:-1]
+            gaps = pos_in_doc.copy()
+            gaps[1:] = np.where(
+                d_change[1:], pos_in_doc[1:], pos_in_doc[1:] - pos_in_doc[:-1]
+            )
+            g_starts = np.nonzero(g_change)[0]
+            g_ends = np.append(g_starts[1:], total)
+            d_idx = np.nonzero(d_change)[0]
+            rows = []
+            for s, e in zip(g_starts, g_ends):
+                ds = d_idx[(d_idx >= s) & (d_idx < e)]
+                ids = doc_ids[ds]
+                tfs = np.diff(np.append(ds, e)).astype(np.int64)
+                id_gaps = ids.astype(np.uint64).copy()
+                id_gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+                rows.append((
+                    str(uniq_terms[codes[s]]), int(shards[s]), int(ids[0]),
+                    int(len(ids)), varbyte_encode(id_gaps),
+                    varbyte_encode(tfs.astype(np.uint64)),
+                    varbyte_encode(gaps[s:e].astype(np.uint64)),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    batches = [
+        pd.DataFrame({
+            "doc_id": np.arange(400),
+            "shard": (np.arange(400) // 100).astype(np.int32),
+            "content": [_gen_row(i, 5000)[4] for i in range(400)],
+        }),
+        pd.DataFrame({"doc_id": [1], "shard": [0], "content": ["one doc"]}),
+        pd.DataFrame({"doc_id": [1, 2], "shard": [0, 0],
+                      "content": ["", "x y x"]}),
+    ]
+    for pdf in batches:
+        want = list(reference(iter([pdf])))
+        got = list(_positions_kernel(iter([pdf])))
+        assert len(want) == len(got)
+        for w, g in zip(want, got):
+            w = w.reset_index(drop=True)
+            g = g.reset_index(drop=True)
+            assert list(w.columns) == list(g.columns)
+            for c in w.columns:
+                assert (w[c] == g[c]).all(), c
