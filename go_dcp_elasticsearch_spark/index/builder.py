@@ -1233,13 +1233,20 @@ class IndexBuilder:
                     .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
                     .collect()
                 )
-            write_stats_tables(
+            stats_out = write_stats_tables(
                 self.spark, self.paths,
                 {int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"])) for r in rows},
             )
             self.lineage.commit("stats", 0, -1)
             trace("stats")
-        n_docs, avgdl = read_global_stats(self.spark, self.paths)
+        else:
+            stats_out = None
+        # write_stats_tables already returns (n_docs, avgdl) — the
+        # read-back job only runs on the resume path (r7)
+        n_docs, avgdl = (
+            stats_out if stats_out is not None
+            else read_global_stats(self.spark, self.paths)
+        )
 
         # postings: SPIMI — the persisted chunk rows (minus doc sentinels),
         # shuffled compressed (tiny), concat-merged per (term, shard).
@@ -1270,8 +1277,6 @@ class IndexBuilder:
             )
             self.lineage.commit("postings", 0, n_docs)
             trace("postings_write")
-        if all_rows is not None:
-            all_rows.unpersist()
 
         # dictionary: PER-SHARD partials (term, shard, df, cf) derived from
         # the already-aggregated postings blocks — a tiny column-pruned
@@ -1285,8 +1290,16 @@ class IndexBuilder:
         if "dictionary" not in done:
             from go_dcp_elasticsearch_spark.fsutil import delete_dir
 
+            if all_rows is not None:
+                # r7: the per-shard (term, df, cf) partials are invariant
+                # under the SPIMI merge (both are block-count sums), so
+                # they aggregate straight from the PERSISTED chunk rows —
+                # no read-back of the just-written postings parquet
+                dict_src = all_rows.filter(F.col("term") != DOC_SENTINEL)
+            else:
+                dict_src = self.spark.read.parquet(self.paths.postings)
             dictionary = (
-                self.spark.read.parquet(self.paths.postings)
+                dict_src
                 .groupBy("term", "shard")
                 .agg(F.sum("count").alias("df"), F.sum("tf_sum").alias("cf"))
             )
@@ -1298,6 +1311,8 @@ class IndexBuilder:
             ).partitionBy("shard").parquet(self.paths.dictionary)
             self.lineage.commit("dictionary", 0, n_docs)
             trace("dictionary")
+        if all_rows is not None:
+            all_rows.unpersist()
 
         # durable build configuration: incremental maintenance needs the
         # routing placement rule (B5) to keep co-locating NEW docs with
@@ -1346,7 +1361,12 @@ class IndexBuilder:
 
             count = self.lineage.record_count()
             if km_mod.valid_meta(self.spark, self.paths, ["repo", "path"], count) is None:
-                km_mod.rebuild_keymap(self.spark, self.paths, ["repo", "path"], count)
+                # a fresh build's id/label bounds are known without a job:
+                # dense ids 0..n_docs-1, labels < n_shards
+                km_mod.rebuild_keymap(
+                    self.spark, self.paths, ["repo", "path"], count,
+                    known_bounds=(max(n_docs - 1, 0), self.n_shards - 1),
+                )
         except Exception as e:  # noqa: BLE001 — cache maintenance only
             import warnings
 

@@ -144,11 +144,17 @@ def rebuild_keymap(
     key_cols: list[str],
     lineage_count: int,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    known_bounds: tuple[int, int] | None = None,
 ) -> dict:
     """Write the base layout from the LIVE docs view (one column-pruned
     metadata scan + one bucket-partitioned write) and commit a fresh
     meta. The id bound covers DEAD delta ids too (ids are never reused),
-    mirroring the apply's own bounds scan."""
+    mirroring the apply's own bounds scan.
+
+    ``known_bounds``: (max_doc_id, max_shard) when the caller already
+    knows them — a fresh build mints dense ids 0..n_docs-1 and labels
+    0..n_shards-1, so its post-build rebuild skips the bounds job (r7;
+    overestimates would also be safe, ids must only never be reused)."""
     from go_dcp_elasticsearch_spark.fsutil import delete_dir
     from go_dcp_elasticsearch_spark.index.segments import (
         read_delta_docs,
@@ -177,21 +183,27 @@ def rebuild_keymap(
         .partitionBy("_kb")
         .parquet(f"{root}/base")
     )
-    # bounds over base ∪ ALL delta rows (alive + dead): the id authority
-    base = spark.read.parquet(paths.docs).select("doc_id", "shard")
-    delta = read_delta_docs(spark, paths)
-    ids_frame = (
-        base if delta is None else base.unionByName(delta.select("doc_id", "shard"))
-    )
-    b = ids_frame.agg(
-        F.max("doc_id").alias("mi"), F.max("shard").alias("ms")
-    ).collect()[0]
+    if known_bounds is not None:
+        mi, ms = int(known_bounds[0]), int(known_bounds[1])
+    else:
+        # bounds over base ∪ ALL delta rows (alive + dead): the id
+        # authority
+        base = spark.read.parquet(paths.docs).select("doc_id", "shard")
+        delta = read_delta_docs(spark, paths)
+        ids_frame = (
+            base if delta is None
+            else base.unionByName(delta.select("doc_id", "shard"))
+        )
+        b = ids_frame.agg(
+            F.max("doc_id").alias("mi"), F.max("shard").alias("ms")
+        ).collect()[0]
+        mi, ms = int(b["mi"]), int(b["ms"])
     meta = {
         "epoch": int(lineage_count),
         "key_cols": list(key_cols),
         "n_buckets": int(n_buckets),
-        "max_doc_id": int(b["mi"]),
-        "max_shard": int(b["ms"]),
+        "max_doc_id": mi,
+        "max_shard": ms,
     }
     _write_meta(spark, paths, meta)
     return meta
