@@ -347,13 +347,20 @@ def posting_chunks_fixed_shard_with_sentinels(field_cols=None):
 
 def _chunk_partition(batches, *, fixed_shard: bool, n_docs: int | None,
                      n_shards: int | None, with_doc_sentinels: bool,
-                     field_cols: list[str] | None):
+                     field_cols: list[str] | None,
+                     meta_cols: list[str] | None = None):
     """ONE implementation of the SPIMI chunk pass shared by every chunk
     kernel (r7 refactor): consume an iterable of pandas batches that
     already carry ``doc_id`` + ``content`` (+ ``shard`` when
     ``fixed_shard``), accumulate the partition's postings, and yield the
     encoded CHUNK_SCHEMA frame (posting blocks via the cross-group bulk
     encoder, plus per-doc sentinels when requested).
+
+    ``meta_cols`` (r7, docs-stage fusion): extra per-doc columns copied
+    verbatim from the input batch onto each DOC_SENTINEL row (null on
+    posting rows) — the docs table then projects straight off the
+    sentinel stream instead of re-scanning the source for metadata and
+    sort-merge-joining it back on doc_id.
 
     ``fixed_shard=True`` trusts the precomputed shard column (incremental
     rebuilds, routing placement) and lexsorts by (term, shard, doc_id);
@@ -409,7 +416,7 @@ def _chunk_partition(batches, *, fixed_shard: bool, n_docs: int | None,
                 hashlib.sha256(c.encode("utf-8")).hexdigest().encode("ascii")
                 for c in pdf["content"]
             ]
-            sents.append(pd.DataFrame({
+            sent = pd.DataFrame({
                 "term": DOC_SENTINEL,
                 "shard": batch_sh,
                 "first_doc_id": batch_ids,
@@ -421,7 +428,12 @@ def _chunk_partition(batches, *, fixed_shard: bool, n_docs: int | None,
                 "max_tf": 0,
                 "tf_sum": 0,
                 "min_dl": doc_lens,
-            }))
+            })
+            for c in meta_cols or ():
+                # to_numpy: positional copy — a Series would realign on
+                # pdf's (dedup-filtered) index and scramble rows
+                sent[c] = pdf[c].to_numpy()
+            sents.append(sent)
     if not did_parts:
         return
     dids = np.concatenate(did_parts)
@@ -470,6 +482,8 @@ def _chunk_partition(batches, *, fixed_shard: bool, n_docs: int | None,
         "tf_sum": blk["tf_sum"],
         "min_dl": blk["min_dl"],
     })
+    for c in meta_cols or ():
+        out[c] = None  # posting rows carry no doc metadata
     if sents:
         out = pd.concat([out, *sents], ignore_index=True)
     yield out
@@ -504,6 +518,7 @@ def fused_ids_chunks(
     dedup: bool = False,
     fixed_shard: bool = False,
     field_cols: list[str] | None = None,
+    meta_cols: list[str] | None = None,
 ):
     """Doc-id assignment FUSED into the chunk kernel (r7): chaining two
     mapInPandas operators in one stage (add_ids -> chunks) paid a
@@ -542,6 +557,7 @@ def fused_ids_chunks(
         yield from _chunk_partition(
             with_ids(iterator), fixed_shard=fixed_shard, n_docs=n_docs,
             n_shards=n_shards, with_doc_sentinels=True, field_cols=field_cols,
+            meta_cols=meta_cols,
         )
 
     return kernel
@@ -1130,6 +1146,15 @@ class IndexBuilder:
         # batch order over the same source partitions (sorted mode reads
         # the PERSISTED keyed shuffle output; input mode the same
         # deterministic scan the pruned meta pass re-reads).
+        # r7 (docs-stage fusion): the doc metadata columns ride INTO the
+        # chunk kernel and come back on the DOC_SENTINEL rows, so the docs
+        # table is a straight projection of the sentinel stream. The old
+        # shape re-assigned ids over a second (pruned) source scan and
+        # sort-merge-joined metadata back on doc_id — one extra Python
+        # pass + two exchanges + sorts of n_docs rows per build, and in
+        # input mode it leaned on the two scans splitting identically;
+        # the fused shape takes ids and metadata from the SAME rows.
+        meta_cols = ["repo", "path", "commit", "lang", *self.docvalue_cols]
         all_rows = None
         if "docs" not in done or "postings" not in done:
             if self.id_mode == "input":
@@ -1141,6 +1166,15 @@ class IndexBuilder:
             sel = ["_pid", "content", *self.field_cols]
             if dedup_fuse:
                 sel = ["_pid", "repo", "path", "content", *self.field_cols]
+            # ordered-unique: meta cols may overlap key/field cols
+            sel += [c for c in meta_cols if c not in sel]
+            chunk_schema = StructType(
+                CHUNK_SCHEMA.fields
+                + [
+                    StructField(c, corpus.schema[c].dataType, True)
+                    for c in meta_cols
+                ]
+            )
             if self.routing_col:
                 src = chunks_src.select(*sel, shard_expr.alias("shard"))
             else:
@@ -1149,41 +1183,20 @@ class IndexBuilder:
                 fused_ids_chunks(
                     corpus_ids._offsets, n_docs, self.n_shards,
                     dedup=dedup_fuse, fixed_shard=bool(self.routing_col),
-                    field_cols=self.field_cols,
+                    field_cols=self.field_cols, meta_cols=meta_cols,
                 ),
-                schema=CHUNK_SCHEMA,
+                schema=chunk_schema,
             )
             all_rows = all_rows.persist()
 
         if "docs" not in done:
-            doc_rows = all_rows.filter(F.col("term") == DOC_SENTINEL).select(
+            docs = all_rows.filter(F.col("term") == DOC_SENTINEL).select(
                 F.col("first_doc_id").alias("doc_id"),
+                *meta_cols,
                 F.col("ids_vb").cast("string").alias("content_sha256"),
                 F.col("count").cast("long").alias("doc_len"),
                 F.col("shard"),
             )
-            if self.id_mode == "input":
-                # column pruning does NOT reach through mapInPandas: selecting
-                # metadata from corpus_ids would pipe the full content through
-                # the Python id-assignment again. Re-assign ids over the
-                # content-free projection instead — input mode's ids are row
-                # positions of the (deterministically ordered) source, so the
-                # pruned scan yields identical ids at a fraction of the IO.
-                meta = assign_doc_ids_input_order(
-                    corpus.select(
-                        "repo", "path", "commit", "lang", *self.docvalue_cols
-                    )
-                ).select(
-                    "doc_id", "repo", "path", "commit", "lang",
-                    *self.docvalue_cols,
-                )
-            else:
-                # sorted mode: corpus_ids reads the persisted shuffle output
-                meta = corpus_ids.select(
-                    "doc_id", "repo", "path", "commit", "lang",
-                    *self.docvalue_cols,
-                )
-            docs = meta.join(doc_rows, "doc_id")
             # full-table replace regardless of the session's partition
             # overwrite mode (a dynamic-mode conf would otherwise leave
             # stale shard dirs from a previous larger build)

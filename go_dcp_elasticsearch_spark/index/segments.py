@@ -485,6 +485,53 @@ def fold_segments(spark, index_dir: str) -> dict:
         from go_dcp_elasticsearch_spark.sources.changes import _first_varint
 
         for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({c: [] for c in pcols})
+                continue
+            # vectorized tombstone-overlap screen (r7): the overwhelmingly
+            # common row is "no tombstone in this block's id range" — a
+            # metadata move. The old per-row itertuples walk materialized
+            # every row (including its posting bytes) into Python objects
+            # and rebuilt them via 11 list appends; here only the overlap
+            # DECISION touches Python per row (one first-varint parse),
+            # the searchsorted screen runs per shard GROUP, and
+            # pass-through rows move as whole DataFrame slices. Output
+            # rows and their ORDER are identical to the per-row walk.
+            shards_a = pdf["shard"].to_numpy()
+            max_ids = pdf["max_doc_id"].to_numpy()
+            vbs = pdf["ids_vb"].to_numpy()
+            needs = np.zeros(n, dtype=bool)
+            tombs = tomb_bc.value
+            for sh in np.unique(shards_a):
+                tomb = tombs.get(int(sh))
+                if tomb is None or len(tomb) == 0:
+                    continue
+                idx = np.nonzero(shards_a == sh)[0]
+                first_ids = np.fromiter(
+                    (_first_varint(bytes(vbs[i])) for i in idx),
+                    dtype=np.int64, count=len(idx),
+                )
+                lo = np.searchsorted(tomb, first_ids)
+                hi = np.searchsorted(tomb, max_ids[idx], side="right")
+                needs[idx[lo < hi]] = True
+
+            def passthrough(s):
+                return pd.DataFrame({
+                    **{c: s[c].to_numpy() for c in pcols if c != "_seg_ord"},
+                    "_seg_ord": s["seg"].to_numpy(),
+                })
+
+            if not needs.any():
+                yield passthrough(pdf)
+                continue
+
+            # ONE mask slice for the pass-through rows + a Python walk
+            # over only the (rare) overlap rows. Intra-batch row order is
+            # not load-bearing: the renumber exchange sorts by (shard,
+            # term, _seg_ord, block_id) before assigning new block ids —
+            # the same total order the per-row walk relied on.
+            pieces = [passthrough(pdf[~needs])]
             out = {c: [] for c in pcols}
 
             def emit(term, shard, ids_vb, tfs_vb, dls_vb, cnt, max_id,
@@ -502,26 +549,10 @@ def fold_segments(spark, index_dir: str) -> dict:
                 out["min_dl"].append(min_dl)
                 out["_seg_ord"].append(seg_ord)
 
-            for row in pdf.itertuples(index=False):
+            for row in pdf[needs].itertuples(index=False):
                 sh = int(row.shard)
-                tomb = tomb_bc.value.get(sh)
+                tomb = tombs[sh]
                 seg_ord = int(row.seg)
-                if tomb is None or len(tomb) == 0:
-                    emit(row.term, sh, row.ids_vb, row.tfs_vb, row.dls_vb,
-                         int(row.count), int(row.max_doc_id), int(row.max_tf),
-                         int(row.tf_sum), int(row.min_dl), seg_ord,
-                         int(row.block_id))
-                    continue
-                first_id = _first_varint(bytes(row.ids_vb))
-                lo = np.searchsorted(tomb, first_id)
-                hi = np.searchsorted(tomb, int(row.max_doc_id), side="right")
-                if lo == hi:
-                    # no tombstone in this block's id range: metadata move
-                    emit(row.term, sh, row.ids_vb, row.tfs_vb, row.dls_vb,
-                         int(row.count), int(row.max_doc_id), int(row.max_tf),
-                         int(row.tf_sum), int(row.min_dl), seg_ord,
-                         int(row.block_id))
-                    continue
                 gaps = varbyte_decode(bytes(row.ids_vb))
                 ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
                 keep = drop_tombstoned(ids, tomb)
@@ -530,22 +561,23 @@ def fold_segments(spark, index_dir: str) -> dict:
                          int(row.count), int(row.max_doc_id), int(row.max_tf),
                          int(row.tf_sum), int(row.min_dl), seg_ord,
                          int(row.block_id))
-                    continue
-                if not keep.any():
-                    continue  # block entirely dead
-                tfs = varbyte_decode(bytes(row.tfs_vb)).astype(np.int64)
-                dls = varbyte_decode(bytes(row.dls_vb)).astype(np.int64)
-                ids_k, tfs_k, dls_k = ids[keep], tfs[keep], dls[keep]
-                for i, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
-                        tf_sum) in enumerate(
-                    encode_blocks_bulk(ids_k, tfs_k, dls_k)
-                ):
-                    start = i * BLOCK_SIZE
-                    emit(row.term, sh, ids_vb, tfs_vb, dls_vb, cnt, max_id,
-                         max_tf, tf_sum,
-                         int(dls_k[start : start + cnt].min()), seg_ord,
-                         int(row.block_id))
-            yield pd.DataFrame(out)
+                elif keep.any():
+                    tfs = varbyte_decode(bytes(row.tfs_vb)).astype(np.int64)
+                    dls = varbyte_decode(bytes(row.dls_vb)).astype(np.int64)
+                    ids_k, tfs_k, dls_k = ids[keep], tfs[keep], dls[keep]
+                    for j, (ids_vb, tfs_vb, dls_vb, cnt, max_id, max_tf,
+                            tf_sum) in enumerate(
+                        encode_blocks_bulk(ids_k, tfs_k, dls_k)
+                    ):
+                        start = j * BLOCK_SIZE
+                        emit(row.term, sh, ids_vb, tfs_vb, dls_vb, cnt,
+                             max_id, max_tf, tf_sum,
+                             int(dls_k[start : start + cnt].min()), seg_ord,
+                             int(row.block_id))
+                # else: block entirely dead — emit nothing
+            if out["term"]:
+                pieces.append(pd.DataFrame(out))
+            yield pd.concat(pieces, ignore_index=True)
 
     provisional = blocks.mapInPandas(fold_kernel, schema=out_schema)
     n_out = max(len(dirty), 1)

@@ -147,3 +147,46 @@ def test_input_id_mode_rank_identical(spark, tmp_index_dir):
         assert [g[0] for g in got] == [w[0] for w in want], qtext
         for (gd, gs), (wd, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9
+
+
+def test_docs_meta_fusion_matches_source_metadata(spark, tmp_index_dir):
+    """r7 docs-stage fusion: the docs table's metadata columns (repo,
+    path, commit, lang, docvalues) come from the chunk kernel's sentinel
+    rows now — assert they are exactly the LWW winner's values, with the
+    docvalue column typed and non-perturbed, in the duplicate-heavy
+    sorted mode with field + docvalue cols configured."""
+    import hashlib
+
+    corpus = with_duplicates(synth_corpus(spark, 150, n_partitions=4)).withColumn(
+        "n_chars", F.length("content").cast("long")
+    )
+    IndexBuilder(
+        spark, tmp_index_dir, n_shards=4,
+        field_cols=["lang"], docvalue_cols=["n_chars"],
+    ).build(corpus)
+
+    docs = spark.read.parquet(f"{tmp_index_dir}/docs")
+    assert docs.columns == [
+        "doc_id", "repo", "path", "commit", "lang", "n_chars",
+        "content_sha256", "doc_len", "shard",
+    ]
+    got = {
+        (r["repo"], r["path"]): (
+            r["commit"], r["lang"], int(r["n_chars"]), r["content_sha256"],
+            int(r["doc_len"]),
+        )
+        for r in docs.collect()
+    }
+    src = corpus.collect()
+    by_key: dict = {}
+    for r in src:
+        k = (r["repo"], r["path"])
+        if k not in by_key or r["seq_no"] > by_key[k]["seq_no"]:
+            by_key[k] = r
+    assert len(got) == len(by_key)
+    for k, r in by_key.items():
+        assert got[k] == (
+            r["commit"], r["lang"], int(r["n_chars"]),
+            hashlib.sha256(r["content"].encode()).hexdigest(),
+            len(tokenize_py(r["content"])),
+        )

@@ -842,3 +842,60 @@ def test_fold_lock_stale_is_stolen(spark, tmp_path, monkeypatch):
     assert segmod.recover_pending_fold(spark, paths) is not None
     assert not has_segments(spark, IndexPaths(idx))
     _doc_level_consistent(spark, idx, new_corpus)
+
+
+def test_fold_in_range_tombstone_leaves_other_terms_intact(spark, tmp_path):
+    """r7 vectorized fold kernel: a block whose id RANGE contains a
+    tombstoned id that is not actually IN the block (the lo<hi,
+    keep.all() branch) must pass through unchanged, while a block that
+    does contain the id is re-encoded without it."""
+    idx = str(tmp_path / "idx")
+    rows = []
+    # every doc contains 'aacommon' (its block DOES contain the
+    # tombstoned id -> re-encode branch); docs 0 and 2 additionally
+    # share 'bbstraddle', whose block's id range [0, 2] CONTAINS the
+    # tombstone id 1 without holding it -> the keep.all() branch.
+    for i in range(30):
+        extra = " bbstraddle" if i in (0, 2) else ""
+        rows.append(
+            ("r", f"p{i:03d}", f"c{i}", "py", f"aacommon filler{i}{extra}", i)
+        )
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, seq_no int"
+    )
+    IndexBuilder(spark, idx, n_shards=1).build(corpus)
+
+    changes = spark.createDataFrame(
+        [("r", "p001", "delete", 100)],
+        "repo string, path string, action string, seq_no long",
+    )
+    new_corpus = corpus.filter(F.col("path") != "p001")
+    out = apply_changes_to_index(
+        spark, idx, new_corpus, changes, strategy="delta"
+    )
+    assert out["folded"] is False  # small delta: fold must still be pending
+    out = fold_segments(spark, idx)
+    assert out["n_tombstones"] == 1
+
+    post = spark.read.parquet(f"{idx}/postings").collect()
+    by_term = {}
+    for r in post:
+        by_term.setdefault(r["term"], []).append(r)
+    assert "filler1" not in by_term  # the deleted doc's own term is gone
+    import numpy as np
+
+    from go_dcp_elasticsearch_spark.functions.codec import varbyte_decode
+
+    def ids_of(term):
+        out = []
+        for r in sorted(by_term[term], key=lambda r: r["block_id"]):
+            out += np.cumsum(
+                varbyte_decode(bytes(r["ids_vb"])), dtype=np.uint64
+            ).tolist()
+        return out
+
+    # keep.all() pass-through: range straddles the tombstone, ids intact
+    assert ids_of("bbstraddle") == [0, 2]
+    # re-encode branch: the common term dropped exactly id 1
+    assert ids_of("aacommon") == [i for i in range(30) if i != 1]
