@@ -1539,8 +1539,6 @@ class BM25Query:
         ES); duplicate tokens in the phrase must repeat consecutively in
         the doc. Delta segments compose: candidates come through the
         tombstone-filtered decode and the pinned live docs view."""
-        from go_dcp_elasticsearch_spark.index.segments import read_docs
-
         if slop < 0:
             raise ValueError(f"topk_phrase: slop must be >= 0, got {slop}")
         self._ensure_fresh()
@@ -1569,7 +1567,7 @@ class BM25Query:
         scored = self._exact_scored(idfs, require_n=len(uniq))
         if source is None:
             return self._phrase_verify_positions(scored, seq, slop, k)
-        meta = read_docs(self.spark, self.paths, self._segs).select(
+        meta = self._docs_snapshot().select(
             "doc_id", "repo", "path", "content_sha256"
         )
         if "seq_no" in source.columns:
@@ -1698,8 +1696,6 @@ class BM25Query:
         Scale shape: bounded by the hits frame (top-k sized) — hits
         broadcast into the docs metadata join, and only the hit keys'
         content rows are read from the source."""
-        from go_dcp_elasticsearch_spark.index.segments import read_docs
-
         if source is None:
             raise ValueError(
                 "highlight needs the source corpus frame (repo, path, "
@@ -1713,7 +1709,7 @@ class BM25Query:
         terms = set(self.analyze(query))
         if not terms:
             raise ValueError(f"highlight: query {query!r} has no tokens")
-        meta = read_docs(self.spark, self.paths, self._segs).select(
+        meta = self._docs_snapshot().select(
             "doc_id", "repo", "path", "content_sha256"
         )
         if "seq_no" in source.columns:
