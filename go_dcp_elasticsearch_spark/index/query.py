@@ -1630,10 +1630,17 @@ class BM25Query:
         )
 
         pos = decoded_positions(self.spark, self.paths, sorted(set(seq)))
+        # r7 (guide §2.4): group by doc_id ALONE — score is functionally
+        # dependent (one scored row per doc), so keying the aggregation
+        # on (doc_id, score) forced a SECOND shuffle of the decoded
+        # position arrays that the doc_id-keyed join had already moved;
+        # with the same key the aggregation reuses the join's hash
+        # partitioning and the arrays cross the network once.
         grouped = (
             scored.join(pos, "doc_id")
-            .groupBy("doc_id", "score")
+            .groupBy("doc_id")
             .agg(
+                F.first("score").alias("score"),
                 F.collect_list("term").alias("_t"),
                 F.collect_list("pos").alias("_p"),
             )
