@@ -1371,9 +1371,17 @@ class IndexBuilder:
         # absent/invalid keymap only costs the next delta apply a scan.
         try:
             from go_dcp_elasticsearch_spark.index import keymap as km_mod
+            from go_dcp_elasticsearch_spark.sources.changes import (
+                _keymap_worth,
+            )
 
             count = self.lineage.record_count()
-            if km_mod.valid_meta(self.spark, self.paths, ["repo", "path"], count) is None:
+            # below the keymap size threshold the applies use the plain
+            # metadata scan anyway (see changes._keymap_worth) — skip the
+            # base write, it would never be consulted
+            if _keymap_worth(n_docs) and km_mod.valid_meta(
+                self.spark, self.paths, ["repo", "path"], count
+            ) is None:
                 # a fresh build's id/label bounds are known without a job:
                 # dense ids 0..n_docs-1, labels < n_shards
                 km_mod.rebuild_keymap(

@@ -387,6 +387,25 @@ MAX_PENDING_TOMBSTONES = 8_000_000
 # ``_bucket``-partitioned mirror slice) but never SHUFFLED
 BROADCAST_DELTA_KEYS_MAX = 2_000_000
 
+# r7 (VERDICT r6 item 6): below this many docs the bucket-pruned keymap
+# LOOKUP costs more than the metadata join it replaces (~1 s of fixed
+# kh-collect + pruned-read scheduler latency per apply vs one cheap job
+# over a small docs metadata table), so small indexes use the plain scan
+# and skip keymap maintenance entirely (the skipped append leaves the
+# cache epoch stale -> valid_meta None -> never consulted; it is rebuilt
+# by the first apply on a corpus that has grown past the threshold).
+# The size proxy is max_doc_id + 1, which only OVER-estimates the corpus
+# (dead ids) — a big corpus can never be misrouted to the full scan.
+KEYMAP_MIN_DOCS_DEFAULT = 200_000
+
+
+def _keymap_worth(approx_docs: int) -> bool:
+    import os as _os
+
+    return int(approx_docs) >= int(
+        _os.environ.get("SPARK_GRAFT_KEYMAP_MIN_DOCS", KEYMAP_MIN_DOCS_DEFAULT)
+    )
+
 
 def apply_changes_to_index(
     spark,
@@ -498,7 +517,11 @@ def apply_changes_to_index(
             spark, paths_probe, key_cols,
             LineageLog(spark, paths_probe.lineage).record_count(),
         )
-        if kmeta_probe is not None and _exists(spark, paths_probe.stats_shards):
+        if (
+            kmeta_probe is not None
+            and _keymap_worth(int(kmeta_probe["max_doc_id"]) + 1)
+            and _exists(spark, paths_probe.stats_shards)
+        ):
             partials_probe = read_stats_partials(spark, paths_probe)
             n_live_probe = sum(1 for n, _ in partials_probe.values() if n > 0)
             touched = (
@@ -605,7 +628,7 @@ def apply_changes_to_index(
     # carry millions of keys (the same rationale that removed the hint in
     # upsert_corpus_mirror, streaming/pipeline.py) — resume_apply can hand
     # this function exactly that delta. AQE broadcasts when it fits.
-    if kmeta is not None:
+    if kmeta is not None and _keymap_worth(int(max_id) + 1):
         shard_side = km_mod.lookup(spark, _km_paths, feed, key_cols, kmeta).select(
             *key_cols, "shard"
         )
@@ -932,7 +955,7 @@ def apply_changes_to_index(
     # doc_id but doc_len may change; inserts are new rows; deletes get
     # dead markers). No broadcast hint on the feed side: a bulk
     # re-ingest feed is unbounded (AQE broadcasts when it fits).
-    if kmeta is not None:
+    if kmeta is not None and _keymap_worth(int(max_id) + int(n_inserts) + 1):
         try:
             km_alive = (
                 spark.read.parquet(docs_path)
@@ -1107,7 +1130,7 @@ def _apply_changes_delta(
     # lookup side is a bucket/row-group-PRUNED read of the key cache
     # instead of the full docs metadata (O(delta) at any corpus size);
     # otherwise the live-view scan, after which the cache is rebuilt.
-    if kmeta is not None:
+    if kmeta is not None and _keymap_worth(int(max_id) + 1):
         meta_side = km_mod.lookup(spark, paths, feed, key_cols, kmeta)
     else:
         meta_side = read_docs(spark, paths).select(
@@ -1460,9 +1483,14 @@ def _apply_changes_delta(
     # keymap maintenance (cache only — failure leaves it invalid and the
     # next apply rebuilds): append this apply's key changes under the
     # POST-commit epoch, or rebuild the base if the cache was invalid.
+    # Below the keymap size threshold (see _keymap_worth) maintenance is
+    # skipped wholesale: the stale epoch keeps the cache invalid (never
+    # consulted) and the first apply past the threshold rebuilds it here.
     try:
         new_count = b.lineage.record_count()
-        if kmeta is not None and small:
+        if not _keymap_worth(int(max_id) + int(n_alive) + 1):
+            pass
+        elif kmeta is not None and small:
             # r7: both marker sets derive from already-collected driver
             # data (the sentinel rows + the joined rows) — no re-read of
             # the just-written segment, no anti-join job

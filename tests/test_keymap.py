@@ -32,6 +32,15 @@ from go_dcp_elasticsearch_spark.sources.changes import (
 KEYS = ["repo", "path"]
 
 
+@pytest.fixture(autouse=True)
+def _force_keymap(monkeypatch):
+    """These tests exercise the keymap machinery on tiny fixtures, which
+    sit far below the r7 size threshold that routes small indexes to the
+    plain metadata scan (changes._keymap_worth) — pin it to 0 so every
+    maintenance/lookup path stays active."""
+    monkeypatch.setenv("SPARK_GRAFT_KEYMAP_MIN_DOCS", "0")
+
+
 def _meta(spark, idx):
     paths = IndexPaths(idx)
     count = LineageLog(spark, paths.lineage).record_count()
@@ -367,3 +376,56 @@ def test_keymap_delta_history_folds_at_threshold(spark, tmp_path, monkeypatch):
     # the folded base carries no row for the deleted key (dead winners
     # are dropped at fold, same as a live-view miss)
     _assert_matches_live(spark, idx, _all_keys(spark, idx, dead))
+
+
+def test_keymap_size_threshold_routes_small_to_full_scan(
+    spark, tmp_path, monkeypatch
+):
+    """r7 size threshold (changes._keymap_worth): below it the build
+    skips the base write, applies use the plain metadata scan, and
+    maintenance is skipped (the stale epoch keeps the cache invalid) —
+    with results identical to the keymap route. The first apply after
+    the corpus crosses the threshold rebuilds the cache."""
+    monkeypatch.setenv("SPARK_GRAFT_KEYMAP_MIN_DOCS", "1000")
+    idx = str(tmp_path / "idx_thr")
+    corpus = synth_corpus(spark, 120)
+    IndexBuilder(spark, idx, n_shards=4).build(corpus)
+    assert _meta(spark, idx) is None, "build should skip the base write"
+
+    docs0 = spark.read.parquet(f"{idx}/docs").orderBy("doc_id").limit(1).collect()
+    upd_key = (docs0[0]["repo"], docs0[0]["path"])
+    state = corpus.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == upd_key[0]) & (F.col("path") == upd_key[1]),
+            F.lit("zzthreshold updated body"),
+        ).otherwise(F.col("content")),
+    )
+    changes = spark.createDataFrame(
+        [(upd_key[0], upd_key[1], "index", 10)],
+        "repo string, path string, action string, seq_no long",
+    )
+    out = apply_changes_to_index(spark, idx, state, changes, strategy="delta")
+    assert out["n_changed"] == 1
+    assert _meta(spark, idx) is None, "maintenance should be skipped"
+    from go_dcp_elasticsearch_spark.index import BM25Query
+
+    assert BM25Query(spark, idx).topk_pruned("zzthreshold", 5).count() == 1
+
+    # corpus now "crosses" the threshold: the next apply rebuilds the
+    # cache and the lookup contract holds again
+    monkeypatch.setenv("SPARK_GRAFT_KEYMAP_MIN_DOCS", "10")
+    state2 = state.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == upd_key[0]) & (F.col("path") == upd_key[1]),
+            F.lit("zzthresholdtwo replacement body"),
+        ).otherwise(F.col("content")),
+    )
+    changes2 = spark.createDataFrame(
+        [(upd_key[0], upd_key[1], "index", 20)],
+        "repo string, path string, action string, seq_no long",
+    )
+    apply_changes_to_index(spark, idx, state2, changes2, strategy="delta")
+    assert _meta(spark, idx) is not None, "apply past threshold rebuilds"
+    _assert_matches_live(spark, idx, _all_keys(spark, idx, set()))

@@ -36,6 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sizes = [int(x) for x in sys.argv[1:]] or [100_000, 1_000_000]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # this bench MEASURES the keymap path at every size — disable the r7
+    # small-corpus threshold that would route sub-200k corpora to the
+    # full scan (changes._keymap_worth)
+    os.environ.setdefault("SPARK_GRAFT_KEYMAP_MIN_DOCS", "0")
 
     from pyspark.sql import functions as F
 
